@@ -1,0 +1,295 @@
+"""OTTL-subset boolean expression compiler -> vectorized pyarrow masks.
+
+The reference's transform language (OTTL) evaluates a boolean expression per
+record: comparisons ``== != < <= > >=`` over paths and literals, combined
+with ``and / or / not`` and parentheses (pkg/ottl/boolean_value.go,
+pkg/ottl/compare.go, pkg/ottl/LANGUAGE.md "Boolean Expressions").  Here a
+condition string compiles ONCE to a closure that evaluates over a whole
+``pyarrow.Table`` with ``pyarrow.compute`` kernels — one mask per batch, no
+per-row interpretation.
+
+Supported grammar (the subset our corpus + routing tables exercise):
+
+    expr     := or
+    or       := and ("or" and)*
+    and      := unary ("and" unary)*
+    unary    := "not" unary | "(" expr ")" | comparison
+    compare  := operand (OP operand | "in" "(" lit ("," lit)* ")")?
+    operand  := IDENT | literal | converter "(" args ")"
+    literal  := "str" | 'str' | int | float | true | false | nil
+
+Converters usable inside conditions: ``IsMatch(col, "regex")``,
+``Len(col)``, ``HasPrefix/HasSuffix(col, "s")`` — mirroring the most common
+condition converters in pkg/ottl/ottlfuncs.
+
+Null semantics: comparisons against null yield null which is treated as
+*no match* (mask filled False), matching OTTL where a missing path fails the
+condition rather than erroring (error_mode=ignore).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<num>-?\d+\.\d+|-?\d+)
+      | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+      | (?P<op>==|!=|<=|>=|<|>)
+      | (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
+      | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "true", "false", "nil", "null"}
+
+
+@dataclass
+class _Tok:
+    kind: str
+    value: str
+
+
+def _tokenize(text: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m or m.end() == pos:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"bad token at {text[pos:]!r} in condition {text!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        if kind == "ident" and val.lower() in _KEYWORDS:
+            toks.append(_Tok(val.lower(), val.lower()))
+        else:
+            toks.append(_Tok(kind, val))
+    toks.append(_Tok("eof", ""))
+    return toks
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return body.replace("\\\"", '"').replace("\\'", "'").replace("\\\\", "\\")
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.text = text
+
+    def peek(self) -> _Tok:
+        return self.toks[self.i]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str) -> _Tok:
+        t = self.next()
+        if t.kind != kind:
+            raise ValueError(f"expected {kind}, got {t.kind}({t.value}) in {self.text!r}")
+        return t
+
+    # --- grammar ---
+    def parse(self):
+        node = self.or_expr()
+        self.expect("eof")
+        return node
+
+    def or_expr(self):
+        node = self.and_expr()
+        while self.peek().kind == "or":
+            self.next()
+            rhs = self.and_expr()
+            node = ("or", node, rhs)
+        return node
+
+    def and_expr(self):
+        node = self.unary()
+        while self.peek().kind == "and":
+            self.next()
+            rhs = self.unary()
+            node = ("and", node, rhs)
+        return node
+
+    def unary(self):
+        t = self.peek()
+        if t.kind == "not":
+            self.next()
+            return ("not", self.unary())
+        if t.kind == "lpar":
+            # Lookahead: "(expr)" vs an operand-level paren is resolved by
+            # trying a full boolean sub-expression first.
+            save = self.i
+            self.next()
+            try:
+                node = self.or_expr()
+                self.expect("rpar")
+                return node
+            except ValueError:
+                self.i = save
+        return self.comparison()
+
+    def comparison(self):
+        lhs = self.operand()
+        t = self.peek()
+        if t.kind == "op":
+            op = self.next().value
+            rhs = self.operand()
+            return ("cmp", op, lhs, rhs)
+        if t.kind == "in":
+            self.next()
+            self.expect("lpar")
+            lits = [self.literal()]
+            while self.peek().kind == "comma":
+                self.next()
+                lits.append(self.literal())
+            self.expect("rpar")
+            return ("in", lhs, lits)
+        # bare truthy operand (e.g. a boolean column)
+        return ("truthy", lhs)
+
+    def operand(self):
+        t = self.peek()
+        if t.kind in ("num", "str") or t.kind in ("true", "false", "nil", "null"):
+            return ("lit", self.literal())
+        if t.kind == "ident":
+            name = self.next().value
+            if self.peek().kind == "lpar":  # converter call
+                self.next()
+                args = []
+                if self.peek().kind != "rpar":
+                    args.append(self.operand())
+                    while self.peek().kind == "comma":
+                        self.next()
+                        args.append(self.operand())
+                self.expect("rpar")
+                return ("call", name, args)
+            return ("col", name)
+        raise ValueError(f"unexpected token {t.kind} in {self.text!r}")
+
+    def literal(self):
+        t = self.next()
+        if t.kind == "num":
+            return float(t.value) if "." in t.value else int(t.value)
+        if t.kind == "str":
+            return _unquote(t.value)
+        if t.kind in ("true", "false"):
+            return t.kind == "true"
+        if t.kind in ("nil", "null"):
+            return None
+        raise ValueError(f"expected literal, got {t.kind} in {self.text!r}")
+
+
+_CMP = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+}
+
+
+def _eval_operand(node, table: pa.Table):
+    kind = node[0]
+    if kind == "lit":
+        return node[1]
+    if kind == "col":
+        name = node[1]
+        if name not in table.column_names:
+            return None  # missing path reads as nil (LANGUAGE.md "Paths")
+        return table.column(name)
+    if kind == "call":
+        name, args = node[1], node[2]
+        vals = [_eval_operand(a, table) for a in args]
+        return _call_converter(name, vals)
+    raise ValueError(f"bad operand {node}")
+
+
+def _call_converter(name: str, vals: list):
+    lname = name.lower()
+    if lname == "ismatch":
+        col, pattern = vals
+        return pc.match_substring_regex(col, pattern)
+    if lname == "len":
+        (col,) = vals
+        typ = col.type if isinstance(col, (pa.Array, pa.ChunkedArray)) else None
+        if typ is not None and (pa.types.is_list(typ) or pa.types.is_large_list(typ)):
+            return pc.list_value_length(col)
+        return pc.utf8_length(col)
+    if lname == "hasprefix":
+        col, prefix = vals
+        return pc.starts_with(col, prefix)
+    if lname == "hassuffix":
+        col, suffix = vals
+        return pc.ends_with(col, suffix)
+    raise ValueError(f"unknown condition converter {name!r}")
+
+
+def _eval_bool(node, table: pa.Table):
+    kind = node[0]
+    n = table.num_rows
+    if kind == "and":
+        return pc.and_kleene(_eval_bool(node[1], table), _eval_bool(node[2], table))
+    if kind == "or":
+        return pc.or_kleene(_eval_bool(node[1], table), _eval_bool(node[2], table))
+    if kind == "not":
+        return pc.invert(_eval_bool(node[1], table))
+    if kind == "cmp":
+        _, op, lhs, rhs = node
+        lv, rv = _eval_operand(lhs, table), _eval_operand(rhs, table)
+        if lv is None or rv is None:
+            # comparison against nil: only ==/!= meaningful
+            arr = rv if lv is None else lv
+            if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+                isnull = pc.is_null(arr)
+                return isnull if op == "==" else pc.invert(isnull)
+            eq = (lv is None) == (rv is None)
+            val = eq if op == "==" else (not eq)
+            return pa.array([val] * n, pa.bool_())
+        return _CMP[op](lv, rv)
+    if kind == "in":
+        _, lhs, lits = node
+        lv = _eval_operand(lhs, table)
+        if lv is None:
+            return pa.array([False] * n, pa.bool_())
+        return pc.is_in(lv, value_set=pa.array(lits))
+    if kind == "truthy":
+        v = _eval_operand(node[1], table)
+        if v is None:
+            return pa.array([False] * n, pa.bool_())
+        if isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v.cast(pa.bool_())
+        return pa.array([bool(v)] * n, pa.bool_())
+    raise ValueError(f"bad node {node}")
+
+
+class CompiledCondition:
+    """A compiled OTTL-subset condition; call with a pyarrow Table -> mask."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self._ast = _Parser(text).parse()
+
+    def __call__(self, table: pa.Table) -> pa.ChunkedArray:
+        mask = _eval_bool(self._ast, table)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return pc.fill_null(mask, False)
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CompiledCondition({self.text!r})"
+
+
+def compile_condition(text: str) -> CompiledCondition:
+    return CompiledCondition(text)

@@ -1,0 +1,67 @@
+"""Deterministic hash functions shared by sampler / dedup / corpus synthesis.
+
+The reference derives sampling randomness from an FNV hash of the record
+(processor/probabilisticsamplerprocessor/logsprocessor.go:36-123) and keys
+dedup state off a canonical map hash (pkg/pdatautil/hash.go:76-100, xxhash).
+We standardize on two families:
+
+- ``md5_u64`` — first 8 bytes of MD5, little-endian. Chosen because DuckDB's
+  ``md5_number_upper(s)`` computes the identical value, so every stage keyed
+  on it (sampler thresholds, fingerprints, synthetic severity) is exactly
+  reproducible by the SQL oracle.
+- ``fnv1a32 / fnv1a64`` — cheap non-crypto hashes for token ids and shingle
+  hashing (vocabulary-cached, so the per-word Python cost is amortized).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+
+FNV32_OFFSET = 0x811C9DC5
+FNV32_PRIME = 0x01000193
+FNV64_OFFSET = 0xCBF29CE484222325
+FNV64_PRIME = 0x100000001B3
+U32 = 0xFFFFFFFF
+U64 = 0xFFFFFFFFFFFFFFFF
+
+
+def md5_u64(s: str) -> int:
+    """First 8 bytes of md5(s), little-endian == DuckDB md5_number_upper(s)."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "little")
+
+
+def md5_u64_many(strings) -> np.ndarray:
+    """Vectorized-ish md5_u64 over an iterable of strings -> uint64 ndarray."""
+    md5 = hashlib.md5
+    out = np.fromiter(
+        (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "little") for s in strings),
+        dtype=np.uint64,
+    )
+    return out
+
+
+@lru_cache(maxsize=1 << 20)
+def fnv1a32(s: str) -> int:
+    h = FNV32_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV32_PRIME) & U32
+    return h
+
+
+@lru_cache(maxsize=1 << 20)
+def fnv1a64(s: str) -> int:
+    h = FNV64_OFFSET
+    for b in s.encode("utf-8"):
+        h = ((h ^ b) * FNV64_PRIME) & U64
+    return h
+
+
+VOCAB_SIZE = 50257  # GPT-2-ish vocab size for synthetic token ids
+
+
+def token_id(word: str) -> int:
+    """Deterministic token id for a word (corpus synthesis)."""
+    return fnv1a32(word) % VOCAB_SIZE

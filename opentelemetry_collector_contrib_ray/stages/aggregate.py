@@ -1,0 +1,63 @@
+"""Keyed count/sum aggregation — the count/sum connector analog.
+
+Reference semantics (connector/countconnector/counter.go:38-128,
+connector/sumconnector/sum.go:40-130): per batch, extract the configured
+attribute set per record and increment ``counts[MapHash(attrs)]`` /
+``sums[...] += value``; flush one datapoint per attribute-set.
+
+Ray-Data-first, two-phase: a vectorized *partial* aggregate runs inside
+``map_batches`` (pyarrow ``Table.group_by`` per block — the combiner), then
+only the tiny per-block partials go through the Ray Data hash-shuffle
+``groupby().aggregate()`` for the final merge.  At 100 TB this moves
+``num_blocks × num_groups`` rows through the shuffle instead of every input
+row — the partial-then-merge shape called out in SURVEY.md §4 (skew row):
+a hot key costs a few extra partial rows, never a hot shuffle partition.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data.aggregate import Sum
+
+
+class _PartialCountSum:
+    """Per-block combiner: groupby keys -> (row_count, sum cols)."""
+
+    def __init__(self, keys: list[str], sum_cols: dict[str, str]):
+        self.keys = keys
+        self.sum_cols = sum_cols  # {input_col: output_name}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aggs = [([], "count_all")] + [(c, "sum") for c in self.sum_cols]
+        grouped = batch.select(self.keys + list(self.sum_cols)).group_by(
+            self.keys, use_threads=False
+        ).aggregate(aggs)
+        rename = {"count_all": "row_count"}
+        rename.update({f"{c}_sum": out for c, out in self.sum_cols.items()})
+        return grouped.rename_columns(
+            [rename.get(name, name) for name in grouped.column_names]
+        )
+
+
+def count_sum(
+    ds,
+    keys: list[str],
+    sum_cols: dict[str, str] | None = None,
+    count_name: str = "row_count",
+    batch_size: int | None = None,
+):
+    """groupby(keys) -> count(*) AS count_name, sum(col) AS name per sum_cols.
+
+    Returns a Dataset with columns keys + [count_name] + sum names.
+    """
+    sum_cols = sum_cols or {}
+    partial = ds.map_batches(
+        _PartialCountSum(keys, sum_cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    final_aggs = [Sum("row_count", alias_name=count_name)] + [
+        Sum(out, alias_name=out) for out in sum_cols.values()
+    ]
+    return partial.groupby(keys).aggregate(*final_aggs)

@@ -1,0 +1,84 @@
+"""Broadcast-lookup enrich stage — the k8sattributes/resource-enrich analog.
+
+Reference semantics (processor/k8sattributesprocessor/processor.go:141-360):
+an in-memory metadata table keyed by an association key; for every record,
+look up the key and stamp the metadata columns onto the record; records with
+no association pass through unmodified (null enrich columns here).
+
+Ray-Data-first: the lookup table is shipped ONCE per worker — pass either a
+plain dict (serialized into the actor task spec) or a ``ray.ObjectRef`` from
+``ray.put`` (fetched zero-copy from the local object store in ``__init__``,
+never re-shipped per batch).  Use as::
+
+    ref = ray.put(lookup)        # once, on the driver
+    ds.map_batches(Enrich, fn_constructor_kwargs=dict(lookup=ref, key="source"),
+                   batch_format="pyarrow", concurrency=(2, 8))
+
+Per batch the key column is dictionary-encoded first so the Python dict is
+probed once per *unique* key (low-cardinality keys: ~20 probes per batch,
+not one per row), then values are gathered with a vectorized ``take``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+
+class Enrich:
+    """Actor-pool map_batches callable adding lookup columns by key."""
+
+    def __init__(
+        self,
+        lookup: "dict | ray.ObjectRef",
+        key: str = "source",
+        columns: list[str] | None = None,
+    ):
+        if isinstance(lookup, ray.ObjectRef):
+            lookup = ray.get(lookup)  # zero-copy from local object store
+        self.lookup: dict[str, dict[str, str]] = lookup
+        self.key = key
+        if columns is None:
+            first = next(iter(lookup.values()))
+            columns = list(first.keys())
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dict_arr = pc.dictionary_encode(keys)
+        uniques = dict_arr.dictionary.to_pylist()
+        indices = dict_arr.indices
+
+        out = batch
+        for col in self.columns:
+            # one probe per unique key, then vectorized gather
+            per_unique = pa.array(
+                [self.lookup.get(u, {}).get(col) if u is not None else None for u in uniques],
+                pa.string(),
+            )
+            out = out.append_column(col, per_unique.take(indices))
+        return out
+
+
+def enrich_dataset(
+    ds,
+    lookup: dict,
+    key: str = "source",
+    columns: list[str] | None = None,
+    concurrency=(1, 8),
+    batch_size: int | None = None,
+):
+    """Attach the enrich actor-pool stage to a Dataset."""
+    ref = ray.put(lookup)
+    return ds.map_batches(
+        Enrich,
+        fn_constructor_kwargs=dict(lookup=ref, key=key, columns=columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,57 @@
+"""First-match-wins routing — the routingconnector analog.
+
+Reference semantics (connector/routingconnector/logs.go:62-107 +
+config.go:83-101): an ordered table of (condition, route); each record is
+MOVED to the first route whose condition matches; the remainder goes to
+``default_pipelines``.  Every record lands in exactly one route, none are
+duplicated.
+
+Ray-Data-first: routing itself is a narrow map — compute a ``sink`` column
+per batch by evaluating all compiled conditions as vectorized masks and
+taking the first match (priority encoded by fill order).  No shuffle is
+needed for the routing decision; only the per-sink *write* partitions by
+the sink column (``write_parquet(partition_cols=["sink"])``), which is the
+fan-out the reference implements as per-pipeline exporters
+(exporter/fileexporter group_by semantics, config.go:31-47).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.expr import CompiledCondition, compile_condition
+
+
+class Route:
+    """map_batches callable adding a first-match ``sink`` column."""
+
+    def __init__(
+        self,
+        rules: list[tuple[str, str]],
+        default_sink: str = "sink-default",
+        sink_column: str = "sink",
+    ):
+        # compile once per stage object (per actor/task, not per batch)
+        self.rules: list[tuple[CompiledCondition, str]] = [
+            (compile_condition(cond), sink) for cond, sink in rules
+        ]
+        self.default_sink = default_sink
+        self.sink_column = sink_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sink = pa.nulls(n, pa.string())
+        assigned = pa.array([False] * n, pa.bool_())
+        for cond, target in self.rules:
+            mask = cond(batch)
+            take = pc.and_not(mask, assigned)  # first match wins
+            sink = pc.if_else(take, pa.scalar(target, pa.string()), sink)
+            assigned = pc.or_(assigned, take)
+        sink = pc.fill_null(sink, self.default_sink)
+        return batch.append_column(self.sink_column, sink)
+
+
+def write_routed(ds, out_dir: str, sink_column: str = "sink") -> None:
+    """Per-sink partitioned Parquet fan-out (one directory per sink)."""
+    ds.write_parquet(out_dir, partition_cols=[sink_column])

@@ -1,0 +1,89 @@
+"""End-to-end flagship pipeline tests vs the DuckDB oracle + token invariant."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opentelemetry_collector_contrib_ray.pipelines import flagship
+from opentelemetry_collector_contrib_ray.sources import corpus
+
+from .conftest import SF_SMOKE
+from .util import assert_frames_equal_unordered
+
+FLAGSHIP_ORACLE = f"""
+WITH {corpus.RAW_SQL_CTE.strip()}, {corpus.ENRICH_SQL_CTE.strip()},
+routed AS (
+    SELECT *, {corpus.ROUTE_SQL_CASE.strip()} AS sink FROM enriched
+)
+SELECT sink, source, count(*) AS row_count, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM routed GROUP BY sink, source
+"""
+
+
+def test_parse_reextracts_ground_truth(oracle_smoke):
+    """Regex parse over raw must reproduce every derived scalar column."""
+    parsed = flagship.parsed_corpus(SF_SMOKE).select_columns(
+        ["doc_id", "source", "n_tok", "ts", "severity"]
+    )
+    oracle = oracle_smoke.sql(
+        f"WITH {corpus.RAW_SQL_CTE.strip()} "
+        "SELECT doc_id, source, n_tok, ts, severity FROM corpus"
+    ).df()
+    assert_frames_equal_unordered(parsed, oracle, keys=["doc_id"])
+
+
+def test_tokens_survive_parse_byte_identical():
+    """Per-row token-array equality through the parse stage (north rule)."""
+    truth = corpus.corpus_dataset(SF_SMOKE, with_raw=False).to_pandas()
+    parsed = flagship.parsed_corpus(SF_SMOKE).to_pandas()
+    truth = truth.set_index("doc_id").sort_index()
+    parsed = parsed.set_index("doc_id").sort_index()
+    assert len(truth) == len(parsed) == 500
+    for did in truth.index:
+        assert list(truth.loc[did, "tokens"]) == list(parsed.loc[did, "tokens"])
+
+
+def test_flagship_aggregate_matches_oracle(oracle_smoke):
+    agg = flagship.flagship_aggregate(SF_SMOKE)
+    oracle = oracle_smoke.sql(FLAGSHIP_ORACLE).df()
+    assert_frames_equal_unordered(agg, oracle, keys=["sink", "source"])
+
+
+def test_routed_rows_exactly_one_sink(oracle_smoke, tmp_path):
+    """Fan-out write: every doc in exactly one sink partition, tokens intact."""
+    out = tmp_path / "routed"
+    flagship.run_flagship(SF_SMOKE, out_dir=str(out)).materialize()
+    written = pq.read_table(str(out))
+    assert written.num_rows == 500
+    ids = written.column("doc_id").to_pylist()
+    assert len(set(ids)) == 500  # no duplication across sinks
+
+    # sink assignment matches the oracle's first-match-wins CASE
+    oracle = oracle_smoke.sql(
+        f"WITH {corpus.RAW_SQL_CTE.strip()}, {corpus.ENRICH_SQL_CTE.strip()} "
+        f"SELECT doc_id, {corpus.ROUTE_SQL_CASE.strip()} AS sink FROM enriched"
+    ).df()
+    got = written.select(["doc_id", "sink"]).to_pandas()
+    assert_frames_equal_unordered(got, oracle, keys=["doc_id"])
+
+    # tokens byte-identical after the partitioned write round-trip
+    truth = {
+        r["doc_id"]: r["tokens"]
+        for r in corpus.corpus_dataset(SF_SMOKE, with_raw=False)
+        .select_columns(["doc_id", "tokens"])
+        .take_all()
+    }
+    toks = written.column("tokens").to_pylist()
+    for did, t in zip(ids, toks):
+        assert truth[did] == t
+
+
+def test_enrich_unknown_sources_null_passthrough():
+    ds = flagship.routed_corpus(SF_SMOKE)
+    df = ds.to_pandas()
+    unknown = df[df["source"].isin(["src18", "src19"])]
+    assert len(unknown) > 0
+    assert unknown["team"].isna().all()
+    assert unknown["env"].isna().all()
+    known = df[~df["source"].isin(["src18", "src19"])]
+    assert known["team"].notna().all()
