@@ -1,0 +1,408 @@
+"""OTTL converter kernels over Arrow arrays (pkg/ottl/ottlfuncs registry analog).
+
+Each converter is a pure function ``(array, *args) -> array`` registered by
+its OTTL name (functions.go:38-128 lists the reference registry).  All hot
+paths use ``pyarrow.compute``; the Python-level fallbacks (JSON, hashes) are
+batch loops over a column, used only in stages where no Arrow kernel exists
+(same position the reference's per-record Go functions occupy).
+
+Names are matched case-insensitively by :func:`get_converter`.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import FNV64_OFFSET, FNV64_PRIME, U64
+
+
+def _as_array(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+# --- string family -----------------------------------------------------------
+
+def concat(*parts, delimiter: str = ""):
+    """Concat(delimiter, parts...) — pc.binary_join_element_wise."""
+    arrays = [p if isinstance(p, (pa.Array, pa.ChunkedArray)) else None for p in parts]
+    n = next(len(a) for a in arrays if a is not None)
+    cols = [
+        _as_array(p) if a is not None else pa.array([p] * n, pa.string())
+        for p, a in zip(parts, arrays)
+    ]
+    return pc.binary_join_element_wise(*cols, pa.array([delimiter] * n, pa.string()))
+
+
+def to_upper(col):
+    return pc.utf8_upper(col)
+
+
+def to_lower(col):
+    return pc.utf8_lower(col)
+
+
+def convert_case(col, case: str):
+    case = case.lower()
+    if case == "upper":
+        return pc.utf8_upper(col)
+    if case == "lower":
+        return pc.utf8_lower(col)
+    if case == "snake":
+        # CamelCase / space-separated -> snake_case
+        s = pc.replace_substring_regex(col, r"([a-z0-9])([A-Z])", r"\1_\2")
+        s = pc.replace_substring_regex(s, r"[\s-]+", "_")
+        return pc.utf8_lower(s)
+    if case == "camel":
+        out = []
+        for v in _as_array(col).to_pylist():
+            if v is None:
+                out.append(None)
+            else:
+                out.append("".join(w.capitalize() for w in v.replace("-", "_").split("_")))
+        return pa.array(out, pa.string())
+    raise ValueError(f"ConvertCase: unknown case {case!r}")
+
+
+def split(col, delimiter: str):
+    return pc.split_pattern(col, delimiter)
+
+
+def substring(col, start: int, length: int):
+    return pc.utf8_slice_codeunits(col, start, start + length)
+
+
+def trim(col, chars: str | None = None):
+    if chars is None:
+        return pc.utf8_trim_whitespace(col)
+    return pc.utf8_trim(col, chars)
+
+
+def length(col):
+    col = _as_array(col)
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        return pc.list_value_length(col)
+    return pc.utf8_length(col)
+
+
+def has_prefix(col, prefix: str):
+    return pc.starts_with(col, prefix)
+
+
+def has_suffix(col, suffix: str):
+    return pc.ends_with(col, suffix)
+
+
+def is_match(col, pattern: str):
+    return pc.match_substring_regex(col, pattern)
+
+
+def format_str(fmt: str, *cols):
+    """Format(fmt, args...) — printf-style per row (Python loop fallback)."""
+    lists = [_as_array(c).to_pylist() for c in cols]
+    return pa.array([fmt % tuple(vals) for vals in zip(*lists)], pa.string())
+
+
+def extract_patterns(col, pattern: str) -> pa.StructArray:
+    """ExtractPatterns — named-capture regex -> struct of captures."""
+    return pc.extract_regex(_as_array(col), pattern)
+
+
+def to_string(col):
+    return _as_array(col).cast(pa.string())
+
+
+# --- parse family ------------------------------------------------------------
+
+def parse_int(col, base: int = 10):
+    if base == 10:
+        return _as_array(col).cast(pa.int64())
+    return pa.array(
+        [None if v is None else int(v, base) for v in _as_array(col).to_pylist()],
+        pa.int64(),
+    )
+
+
+def to_double(col):
+    return _as_array(col).cast(pa.float64())
+
+
+def parse_json_field(col, field: str, typ: pa.DataType = None):
+    """ParseJSON + one-key pluck (the common pattern over a props column)."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.loads(v).get(field))
+        except (json.JSONDecodeError, AttributeError):
+            out.append(None)
+    return pa.array(out, typ)
+
+
+def parse_key_value(col, pair_delimiter: str = " ", kv_delimiter: str = "="):
+    """ParseKeyValue -> map<string,string> column."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        pairs = []
+        for part in v.split(pair_delimiter):
+            if kv_delimiter in part:
+                k, val = part.split(kv_delimiter, 1)
+                pairs.append((k, val))
+        out.append(pairs)
+    return pa.array(out, pa.map_(pa.string(), pa.string()))
+
+
+def parse_csv(col, headers: list[str], delimiter: str = ","):
+    """ParseCSV(target, headers) -> struct column of string fields."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+        else:
+            vals = v.split(delimiter)
+            rows.append({h: (vals[i] if i < len(vals) else None) for i, h in enumerate(headers)})
+    return pa.array(rows, pa.struct([(h, pa.string()) for h in headers]))
+
+
+def base64_decode(col):
+    return pa.array(
+        [None if v is None else base64.b64decode(v) for v in _as_array(col).to_pylist()],
+        pa.binary(),
+    )
+
+
+def hex_encode(col):
+    arr = _as_array(col)
+    vals = arr.to_pylist()
+    out = []
+    for v in vals:
+        if v is None:
+            out.append(None)
+        elif isinstance(v, bytes):
+            out.append(binascii.hexlify(v).decode())
+        else:
+            out.append(binascii.hexlify(str(v).encode()).decode())
+    return pa.array(out, pa.string())
+
+
+# --- hash family -------------------------------------------------------------
+
+def _digest_col(col, algo: str):
+    h = getattr(hashlib, algo)
+    return pa.array(
+        [None if v is None else h(v.encode("utf-8")).hexdigest() for v in _as_array(col).to_pylist()],
+        pa.string(),
+    )
+
+
+def md5_hex(col):
+    return _digest_col(col, "md5")
+
+
+def sha1_hex(col):
+    return _digest_col(col, "sha1")
+
+
+def sha256_hex(col):
+    return _digest_col(col, "sha256")
+
+
+def sha512_hex(col):
+    return _digest_col(col, "sha512")
+
+
+def fnv_hash(col):
+    """FNV — 64-bit FNV-1a of the UTF-8 string, as int64 (reference FNV converter)."""
+    out = np.empty(len(_as_array(col)), dtype=np.uint64)
+    for i, v in enumerate(_as_array(col).to_pylist()):
+        if v is None:
+            out[i] = 0
+            continue
+        h = FNV64_OFFSET
+        for b in v.encode("utf-8"):
+            h = ((h ^ b) * FNV64_PRIME) & U64
+        out[i] = h
+    return pa.array(out.view(np.int64), pa.int64())
+
+
+# --- time family -------------------------------------------------------------
+
+def time_parse(col, fmt: str):
+    """Time(target, format) — strptime parse to timestamp[us]."""
+    return pc.strptime(_as_array(col), format=fmt, unit="us")
+
+
+def format_time(col, fmt: str):
+    return pc.strftime(_as_array(col), format=fmt)
+
+
+def truncate_time(col, unit: str):
+    return pc.floor_temporal(_as_array(col), unit=unit)
+
+
+def unix_seconds(col):
+    arr = _as_array(col)
+    return pc.divide(arr.cast(pa.int64()), 1_000_000)  # timestamp[us] -> s
+
+
+def unix_milli(col):
+    return pc.divide(_as_array(col).cast(pa.int64()), 1_000)
+
+
+def unix_micro(col):
+    return _as_array(col).cast(pa.int64())
+
+
+def unix_nano(col):
+    return pc.multiply(_as_array(col).cast(pa.int64()), 1_000)
+
+
+def year(col):
+    return pc.year(col)
+
+
+def month(col):
+    return pc.month(col)
+
+
+def day(col):
+    return pc.day(col)
+
+
+def weekday(col):
+    return pc.day_of_week(col)
+
+
+def hour(col):
+    return pc.hour(col)
+
+
+def minute(col):
+    return pc.minute(col)
+
+
+def second(col):
+    return pc.second(col)
+
+
+# --- numeric / type predicates ----------------------------------------------
+
+def log_natural(col):
+    return pc.ln(_as_array(col).cast(pa.float64()))
+
+
+def _type_pred(col, pred):
+    col = _as_array(col)
+    val = pred(col.type)
+    return pa.array([val and v is not None for v in pc.is_valid(col).to_pylist()], pa.bool_())
+
+
+def is_string(col):
+    return _type_pred(col, pa.types.is_string)
+
+
+def is_int(col):
+    return _type_pred(col, pa.types.is_integer)
+
+
+def is_double(col):
+    return _type_pred(col, pa.types.is_floating)
+
+
+def is_bool(col):
+    return _type_pred(col, pa.types.is_boolean)
+
+
+def is_list(col):
+    return _type_pred(col, lambda t: pa.types.is_list(t) or pa.types.is_large_list(t))
+
+
+# --- list family -------------------------------------------------------------
+
+def list_sort(col, order: str = "asc"):
+    """Sort — per-row list sort (pc.list_* has no sort; loop fallback)."""
+    rev = order == "desc"
+    return pa.array(
+        [None if v is None else sorted(v, reverse=rev) for v in _as_array(col).to_pylist()],
+        _as_array(col).type,
+    )
+
+
+def contains_value(col, value):
+    out = []
+    for v in _as_array(col).to_pylist():
+        out.append(None if v is None else value in v)
+    return pa.array(out, pa.bool_())
+
+
+REGISTRY = {
+    "concat": concat,
+    "convertcase": convert_case,
+    "touppercase": to_upper,
+    "tolowercase": to_lower,
+    "split": split,
+    "substring": substring,
+    "trim": trim,
+    "len": length,
+    "hasprefix": has_prefix,
+    "hassuffix": has_suffix,
+    "ismatch": is_match,
+    "format": format_str,
+    "extractpatterns": extract_patterns,
+    "string": to_string,
+    "parseint": parse_int,
+    "double": to_double,
+    "int": parse_int,
+    "parsejsonfield": parse_json_field,
+    "parsekeyvalue": parse_key_value,
+    "parsecsv": parse_csv,
+    "base64decode": base64_decode,
+    "hex": hex_encode,
+    "md5": md5_hex,
+    "sha1": sha1_hex,
+    "sha256": sha256_hex,
+    "sha512": sha512_hex,
+    "fnv": fnv_hash,
+    "time": time_parse,
+    "formattime": format_time,
+    "truncatetime": truncate_time,
+    "unixseconds": unix_seconds,
+    "unixmilli": unix_milli,
+    "unixmicro": unix_micro,
+    "unixnano": unix_nano,
+    "year": year,
+    "month": month,
+    "day": day,
+    "weekday": weekday,
+    "hour": hour,
+    "minute": minute,
+    "second": second,
+    "log": log_natural,
+    "isstring": is_string,
+    "isint": is_int,
+    "isdouble": is_double,
+    "isbool": is_bool,
+    "islist": is_list,
+    "sort": list_sort,
+    "containsvalue": contains_value,
+}
+
+
+def get_converter(name: str):
+    try:
+        return REGISTRY[name.lower()]
+    except KeyError:
+        raise ValueError(f"unknown converter {name!r}") from None

@@ -1,0 +1,481 @@
+"""Operator query catalog: one Ray-Data pipeline + DuckDB oracle per operator.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table; the
+matching SQL in :data:`ORACLE_SQL` computes the identical result over the
+same Parquet tables (column names match exactly — the driver's compare
+hashes values after sorting columns by name).
+
+Entries map 1:1 to SURVEY.md §2 operators (cited per function) plus the
+training-data operators (dedup, similarity, text analysis, multimodal).
+Entries without an oracle (heuristic / sketch-based) are listed in
+:data:`NO_ORACLE` and get rows-only checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources import corpus
+from ..sources.tables import read_table
+from ..stages import window
+from ..stages.aggregate import count_sum
+from ..stages.dedup import exact_dedup
+from ..stages.enrich import enrich_dataset
+from ..stages.multimodal import documents_as_media, media_features
+from ..stages.neardup import minhash_lsh_pairs, simhash_pairs
+from ..stages.route import Route
+from ..stages.sample import sample_dataset, sampler_oracle_predicate
+from ..stages.similarity import embedding_near_dups, knn_brute_force
+from ..stages.textstats import Fingerprint, LangId, TextStats
+from ..stages.transform import (
+    C,
+    Col,
+    Transform,
+    filter_dataset,
+    hash_attribute,
+    keep_keys,
+    set_,
+)
+from . import flagship
+
+CORPUS_CTES = (
+    f"WITH {corpus.RAW_SQL_CTE.strip()}, {corpus.ENRICH_SQL_CTE.strip()}, "
+    f"routed AS (SELECT *, {corpus.ROUTE_SQL_CASE.strip()} AS sink FROM enriched)"
+)
+
+
+# --- flagship family (corpus pipeline; SURVEY.md §7.0) -----------------------
+
+def q_flagship_agg(sf_dir: str):
+    """count/sum connectors over the routed corpus (§2.7)."""
+    return flagship.flagship_aggregate(sf_dir)
+
+
+def q_parse_extract(sf_dir: str):
+    """regex_parser / transformprocessor re-extraction (§2.3, §2.6)."""
+    return flagship.parsed_corpus(sf_dir).select_columns(
+        ["doc_id", "source", "n_tok", "ts", "severity"]
+    )
+
+
+def q_route_counts(sf_dir: str):
+    """routingconnector first-match fan-out row counts (§2.9)."""
+    return count_sum(flagship.routed_corpus(sf_dir), keys=["sink"])
+
+
+def q_enrich_join(sf_dir: str):
+    """k8sattributes-style broadcast enrich incl. null passthrough (§2.8)."""
+    return flagship.routed_corpus(sf_dir).select_columns(
+        ["doc_id", "source", "team", "env", "sink_hint"]
+    )
+
+
+# --- processor analogs over events/customer ----------------------------------
+
+def q_filter_errors(sf_dir: str):
+    """filterprocessor: drop all but matching records (§2.6)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"])
+    ds = filter_dataset(ds, 'event_type == "error" and value > 100')
+    return ds.select_columns(["event_id", "user_id", "value"])
+
+
+def q_transform_statements(sf_dir: str):
+    """transformprocessor OTTL statement list: set/convert/extract (§2.5-2.6)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value", "props"])
+    stmts = [
+        set_("etype_up", C("ToUpperCase", Col("event_type"))),
+        set_("k", C("ParseJsonField", Col("props"), "k", pa.int64())),
+        set_("is_big", True, where="value > 150"),
+        set_("is_big", False, where="value <= 150"),
+        keep_keys("event_id", "etype_up", "k", "is_big"),
+    ]
+    return ds.map_batches(Transform(stmts), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_attributes_hash(sf_dir: str):
+    """attributesprocessor hash action (SHA-256) (§2.6)."""
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    stmts = [set_("name_sha256", C("SHA256", Col("c_name"))), keep_keys("c_custkey", "name_sha256")]
+    return ds.map_batches(Transform(stmts), batch_format="pyarrow", zero_copy_batch=True)
+
+
+SEVERITY_MAP = {
+    "click": 5, "view": 9, "signup": 10, "purchase": 13, "error": 17,
+}
+
+
+def q_severity_map(sf_dir: str):
+    """severity_parser: string -> severity enum via lookup (§2.3)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    lookup = {k: {"severity_number": v} for k, v in SEVERITY_MAP.items()}
+    return enrich_dataset(
+        ds, lookup, key="event_type", types={"severity_number": pa.int32()}
+    ).select_columns(["event_id", "event_type", "severity_number"])
+
+
+def q_sampled_events(sf_dir: str):
+    """probabilisticsampler: deterministic hash sampling at 25% (§2.6)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return sample_dataset(ds, key="event_id", percentage=25.0)
+
+
+def q_dedup_docs(sf_dir: str):
+    """logdedup: one row per distinct content key + count + first/last (§2.7)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.drop_columns(["text"])
+    return exact_dedup(ds, key_cols=["doc_fp"], order_col="doc_id")
+
+
+def q_group_by_attrs(sf_dir: str):
+    """groupbyattrs + count/sum connectors over events (§2.7)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch.column("value"), 100.0)).cast(pa.int64())
+        return batch.append_column("cents", c).drop_columns(["value"])
+
+    ds = ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return count_sum(ds, keys=["user_id", "event_type"], sum_cols={"cents": "sum_cents"})
+
+
+def q_delta_cumsum(sf_dir: str):
+    """deltatocumulative: per-stream running sum in time order (§2.7)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = window.delta_to_cumulative(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="cum_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "cum_cents"])
+
+
+def q_interval_last(sf_dir: str):
+    """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "hour", pc.floor_temporal(batch.column("ts"), unit="hour")
+        )
+
+    ds = ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    out = window.last_per_interval(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"], interval_col="hour"
+    )
+    return out.select_columns(["event_id", "user_id", "hour", "value"])
+
+
+HIST_BOUNDS = (10.0, 50.0, 100.0, 150.0)
+
+
+def q_histogram_buckets(sf_dir: str):
+    """spanmetrics/signaltometrics explicit-bucket histogram counts (§2.7)."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch.column("value")
+        bucket = pa.nulls(batch.num_rows, pa.int32())
+        assigned = pa.array([False] * batch.num_rows)
+        for i, b in enumerate(HIST_BOUNDS):
+            m = pc.and_not(pc.less_equal(v, b), assigned)
+            bucket = pc.if_else(m, pa.scalar(i, pa.int32()), bucket)
+            assigned = pc.or_(assigned, m)
+        bucket = pc.fill_null(bucket, len(HIST_BOUNDS))
+        return batch.append_column("bucket", bucket).drop_columns(["value"])
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return count_sum(ds, keys=["event_type", "bucket"])
+
+
+EVENT_ROUTES = [
+    ('event_type == "error"', "sink-alerts"),
+    ("value > 150", "sink-big"),
+]
+
+
+def q_routing_events(sf_dir: str):
+    """routingconnector over events + per-sink counts (§2.9)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    ds = ds.map_batches(
+        Route(EVENT_ROUTES, default_sink="sink-default"),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return count_sum(ds, keys=["sink"])
+
+
+def q_topk_sources(sf_dir: str):
+    """top-k: sort + limit over aggregated doc counts."""
+    agg = count_sum(
+        read_table(sf_dir, "documents", columns=["source"]), keys=["source"]
+    )
+    return agg.sort(["row_count", "source"], descending=[True, False]).limit(5)
+
+
+def q_broadcast_join(sf_dir: str):
+    """two-level broadcast join: customer -> nation -> region (§2.8)."""
+    nation = read_table(sf_dir, "nation").take_all()
+    region = {r["r_regionkey"]: r["r_name"] for r in read_table(sf_dir, "region").take_all()}
+    lookup = {
+        str(n["n_nationkey"]): {"n_name": n["n_name"], "r_name": region[n["n_regionkey"]]}
+        for n in nation
+    }
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def key_str(batch: pa.Table) -> pa.Table:
+        return batch.append_column("nk", batch.column("c_nationkey").cast(pa.string()))
+
+    ds = ds.map_batches(key_str, batch_format="pyarrow", zero_copy_batch=True)
+    ds = enrich_dataset(ds, lookup, key="nk")
+    return ds.select_columns(["c_custkey", "n_name", "r_name"])
+
+
+# --- training-data operators -------------------------------------------------
+
+def q_token_counts(sf_dir: str):
+    """token counting per source (whitespace + BPE-ish regex)."""
+    ds = read_table(sf_dir, "documents", columns=["source", "text"])
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.select_columns(["source", "n_ws_tok", "n_bpe_tok"])
+    return count_sum(
+        ds, keys=["source"],
+        sum_cols={"n_ws_tok": "ws_tok_sum", "n_bpe_tok": "bpe_tok_sum"},
+    )
+
+
+def q_quality_stats(sf_dir: str):
+    """per-doc quality counters (length / punctuation / stopword)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "n_chars_", "n_bytes", "n_ws_tok", "n_punct", "stop_cnt"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """document fingerprinting (md5-based 62-bit content hash)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "doc_fp"])
+
+
+def q_knn_vec0(sf_dir: str):
+    """similarity search: exact top-10 cosine neighbors of vec 0."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q0 = None
+    for row in ds.iter_rows():
+        if row["vec_id"] == 0:
+            q0 = np.asarray(row["embedding"], dtype=np.float64)
+            break
+    tbl = knn_brute_force(ds, q0[None, :], id_col="vec_id", vec_col="embedding",
+                          k=10, exclude_ids={0})
+    return tbl.select(["vec_id", "rank"])
+
+
+def q_embed_neardup(sf_dir: str):
+    """embedding-cosine near-dup pairs (threshold 0.30, broadcast baseline)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding", threshold=0.30)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidate pairs (no SQL oracle: sketch-based)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming-≤3 near-dup pairs (no SQL oracle: sketch-based)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, max_hamming=3)
+
+
+def q_lang_id(sf_dir: str):
+    """language-ID heuristic counts per predicted language (no SQL oracle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(LangId(), batch_format="pyarrow", zero_copy_batch=True)
+    return count_sum(ds.select_columns(["lang_pred"]), keys=["lang_pred"])
+
+
+def q_media_features(sf_dir: str):
+    """multimodal plumbing: binary payload -> deterministic fake features."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    media = documents_as_media(ds)
+    feats = media_features(media)  # fake_decode stand-in
+
+    def explode(batch: pa.Table) -> pa.Table:
+        f = batch.column("feature")
+        if isinstance(f, pa.ChunkedArray):
+            f = f.combine_chunks()
+        flat = f.values.to_numpy(zero_copy_only=False).reshape(len(f), 4)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "n_bytes": pa.array(flat[:, 0].astype(np.int64)),
+        })
+
+    return feats.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+QUERIES = {
+    "flagship_agg": q_flagship_agg,
+    "parse_extract": q_parse_extract,
+    "route_counts": q_route_counts,
+    "enrich_join": q_enrich_join,
+    "filter_errors": q_filter_errors,
+    "transform_statements": q_transform_statements,
+    "attributes_hash": q_attributes_hash,
+    "severity_map": q_severity_map,
+    "sampled_events": q_sampled_events,
+    "dedup_docs": q_dedup_docs,
+    "group_by_attrs": q_group_by_attrs,
+    "delta_cumsum": q_delta_cumsum,
+    "interval_last": q_interval_last,
+    "histogram_buckets": q_histogram_buckets,
+    "routing_events": q_routing_events,
+    "topk_sources": q_topk_sources,
+    "broadcast_join": q_broadcast_join,
+    "token_counts": q_token_counts,
+    "quality_stats": q_quality_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "knn_vec0": q_knn_vec0,
+    "embed_neardup": q_embed_neardup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "lang_id": q_lang_id,
+    "media_features": q_media_features,
+}
+
+NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features"}
+
+ORACLE_SQL = {
+    "flagship_agg": f"""
+        {CORPUS_CTES}
+        SELECT sink, source, count(*) AS row_count,
+               CAST(sum(n_tok) AS BIGINT) AS tok_sum
+        FROM routed GROUP BY sink, source
+    """,
+    "parse_extract": f"""
+        WITH {corpus.RAW_SQL_CTE.strip()}
+        SELECT doc_id, source, n_tok, ts, severity FROM corpus
+    """,
+    "route_counts": f"""
+        {CORPUS_CTES}
+        SELECT sink, count(*) AS row_count FROM routed GROUP BY sink
+    """,
+    "enrich_join": f"""
+        {CORPUS_CTES}
+        SELECT doc_id, source, team, env, sink_hint FROM routed
+    """,
+    "filter_errors": """
+        SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'error' AND value > 100
+    """,
+    "transform_statements": r"""
+        SELECT event_id, upper(event_type) AS etype_up,
+               CAST(regexp_extract(props, ':\s*(\d+)', 1) AS BIGINT) AS k,
+               value > 150 AS is_big
+        FROM events
+    """,
+    "attributes_hash": """
+        SELECT c_custkey, sha256(c_name) AS name_sha256 FROM customer
+    """,
+    "severity_map": """
+        SELECT event_id, event_type,
+               CASE event_type WHEN 'click' THEN 5 WHEN 'view' THEN 9
+                    WHEN 'signup' THEN 10 WHEN 'purchase' THEN 13
+                    WHEN 'error' THEN 17 END AS severity_number
+        FROM events
+    """,
+    "sampled_events": f"""
+        SELECT event_id, event_type, value FROM events
+        WHERE {sampler_oracle_predicate('event_id', 25.0)}
+    """,
+    "dedup_docs": """
+        SELECT CAST(md5_number_upper(text) % 4611686018427387904 AS BIGINT) AS doc_fp,
+               count(*) AS log_count,
+               min(doc_id) AS first_observed, max(doc_id) AS last_observed
+        FROM documents GROUP BY 1
+    """,
+    "group_by_attrs": """
+        SELECT user_id, event_type, count(*) AS row_count,
+               sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+        FROM events GROUP BY user_id, event_type
+    """,
+    "delta_cumsum": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_cents
+        FROM events
+    """,
+    "interval_last": """
+        SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id, date_trunc('hour', ts)
+            ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    "histogram_buckets": f"""
+        SELECT event_type,
+               CASE WHEN value <= {HIST_BOUNDS[0]} THEN 0
+                    WHEN value <= {HIST_BOUNDS[1]} THEN 1
+                    WHEN value <= {HIST_BOUNDS[2]} THEN 2
+                    WHEN value <= {HIST_BOUNDS[3]} THEN 3
+                    ELSE 4 END AS bucket,
+               count(*) AS row_count
+        FROM events GROUP BY event_type, bucket
+    """,
+    "routing_events": """
+        SELECT CASE WHEN event_type = 'error' THEN 'sink-alerts'
+                    WHEN value > 150 THEN 'sink-big'
+                    ELSE 'sink-default' END AS sink,
+               count(*) AS row_count
+        FROM events GROUP BY sink
+    """,
+    "topk_sources": """
+        SELECT source, count(*) AS row_count FROM documents
+        GROUP BY source ORDER BY row_count DESC, source ASC LIMIT 5
+    """,
+    "broadcast_join": """
+        SELECT c_custkey, n_name, r_name
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "token_counts": r"""
+        SELECT source, count(*) AS row_count,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tok_sum,
+               sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)) AS bpe_tok_sum
+        FROM documents GROUP BY source
+    """,
+    "quality_stats": r"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+               CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+               CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS stop_cnt
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id,
+               CAST(md5_number_upper(text) % 4611686018427387904 AS BIGINT) AS doc_fp
+        FROM documents
+    """,
+    "knn_vec0": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id ASC
+               ) AS INTEGER) AS rank
+        FROM e, q WHERE e.vec_id != 0
+        ORDER BY rank LIMIT 10
+    """,
+    "embed_neardup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+    """,
+}

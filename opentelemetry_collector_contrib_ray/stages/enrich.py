@@ -35,6 +35,7 @@ class Enrich:
         lookup: "dict | ray.ObjectRef",
         key: str = "source",
         columns: list[str] | None = None,
+        types: dict[str, pa.DataType] | None = None,
     ):
         if isinstance(lookup, ray.ObjectRef):
             lookup = ray.get(lookup)  # zero-copy from local object store
@@ -44,6 +45,7 @@ class Enrich:
             first = next(iter(lookup.values()))
             columns = list(first.keys())
         self.columns = columns
+        self.types = types or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key)
@@ -58,7 +60,7 @@ class Enrich:
             # one probe per unique key, then vectorized gather
             per_unique = pa.array(
                 [self.lookup.get(u, {}).get(col) if u is not None else None for u in uniques],
-                pa.string(),
+                self.types.get(col, pa.string()),
             )
             out = out.append_column(col, per_unique.take(indices))
         return out
@@ -69,6 +71,7 @@ def enrich_dataset(
     lookup: dict,
     key: str = "source",
     columns: list[str] | None = None,
+    types: dict | None = None,
     concurrency=(1, 8),
     batch_size: int | None = None,
 ):
@@ -76,7 +79,7 @@ def enrich_dataset(
     ref = ray.put(lookup)
     return ds.map_batches(
         Enrich,
-        fn_constructor_kwargs=dict(lookup=ref, key=key, columns=columns),
+        fn_constructor_kwargs=dict(lookup=ref, key=key, columns=columns, types=types),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

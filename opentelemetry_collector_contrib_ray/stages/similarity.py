@@ -1,0 +1,182 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`knn_brute_force` — baseline exact top-k cosine: the query matrix is
+  broadcast ONCE via ``ray.put``; each batch does one numpy matmul and emits
+  only its per-batch top-k partials; the final merge touches
+  ``num_blocks × k`` rows, never the corpus.
+- :func:`embedding_near_dups` — all-pairs cosine ≥ threshold via the same
+  broadcast trick (corpus small side pinned in the object store).  At 100 TB
+  the broadcast side must be replaced by LSH bucketing:
+  :class:`HyperplaneLSH` assigns sign-pattern bucket keys so candidate pairs
+  co-locate under a ``groupby(bucket)`` and only within-bucket pairs are
+  scored — the scale path (documented partitioning assumption: near-dups
+  share at least one band bucket with high probability).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    dim = len(flat) // len(arr)
+    return flat.reshape(len(arr), dim).astype(np.float64, copy=False)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BatchTopK:
+    """Per-batch partial: top-k cosine rows against the broadcast queries."""
+
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, dim)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))  # (n, dim)
+        sims = m @ self.q.T  # (n, nq)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            k = min(self.k, len(col))
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[top])
+            out_sim.extend(col[top])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                self.id_col: pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def knn_brute_force(ds, queries: np.ndarray, id_col: str, vec_col: str, k: int,
+                    exclude_ids: set | None = None) -> pa.Table:
+    """Exact top-k per query; returns (query_idx, id, cosine, rank).
+
+    Driver-side work is only the merge of per-block partials (blocks×k rows).
+    """
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    ).take_all()  # small: num_blocks * k * nq rows
+
+    by_query: dict[int, list] = {}
+    for row in partials:
+        if exclude_ids and row[id_col] in exclude_ids:
+            continue
+        by_query.setdefault(row["query_idx"], []).append((row["cosine"], row[id_col]))
+    rows = []
+    for qi, items in sorted(by_query.items()):
+        # deterministic: cosine desc, id asc tie-break
+        top = heapq.nsmallest(k, items, key=lambda t: (-t[0], t[1]))
+        for rank, (sim, i) in enumerate(top, 1):
+            rows.append({"query_idx": qi, id_col: i, "cosine": sim, "rank": rank})
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("query_idx", pa.int32()), (id_col, pa.int64()),
+             ("cosine", pa.float64()), ("rank", pa.int32())]
+        ),
+    )
+
+
+class _PairsAboveThreshold:
+    """Per-batch: pairs (this batch × broadcast corpus) with cosine ≥ t, i<j."""
+
+    def __init__(self, corpus_ref, id_col: str, vec_col: str, threshold: float):
+        ids, mat = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.corpus_ids = ids
+        self.corpus = _normalize(mat)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_matrix(batch, self.vec_col))
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        sims = m @ self.corpus.T
+        bi, cj = np.nonzero(sims >= self.threshold)
+        left, right = ids[bi], self.corpus_ids[cj]
+        keep = left < right  # dedupe symmetric pairs + drop self-pairs
+        return pa.table(
+            {
+                "id_a": pa.array(left[keep], pa.int64()),
+                "id_b": pa.array(right[keep], pa.int64()),
+                "cosine": pa.array(sims[bi, cj][keep], pa.float64()),
+            }
+        )
+
+
+def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float) -> "ray.data.Dataset":
+    """All (id_a < id_b) pairs with cosine ≥ threshold (broadcast baseline)."""
+    tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    full = pa.concat_tables([ray.get(r) for r in tbl])
+    ids = full.column(id_col).to_numpy(zero_copy_only=False)
+    mat = _matrix(full, vec_col)
+    ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _PairsAboveThreshold,
+        fn_constructor_kwargs=dict(corpus_ref=ref, id_col=id_col, vec_col=vec_col,
+                                   threshold=threshold),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+class HyperplaneLSH:
+    """Scale path: sign-pattern bucket keys (random hyperplanes, fixed seed).
+
+    ``n_bands`` independent banded keys -> flat_map rows to (band, bucket)
+    so near-dup candidates co-locate under groupby((band, bucket)); pairs are
+    verified by exact cosine within each group.
+    """
+
+    def __init__(self, dim: int, bits_per_band: int = 12, n_bands: int = 4, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_bands, bits_per_band, dim))
+        self.n_bands = n_bands
+        self.weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vec_col = "embedding" if "embedding" in batch.column_names else batch.column_names[-1]
+        m = _normalize(_matrix(batch, vec_col))
+        n = len(m)
+        out_band, out_bucket, out_idx = [], [], []
+        for b in range(self.n_bands):
+            signs = (m @ self.planes[b].T) > 0  # (n, bits)
+            buckets = signs.astype(np.int64) @ self.weights
+            out_band.extend([b] * n)
+            out_bucket.extend(buckets)
+            out_idx.extend(range(n))
+        rep = pa.table(
+            {"band": pa.array(out_band, pa.int32()), "bucket": pa.array(out_bucket, pa.int64())}
+        )
+        repeated = batch.take(pa.array(out_idx, pa.int32()))
+        for name in rep.column_names:
+            repeated = repeated.append_column(name, rep.column(name))
+        return repeated

@@ -1,0 +1,108 @@
+"""Text-analysis stages for training-data pipelines over the documents table:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+These are first-class large-scale-pipeline operators (not reference parity):
+each is a vectorized ``map_batches`` callable over the ``text`` column.
+Quality counters are INTEGER-valued so oracle value-hash comparisons are
+exact; ratios are left to consumers (or computed from the integers in SQL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.hashing import md5_u64_many
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic
+# language identifier (fasttext-style scoring without the model: count hits
+# of language-marker words, pick the argmax, tie -> "und").
+LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein"},
+    "fr": {"le", "la", "les", "et", "est", "une", "pour", "dans"},
+    "es": {"el", "la", "los", "es", "una", "por", "para", "con"},
+}
+
+STOPWORDS = {"the", "a", "of", "and", "to"}
+
+# A BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+# (GPT-2-style pre-tokenizer shape, public regex idiom).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+
+class TextStats:
+    """Per-doc integer quality counters + whitespace/BPE-ish token counts."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+
+        n_chars = pc.utf8_length(text)
+        n_bytes = pc.binary_length(text)
+        # whitespace tokens: count(' ')+1 — matches len(string_split(text,' '))
+        n_ws_tok = pc.add(pc.count_substring(text, " "), 1)
+        # BPE-ish tokens: count of pattern matches
+        n_bpe_tok = pc.count_substring_regex(text, BPE_ISH_PATTERN)
+        n_punct = pc.count_substring_regex(text, r"[^\w\s]")
+
+        stop_cnt = np.zeros(len(text), dtype=np.int64)
+        for i, t in enumerate(text.to_pylist()):
+            if t:
+                stop_cnt[i] = sum(1 for w in t.split(" ") if w in STOPWORDS)
+
+        out = batch
+        for name, arr in [
+            ("n_chars_", n_chars),
+            ("n_bytes", n_bytes),
+            ("n_ws_tok", n_ws_tok),
+            ("n_bpe_tok", n_bpe_tok),
+            ("n_punct", n_punct),
+            ("stop_cnt", pa.array(stop_cnt)),
+        ]:
+            a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+            out = out.append_column(name, a.cast(pa.int64()))
+        return out
+
+
+class LangId:
+    """Stopword-profile language guess -> ``lang_pred`` column."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = sorted(LANG_MARKERS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column(self.text_col).to_pylist():
+            if not t:
+                preds.append("und")
+                continue
+            words = set(t.lower().split(" "))
+            scores = [(len(words & LANG_MARKERS[l]), l) for l in self.langs]
+            best, lang = max(scores)
+            preds.append(lang if best > 0 else "und")
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+class Fingerprint:
+    """62-bit content fingerprint: md5_u64(text) mod 2^62 — DuckDB-reproducible
+    as ``md5_number_upper(text) % 4611686018427387904`` (62 bits keeps the
+    value signed-int64-safe on both sides); the rolling-hash doc-id analog."""
+
+    MOD = 1 << 62
+
+    def __init__(self, text_col: str = "text", out: str = "doc_fp"):
+        self.text_col = text_col
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = md5_u64_many(
+            "" if t is None else t for t in batch.column(self.text_col).to_pylist()
+        ) % np.uint64(self.MOD)
+        return batch.append_column(self.out, pa.array(h.astype(np.int64), pa.int64()))

@@ -1,0 +1,220 @@
+"""Transform / filter / attribute-action stages — transformprocessor,
+filterprocessor and attributesprocessor analogs.
+
+Reference semantics:
+
+- transformprocessor executes an ordered OTTL statement list per record;
+  each statement is ``editor(args) [where condition]``
+  (pkg/ottl/parser.go:394-408 StatementSequence, processor/transformprocessor/
+  internal/logs/processor.go:53-67).  Statements run SEQUENTIALLY — later
+  statements see earlier mutations — so we compile the list to sequential
+  column rewrites inside ONE ``map_batches`` callable (SURVEY.md §7.4).
+- filterprocessor drops records where any condition matches
+  (processor/filterprocessor/logs.go:41-99).
+- attributesprocessor applies {insert, update, upsert, delete, hash,
+  extract, convert} actions (internal/coreinternal/attraction/
+  attraction.go:111-300) — expressed here as Transform statements.
+
+Vectorization: a ``where`` clause becomes a boolean mask; a guarded ``set``
+is one ``pc.if_else`` merge — never a row loop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.converters import get_converter
+from ..functions.expr import compile_condition
+
+
+def _as_array(col):
+    if isinstance(col, pa.ChunkedArray):
+        return col.combine_chunks()
+    return col
+
+
+@dataclass
+class C:
+    """Converter call spec: C("ToUpperCase", "severity") or nested C args."""
+
+    name: str
+    args: tuple = ()
+
+    def __init__(self, name: str, *args):
+        self.name = name
+        self.args = args
+
+    def evaluate(self, table: pa.Table):
+        fn = get_converter(self.name)
+        vals = [_resolve(a, table) for a in self.args]
+        return fn(*vals)
+
+
+@dataclass
+class Col:
+    """Column reference in a statement value position."""
+
+    name: str
+
+
+def _resolve(value: Any, table: pa.Table):
+    if isinstance(value, C):
+        return value.evaluate(table)
+    if isinstance(value, Col):
+        return _as_array(table.column(value.name))
+    if callable(value):
+        return value(table)
+    return value  # literal
+
+
+@dataclass
+class Statement:
+    """One editor application: editor name, args, optional where condition."""
+
+    editor: str
+    args: tuple = ()
+    where: str | None = None
+    _cond: Any = field(default=None, repr=False)
+
+    def __post_init__(self):
+        if self.where is not None:
+            self._cond = compile_condition(self.where)
+
+
+def set_(target: str, value, where: str | None = None) -> Statement:
+    return Statement("set", (target, value), where)
+
+
+def delete_keys(*cols: str, where: str | None = None) -> Statement:
+    return Statement("delete_keys", cols, where)
+
+
+def keep_keys(*cols: str) -> Statement:
+    return Statement("keep_keys", cols)
+
+
+def rename_key(old: str, new: str) -> Statement:
+    return Statement("rename", (old, new))
+
+
+def truncate_all(limit: int, columns: list[str] | None = None) -> Statement:
+    return Statement("truncate_all", (limit, columns))
+
+
+def replace_pattern(target: str, pattern: str, replacement: str,
+                    where: str | None = None) -> Statement:
+    return Statement("replace_pattern", (target, pattern, replacement), where)
+
+
+def hash_attribute(target: str, algo: str = "sha256") -> Statement:
+    """attributesprocessor hash action (SHA-256 of the value, attraction.go)."""
+    return Statement("hash", (target, algo))
+
+
+class Transform:
+    """map_batches callable executing an ordered statement list per batch."""
+
+    def __init__(self, statements: list[Statement]):
+        self.statements = statements
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for st in self.statements:
+            batch = self._apply(batch, st)
+        return batch
+
+    def _apply(self, batch: pa.Table, st: Statement) -> pa.Table:
+        mask = st._cond(batch) if st._cond is not None else None
+        ed = st.editor
+
+        if ed == "set":
+            target, value = st.args
+            new = _resolve(value, batch)
+            if not isinstance(new, (pa.Array, pa.ChunkedArray)):
+                typ = pa.scalar(new).type if new is not None else pa.string()
+                new = pa.array([new] * batch.num_rows, typ)
+            new = _as_array(new)
+            if target in batch.column_names:
+                if mask is not None:
+                    old = _as_array(batch.column(target))
+                    new = pc.if_else(mask, new.cast(old.type), old)
+                i = batch.column_names.index(target)
+                return batch.set_column(i, target, new)
+            if mask is not None:
+                new = pc.if_else(mask, new, pa.nulls(batch.num_rows, new.type))
+            return batch.append_column(target, new)
+
+        if ed == "delete_keys":
+            cols = [c for c in st.args if c in batch.column_names]
+            return batch.drop_columns(cols)
+
+        if ed == "keep_keys":
+            return batch.select([c for c in st.args if c in batch.column_names])
+
+        if ed == "rename":
+            old, new = st.args
+            names = [new if n == old else n for n in batch.column_names]
+            return batch.rename_columns(names)
+
+        if ed == "truncate_all":
+            limit, columns = st.args
+            cols = columns or [
+                f.name for f in batch.schema if pa.types.is_string(f.type)
+            ]
+            for cname in cols:
+                i = batch.column_names.index(cname)
+                sliced = pc.utf8_slice_codeunits(batch.column(i), 0, limit)
+                batch = batch.set_column(i, cname, _as_array(sliced))
+            return batch
+
+        if ed == "replace_pattern":
+            target, pattern, replacement = st.args
+            i = batch.column_names.index(target)
+            old = _as_array(batch.column(i))
+            new = _as_array(pc.replace_substring_regex(old, pattern, replacement))
+            if mask is not None:
+                new = pc.if_else(mask, new, old)
+            return batch.set_column(i, target, new)
+
+        if ed == "hash":
+            target, algo = st.args
+            i = batch.column_names.index(target)
+            hashed = get_converter(algo)(batch.column(i))
+            return batch.set_column(i, target, _as_array(hashed))
+
+        raise ValueError(f"unknown editor {ed!r}")
+
+
+class Filter:
+    """map_batches callable keeping rows where the condition holds.
+
+    ``drop_matches=True`` inverts (filterprocessor drops matches;
+    stanza filter transformer keeps non-matching entries).
+    """
+
+    def __init__(self, condition: str, drop_matches: bool = False):
+        self.condition = compile_condition(condition)
+        self.drop_matches = drop_matches
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = self.condition(batch)
+        if self.drop_matches:
+            mask = pc.invert(mask)
+        return batch.filter(mask)
+
+
+def filter_dataset(ds, condition: str, drop_matches: bool = False):
+    return ds.map_batches(
+        Filter(condition, drop_matches=drop_matches),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def transform_dataset(ds, statements: list[Statement]):
+    return ds.map_batches(
+        Transform(statements), batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1,0 +1,41 @@
+"""Mirror of the driver's correctness gate: every query vs its DuckDB oracle.
+
+Runs at sf0.001 for speed (the driver uses sf0.01); value comparison is
+order-insensitive with columns sorted by name, like the driver's hash.
+"""
+
+import pytest
+
+from opentelemetry_collector_contrib_ray.pipelines.queries import (
+    NO_ORACLE,
+    ORACLE_SQL,
+    QUERIES,
+)
+
+from .conftest import SF_SMOKE
+from .util import assert_frames_equal_unordered, to_pandas
+
+ORACLE_NAMES = sorted(ORACLE_SQL)
+
+
+def test_catalog_consistency():
+    assert set(ORACLE_SQL) | NO_ORACLE == set(QUERIES)
+    assert not (set(ORACLE_SQL) & NO_ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_query_matches_oracle(name, oracle_smoke):
+    result = QUERIES[name](SF_SMOKE)
+    expected = oracle_smoke.sql(ORACLE_SQL[name]).df()
+    assert_frames_equal_unordered(result, expected)
+
+
+@pytest.mark.parametrize("name", sorted(NO_ORACLE))
+def test_no_oracle_queries_run(name):
+    df = to_pandas(QUERIES[name](SF_SMOKE))
+    assert len(df) >= 0
+    if name == "lang_id":
+        # predictions restricted to known languages + "und"
+        assert set(df["lang_pred"]).issubset({"en", "de", "fr", "es", "und"})
+    if name == "media_features":
+        assert (df["n_bytes"] > 0).all()
