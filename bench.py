@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Benchmark: headline parse→enrich→route→aggregate pipeline + operator suite.
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>, "num_cpus": N,
+   "rows": R, "tokens": T, "rows_per_sec": ..., "tokens_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_REPLICATE (corpus replication factor, default 20 → 100k docs at sf0.1).
+
+--scaling runs the headline twice in FRESH subprocesses (num_cpus=8 and 32)
+on the same materialized corpus and reports both throughputs + scaling
+efficiency (the sandbox stand-in for the N→4N-node criterion).
+
+Setup (untimed): the tokenized corpus is synthesized from documents.parquet
+and materialized to /tmp ONCE per (sf, replicate) — the production pipeline
+starts at ray.data.read_parquet over pre-tokenized shards.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "20"))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def corpus_cache_dir(sf_dir: str, replicate: int) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return f"/tmp/graft_corpus_{tag}_r{replicate}"
+
+
+def ensure_corpus(sf_dir: str, replicate: int) -> str:
+    """Materialize the tokenized-sequence corpus Parquet shards (idempotent)."""
+    out = corpus_cache_dir(sf_dir, replicate)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    import shutil
+
+    from opentelemetry_collector_contrib_ray.sources.corpus import corpus_dataset
+
+    shutil.rmtree(out, ignore_errors=True)
+    ds = corpus_dataset(sf_dir, with_raw=True, replicate=replicate,
+                        override_num_blocks=max(4, NUM_CPUS // 2))
+    ds.write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def headline(corpus_dir: str) -> dict:
+    """Timed: read corpus parquet → parse → enrich → route → aggregate."""
+    import ray
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.sources import corpus as C
+    from opentelemetry_collector_contrib_ray.stages.aggregate import count_sum
+    from opentelemetry_collector_contrib_ray.stages.enrich import enrich_dataset
+    from opentelemetry_collector_contrib_ray.stages.parse import (
+        CORPUS_PATTERN,
+        CORPUS_TYPES,
+        RegexParse,
+    )
+    from opentelemetry_collector_contrib_ray.stages.route import Route
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(corpus_dir, columns=["raw", "tokens"])
+    ds = ds.map_batches(
+        RegexParse(CORPUS_PATTERN, parse_from="raw", types=CORPUS_TYPES),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ds = enrich_dataset(ds, C.enrich_lookup(), key="source",
+                        concurrency=(1, max(2, NUM_CPUS // 2)))
+    ds = ds.map_batches(Route(C.ROUTING_RULES, default_sink=C.DEFAULT_SINK),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    agg = count_sum(ds, keys=["sink", "source"], sum_cols={"n_tok": "tok_sum"})
+    result = agg.take_all()
+    secs = time.perf_counter() - t0
+    rows = sum(r["row_count"] for r in result)
+    tokens = sum(r["tok_sum"] for r in result)
+    return {"seconds": secs, "rows": rows, "tokens": tokens,
+            "rows_per_sec": rows / secs, "tokens_per_sec": tokens / secs}
+
+
+OPERATOR_QUERIES = [
+    "dedup_docs",
+    "group_by_attrs",
+    "token_counts",
+    "sampled_events",
+    "routing_events",
+    "delta_cumsum",
+    "knn_vec0",
+    "minhash_pairs",
+]
+
+
+def run_suite(sf_dir: str) -> dict:
+    from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+    times = {}
+    for name in OPERATOR_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "materialize"):
+            res.materialize()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def main_single(num_cpus: int, headline_only: bool) -> dict:
+    init_ray(num_cpus)
+    corpus_dir = ensure_corpus(SF_DIR, REPLICATE)
+    # warm-up run primes actor pools / JIT paths; report the steady-state run
+    headline(corpus_dir)
+    h = headline(corpus_dir)
+    queries = {"headline": round(h["seconds"], 3)}
+    if not headline_only:
+        queries.update(run_suite(SF_DIR))
+    out = {
+        "metric": "e2e_seconds",
+        "value": round(h["seconds"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": num_cpus,
+        "rows": h["rows"],
+        "tokens": h["tokens"],
+        "rows_per_sec": round(h["rows_per_sec"], 1),
+        "tokens_per_sec": round(h["tokens_per_sec"], 1),
+    }
+    import ray
+
+    ray.shutdown()
+    return out
+
+
+def run_subprocess(num_cpus: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-2000:]}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main_scaling() -> dict:
+    # materialize the corpus once before timing either configuration
+    init_ray(NUM_CPUS)
+    ensure_corpus(SF_DIR, REPLICATE)
+    import ray
+
+    ray.shutdown()
+
+    low_cpus, high_cpus = 8, 32
+    low = run_subprocess(low_cpus)
+    high = run_subprocess(high_cpus)
+    ratio = high["rows_per_sec"] / low["rows_per_sec"]
+    efficiency = ratio / (high_cpus / low_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "sf": SF_DIR,
+        "low": {"num_cpus": low_cpus, "rows_per_sec": low["rows_per_sec"],
+                "tokens_per_sec": low["tokens_per_sec"], "seconds": low["value"]},
+        "high": {"num_cpus": high_cpus, "rows_per_sec": high["rows_per_sec"],
+                 "tokens_per_sec": high["tokens_per_sec"], "seconds": high["value"]},
+        "speedup": round(ratio, 2),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_single(NUM_CPUS, "--headline-only" in sys.argv)))

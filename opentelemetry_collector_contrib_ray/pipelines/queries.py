@@ -316,6 +316,116 @@ def q_media_features(sf_dir: str):
     return feats.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# --- wave 2: joins, policies, label aggregation, parsers, redaction ----------
+
+def q_metrics_label_agg(sf_dir: str):
+    """metricstransform aggregate_labels {sum,min,max,count,mean} (§2.7)."""
+    from ..stages.aggregate import multi_agg
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    return multi_agg(ds, keys=["l_returnflag", "l_linestatus"], col="l_quantity",
+                     ops=["sum", "min", "max", "count", "mean"], prefix="qty")
+
+
+def q_join_orders(sf_dir: str):
+    """servicegraph-style hash-shuffle join + edge aggregation (§2.7)."""
+    from ..stages.join import hash_join
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = hash_join(li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                       num_partitions=16)
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0)).cast(pa.int64())
+        return batch.append_column("price_cents", c)
+
+    joined = joined.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return count_sum(joined, keys=["o_orderstatus"],
+                     sum_cols={"price_cents": "price_cents_sum"})
+
+
+def q_tail_sampling(sf_dir: str):
+    """tailsampling: whole-group keep/drop by policy set (§2.7)."""
+    from ..stages.policy import policy_any_match, tail_sample
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+    kept = tail_sample(ds, "user_id", policy_any_match("event_type", {"error"}))
+    return kept.select_columns(["event_id", "user_id"])
+
+
+def q_kv_parse(sf_dir: str):
+    """key_value_parser over the corpus raw line (§2.3)."""
+    from ..functions.converters import parse_key_value
+
+    ds = corpus.corpus_dataset(sf_dir, with_raw=True).select_columns(["raw"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        kv = parse_key_value(batch.column("raw"), pair_delimiter=" ", kv_delimiter="=")
+        rows = kv.to_pylist()
+        get = lambda pairs, k: dict(pairs).get(k)  # noqa: E731
+        return pa.table({
+            "doc_id": pa.array([get(r, "doc") for r in rows], pa.string()),
+            "source": pa.array([get(r, "source") for r in rows], pa.string()),
+            "n_tok": pa.array([int(get(r, "n")) for r in rows], pa.int32()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_csv_parse(sf_dir: str):
+    """csv_parser round-trip over a synthesized csv line (§2.3)."""
+    from ..functions.converters import parse_csv
+
+    ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            batch.column("c_name").combine_chunks()
+            if isinstance(batch.column("c_name"), pa.ChunkedArray) else batch.column("c_name"),
+            batch.column("c_mktsegment").combine_chunks()
+            if isinstance(batch.column("c_mktsegment"), pa.ChunkedArray) else batch.column("c_mktsegment"),
+            ",",
+        )
+        parsed = parse_csv(line, headers=["name", "segment"])
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "name": pc.struct_field(parsed, "name"),
+            "segment": pc.struct_field(parsed, "segment"),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_redact(sf_dir: str):
+    """redactionprocessor: blocked-value masking + summary count (§2.6)."""
+    from ..stages.redact import Redact
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    return ds.map_batches(
+        Redact(blocked_patterns=[r"\d{2,}"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_recombine(sf_dir: str):
+    """stanza recombine: per-source multiline merge on a start marker (§2.4)."""
+    from ..stages.recombine import recombine
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type", "props"])
+    out = recombine(
+        ds,
+        source_key="user_id",
+        order_cols=["ts", "event_id"],
+        combine_field="props",
+        combine_with=";",
+        is_first_entry='event_type == "signup"',
+    )
+    return out.select_columns(["user_id", "combined", "n_merged"])
+
+
 QUERIES = {
     "flagship_agg": q_flagship_agg,
     "parse_extract": q_parse_extract,
@@ -343,6 +453,13 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "lang_id": q_lang_id,
     "media_features": q_media_features,
+    "metrics_label_agg": q_metrics_label_agg,
+    "join_orders": q_join_orders,
+    "tail_sampling": q_tail_sampling,
+    "kv_parse": q_kv_parse,
+    "csv_parse": q_csv_parse,
+    "redact": q_redact,
+    "recombine": q_recombine,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features"}
@@ -477,5 +594,47 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+    """,
+    "metrics_label_agg": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS qty_sum, min(l_quantity) AS qty_min,
+               max(l_quantity) AS qty_max, count(*) AS qty_count,
+               avg(l_quantity) AS qty_mean
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_orders": """
+        SELECT o_orderstatus, count(*) AS row_count,
+               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS price_cents_sum
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    "tail_sampling": """
+        SELECT event_id, user_id FROM events
+        WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+    """,
+    "kv_parse": f"""
+        WITH {corpus.RAW_SQL_CTE.strip()}
+        SELECT doc_id, source, n_tok FROM corpus
+    """,
+    "csv_parse": """
+        SELECT c_custkey, c_name AS name, c_mktsegment AS segment FROM customer
+    """,
+    "redact": r"""
+        SELECT event_id,
+               CASE WHEN regexp_matches(props, '\d{2,}') THEN '****' ELSE props END AS props,
+               CAST(CASE WHEN regexp_matches(props, '\d{2,}') THEN 1 ELSE 0 END AS BIGINT)
+                   AS redacted_cnt
+        FROM events
+    """,
+    "recombine": """
+        WITH marked AS (
+            SELECT user_id, ts, event_id, props,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS grp
+            FROM events)
+        SELECT user_id, string_agg(props, ';' ORDER BY ts, event_id) AS combined,
+               count(*) AS n_merged
+        FROM marked GROUP BY user_id, grp
     """,
 }

@@ -17,7 +17,8 @@ a hot key costs a few extra partial rows, never a hot shuffle partition.
 from __future__ import annotations
 
 import pyarrow as pa
-from ray.data.aggregate import Sum
+import pyarrow.compute as pc
+from ray.data.aggregate import Max, Min, Sum
 
 
 class _PartialCountSum:
@@ -61,3 +62,68 @@ def count_sum(
         Sum(out, alias_name=out) for out in sum_cols.values()
     ]
     return partial.groupby(keys).aggregate(*final_aggs)
+
+
+class _PartialMultiAgg:
+    """Per-block combiner for {sum, count, min, max} over one value column."""
+
+    def __init__(self, keys: list[str], col: str):
+        self.keys = keys
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        c = self.col
+        grouped = batch.select(self.keys + [c]).group_by(
+            self.keys, use_threads=False
+        ).aggregate([(c, "sum"), (c, "min"), (c, "max"), ([], "count_all")])
+        rename = {f"{c}_sum": "psum", f"{c}_min": "pmin", f"{c}_max": "pmax",
+                  "count_all": "pcnt"}
+        return grouped.rename_columns(
+            [rename.get(n, n) for n in grouped.column_names]
+        )
+
+
+def multi_agg(
+    ds,
+    keys: list[str],
+    col: str,
+    ops: list[str],
+    prefix: str | None = None,
+    batch_size: int | None = None,
+):
+    """metricstransform aggregate_labels analog: {sum, count, min, max, mean}
+    over ``col`` grouped by the kept label set ``keys``
+    (processor/metricstransformprocessor/README.md:84-111).
+
+    Two-phase like :func:`count_sum`; mean is derived exactly as
+    total_sum / total_count in the final (tiny) table.  Output columns:
+    ``{prefix}_sum`` etc. (prefix defaults to ``col``).
+    """
+    prefix = prefix or col
+    partial = ds.map_batches(
+        _PartialMultiAgg(keys, col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+    )
+    final = partial.groupby(keys).aggregate(
+        Sum("psum", alias_name=f"{prefix}_sum"),
+        Min("pmin", alias_name=f"{prefix}_min"),
+        Max("pmax", alias_name=f"{prefix}_max"),
+        Sum("pcnt", alias_name=f"{prefix}_count"),
+    )
+
+    wanted = set(ops)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if "mean" in wanted:
+            mean = pc.divide(
+                pc.cast(batch.column(f"{prefix}_sum"), pa.float64()),
+                pc.cast(batch.column(f"{prefix}_count"), pa.float64()),
+            )
+            batch = batch.append_column(f"{prefix}_mean", mean)
+        drop = [f"{prefix}_{op}" for op in ("sum", "min", "max", "count")
+                if op not in wanted]
+        return batch.drop_columns(drop)
+
+    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
