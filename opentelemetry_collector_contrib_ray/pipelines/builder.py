@@ -1,0 +1,199 @@
+"""Config-driven pipeline builder — the collector service/builder analog.
+
+The reference assembles receiver → processor chain → connector → exporter
+DAGs from YAML (cmd/otelcontribcol/builder-config.yaml; stanza operators are
+registered by type and unmarshalled from config,
+pkg/stanza/operator/registry.go).  Here a plain-dict config builds a Ray
+Data pipeline: a ``source`` spec, an ordered ``stages`` list (each a
+registered stage type with kwargs), and a terminal ``sink`` / ``aggregate``.
+
+The registry is the user-extension surface (SURVEY.md §2.10): register a
+new stage type with :func:`register_stage` and reference it from config.
+
+Example::
+
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf}/events.parquet",
+                    "columns": ["event_id", "event_type", "value"]},
+        "stages": [
+            {"type": "filter", "condition": 'event_type == "error"'},
+            {"type": "route", "rules": [["value > 150", "sink-big"]],
+             "default_sink": "sink-small"},
+        ],
+        "aggregate": {"type": "count_sum", "keys": ["sink"]},
+    }
+    result = build_and_run(cfg)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pyarrow as pa
+
+import ray.data
+
+_TYPE_NAMES = {
+    "string": pa.string(),
+    "int32": pa.int32(),
+    "int64": pa.int64(),
+    "float64": pa.float64(),
+    "bool": pa.bool_(),
+}
+
+
+def _pa_type(name: str) -> pa.DataType:
+    return _TYPE_NAMES[name]
+
+
+STAGE_REGISTRY: dict[str, Callable] = {}
+
+
+def register_stage(name: str):
+    """Register a stage factory: (ds, **kwargs) -> ds (stanza-registry analog)."""
+
+    def deco(fn):
+        STAGE_REGISTRY[name] = fn
+        return fn
+
+    return deco
+
+
+@register_stage("parse_regex")
+def _parse_regex(ds, pattern: str, parse_from: str = "raw",
+                 types: dict[str, str] | None = None, on_error: str = "drop",
+                 keep_input: bool = False):
+    from ..stages.parse import RegexParse
+
+    t = {k: _pa_type(v) for k, v in (types or {}).items()}
+    return ds.map_batches(
+        RegexParse(pattern, parse_from=parse_from, types=t, on_error=on_error,
+                   keep_input=keep_input),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register_stage("filter")
+def _filter(ds, condition: str, drop_matches: bool = False):
+    from ..stages.transform import filter_dataset
+
+    return filter_dataset(ds, condition, drop_matches=drop_matches)
+
+
+@register_stage("transform")
+def _transform(ds, statements: list[dict]):
+    """Declarative statements: {editor: set, target, value|converter+args, where}."""
+    from ..stages.transform import C, Col, Statement, set_, transform_dataset
+
+    compiled = []
+    for st in statements:
+        ed = st["editor"]
+        if ed == "set":
+            if "converter" in st:
+                args = [Col(a[4:]) if isinstance(a, str) and a.startswith("col:") else a
+                        for a in st.get("args", [])]
+                value = C(st["converter"], *args)
+            else:
+                value = st["value"]
+            compiled.append(set_(st["target"], value, where=st.get("where")))
+        elif ed in ("delete_keys", "keep_keys"):
+            compiled.append(Statement(ed, tuple(st["columns"]), st.get("where")))
+        elif ed == "rename":
+            compiled.append(Statement(ed, (st["from"], st["to"])))
+        else:
+            raise ValueError(f"unknown declarative editor {ed!r}")
+    return transform_dataset(ds, compiled)
+
+
+@register_stage("enrich")
+def _enrich(ds, lookup: dict, key: str, use_actors: bool = False):
+    from ..stages.enrich import enrich_dataset
+
+    return enrich_dataset(ds, lookup, key=key, use_actors=use_actors)
+
+
+@register_stage("route")
+def _route(ds, rules: list, default_sink: str = "sink-default"):
+    from ..stages.route import Route
+
+    return ds.map_batches(
+        Route([tuple(r) for r in rules], default_sink=default_sink),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register_stage("sample")
+def _sample(ds, key: str, percentage: float):
+    from ..stages.sample import sample_dataset
+
+    return sample_dataset(ds, key, percentage)
+
+
+@register_stage("redact")
+def _redact(ds, allowed_keys: list[str] | None = None,
+            blocked_patterns: list[str] = (), summary: bool = True):
+    from ..stages.redact import Redact
+
+    return ds.map_batches(
+        Redact(allowed_keys=allowed_keys, blocked_patterns=blocked_patterns,
+               summary=summary),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register_stage("select")
+def _select(ds, columns: list[str]):
+    return ds.select_columns(columns)
+
+
+def _build_source(spec: dict) -> ray.data.Dataset:
+    typ = spec["type"]
+    if typ == "parquet":
+        return ray.data.read_parquet(spec["path"], columns=spec.get("columns"))
+    if typ == "corpus":
+        from ..sources.corpus import corpus_dataset
+
+        return corpus_dataset(spec["sf_dir"], with_raw=spec.get("with_raw", True),
+                              replicate=spec.get("replicate", 1))
+    raise ValueError(f"unknown source type {typ!r}")
+
+
+def _build_terminal(ds, spec: dict | None):
+    if spec is None:
+        return ds
+    typ = spec["type"]
+    if typ == "count_sum":
+        from ..stages.aggregate import count_sum
+
+        return count_sum(ds, keys=spec["keys"], sum_cols=spec.get("sum_cols"),
+                         final=spec.get("final", "driver"))
+    if typ == "multi_agg":
+        from ..stages.aggregate import multi_agg
+
+        return multi_agg(ds, keys=spec["keys"], col=spec["col"], ops=spec["ops"],
+                         prefix=spec.get("prefix"))
+    if typ == "write_parquet":
+        ds.write_parquet(spec["path"], partition_cols=spec.get("partition_cols"))
+        return ds
+    raise ValueError(f"unknown terminal type {typ!r}")
+
+
+def build_pipeline(config: dict[str, Any]) -> ray.data.Dataset:
+    """Build the lazy Dataset DAG from config (does not execute)."""
+    ds = _build_source(config["source"])
+    for stage in config.get("stages", []):
+        spec = dict(stage)
+        typ = spec.pop("type")
+        try:
+            factory = STAGE_REGISTRY[typ]
+        except KeyError:
+            raise ValueError(
+                f"unknown stage type {typ!r}; registered: {sorted(STAGE_REGISTRY)}"
+            ) from None
+        ds = factory(ds, **spec)
+    return ds
+
+
+def build_and_run(config: dict[str, Any]):
+    ds = build_pipeline(config)
+    return _build_terminal(ds, config.get("aggregate") or config.get("sink"))

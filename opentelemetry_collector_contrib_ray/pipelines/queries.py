@@ -260,12 +260,15 @@ def q_doc_fingerprint(sf_dir: str):
 
 def q_knn_vec0(sf_dir: str):
     """similarity search: exact top-10 cosine neighbors of vec 0."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import table_path
+
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q0 = None
-    for row in ds.iter_rows():
-        if row["vec_id"] == 0:
-            q0 = np.asarray(row["embedding"], dtype=np.float64)
-            break
+    # the query vector is a row-filtered footer-pruned read, not a scan
+    q_tbl = pq.read_table(table_path(sf_dir, "embeddings"),
+                          columns=["embedding"], filters=[("vec_id", "==", 0)])
+    q0 = np.asarray(q_tbl.column("embedding")[0].as_py(), dtype=np.float64)
     tbl = knn_brute_force(ds, q0[None, :], id_col="vec_id", vec_col="embedding",
                           k=10, exclude_ids={0})
     return tbl.select(["vec_id", "rank"])
@@ -426,7 +429,29 @@ def q_recombine(sf_dir: str):
     return out.select_columns(["user_id", "combined", "n_merged"])
 
 
+def q_flagship_from_config(sf_dir: str):
+    """Config-driven DAG builder producing the flagship pipeline (§2.10/§3)."""
+    from ..stages.parse import CORPUS_PATTERN
+    from .builder import build_and_run
+
+    cfg = {
+        "source": {"type": "corpus", "sf_dir": sf_dir},
+        "stages": [
+            {"type": "select", "columns": ["raw", "tokens"]},
+            {"type": "parse_regex", "pattern": CORPUS_PATTERN,
+             "parse_from": "raw", "types": {"ts": "int64", "n_tok": "int32"}},
+            {"type": "enrich", "lookup": corpus.enrich_lookup(), "key": "source"},
+            {"type": "route", "rules": [list(r) for r in corpus.ROUTING_RULES],
+             "default_sink": corpus.DEFAULT_SINK},
+        ],
+        "aggregate": {"type": "count_sum", "keys": ["sink", "source"],
+                      "sum_cols": {"n_tok": "tok_sum"}},
+    }
+    return build_and_run(cfg)
+
+
 QUERIES = {
+    "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
     "parse_extract": q_parse_extract,
     "route_counts": q_route_counts,
@@ -464,7 +489,15 @@ QUERIES = {
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features"}
 
+_FLAGSHIP_AGG_SQL = f"""
+    {CORPUS_CTES}
+    SELECT sink, source, count(*) AS row_count,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum
+    FROM routed GROUP BY sink, source
+"""
+
 ORACLE_SQL = {
+    "flagship_from_config": _FLAGSHIP_AGG_SQL,
     "flagship_agg": f"""
         {CORPUS_CTES}
         SELECT sink, source, count(*) AS row_count,

@@ -82,6 +82,59 @@ class BuildCorpus:
         return pa.table(cols)
 
 
+class _ReplicatedBuild:
+    """Emit ``replicate`` id-shifted corpus copies per input batch (one read).
+
+    The expensive part — text split + token-id mapping — runs ONCE per batch;
+    each replica reuses the tokens/n_tok/source buffers zero-copy and only
+    re-derives the id-dependent columns (doc_id, severity, ts, raw).
+    """
+
+    def __init__(self, with_raw: bool, replicate: int):
+        self.with_raw = with_raw
+        self.replicate = replicate
+
+    def __call__(self, batch: pa.Table):
+        ids0 = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source")
+
+        token_lists = []
+        n_tok = np.empty(len(texts), dtype=np.int32)
+        for i, t in enumerate(texts):
+            words = t.split(" ")
+            n_tok[i] = len(words)
+            token_lists.append([token_id(w) for w in words])
+        tokens_arr = pa.array(token_lists, pa.list_(pa.int32()))
+        n_tok_arr = pa.array(n_tok, pa.int32())
+        src_list = sources.to_pylist()
+
+        for rep in range(self.replicate):
+            ids = ids0 + rep * 10_000_000
+            doc_ids = np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+            h = md5_u64_many(doc_ids)
+            cols = {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "tokens": tokens_arr,
+                "n_tok": n_tok_arr,
+                "source": sources,
+            }
+            if self.with_raw:
+                sev_idx = (h % 5).astype(np.int64)
+                severities = np.array(SEVERITIES, dtype=object)[sev_idx]
+                ts = TS_BASE + (ids % 86400)
+                msg = (h % 1000).astype(np.int64)
+                cols["raw"] = pa.array(
+                    [
+                        f"{ts[i]} {severities[i]} source={src_list[i]} "
+                        f"doc={doc_ids[i]} n={n_tok[i]} msg=m{msg[i]:03d}"
+                        for i in range(len(texts))
+                    ],
+                    pa.string(),
+                )
+            yield pa.table(cols)
+
+
 def corpus_dataset(
     sf_dir: str,
     with_raw: bool = True,
@@ -90,25 +143,26 @@ def corpus_dataset(
 ) -> ray.data.Dataset:
     """Read documents.parquet and derive the tokenized-sequence corpus.
 
-    ``replicate`` > 1 unions shifted copies (distinct doc_ids) to scale the
-    bench corpus without external data.
+    ``replicate`` > 1 yields shifted copies (distinct doc_ids) per batch to
+    scale the bench corpus without external data — one read, one map stage.
     """
     path = table_path(sf_dir, "documents")
-    parts = []
-    for rep in range(replicate):
-        ds = ray.data.read_parquet(
-            path,
-            columns=["doc_id", "text", "source"],
-            override_num_blocks=override_num_blocks,
+    ds = ray.data.read_parquet(
+        path,
+        columns=["doc_id", "text", "source"],
+        override_num_blocks=override_num_blocks,
+    )
+    if replicate == 1:
+        return ds.map_batches(
+            BuildCorpus(with_raw=with_raw),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        parts.append(
-            ds.map_batches(
-                BuildCorpus(with_raw=with_raw, rep=rep),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        )
-    return parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    return ds.map_batches(
+        _ReplicatedBuild(with_raw, replicate),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # DuckDB CTE reproducing every derived scalar column (used by oracle_sql()).

@@ -40,17 +40,39 @@ class _PartialCountSum:
         )
 
 
+def _collect_partials(partial) -> pa.Table:
+    """Materialize the (tiny) per-block partial table on the driver.
+
+    Size is bounded by num_blocks × num_groups — at 100 TB with 64 MB blocks
+    and a low-cardinality key set this is a few million short rows, far below
+    driver memory; the heavy reduction already happened inside map_batches.
+    For high-cardinality keys use ``final="shuffle"`` instead.
+    """
+    import ray
+
+    tables = ray.get(partial.to_arrow_refs())
+    return pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
+
+
 def count_sum(
     ds,
     keys: list[str],
     sum_cols: dict[str, str] | None = None,
     count_name: str = "row_count",
     batch_size: int | None = None,
+    final: str = "driver",
 ):
     """groupby(keys) -> count(*) AS count_name, sum(col) AS name per sum_cols.
 
     Returns a Dataset with columns keys + [count_name] + sum names.
+
+    ``final="driver"`` (default) merges the per-block partials with one
+    pyarrow group_by on the driver — right for low-cardinality keys where
+    the partial table is tiny; ``final="shuffle"`` keeps the merge as a Ray
+    hash-shuffle groupby for high-cardinality keys.
     """
+    import ray.data
+
     sum_cols = sum_cols or {}
     partial = ds.map_batches(
         _PartialCountSum(keys, sum_cols),
@@ -58,10 +80,19 @@ def count_sum(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    final_aggs = [Sum("row_count", alias_name=count_name)] + [
-        Sum(out, alias_name=out) for out in sum_cols.values()
-    ]
-    return partial.groupby(keys).aggregate(*final_aggs)
+    if final == "shuffle":
+        final_aggs = [Sum("row_count", alias_name=count_name)] + [
+            Sum(out, alias_name=out) for out in sum_cols.values()
+        ]
+        return partial.groupby(keys).aggregate(*final_aggs)
+
+    tbl = _collect_partials(partial)
+    cols = ["row_count"] + list(sum_cols.values())
+    merged = tbl.group_by(keys).aggregate([(c, "sum") for c in cols])
+    rename = {f"row_count_sum": count_name}
+    rename.update({f"{c}_sum": c for c in sum_cols.values()})
+    merged = merged.rename_columns([rename.get(n, n) for n in merged.column_names])
+    return ray.data.from_arrow(merged)
 
 
 class _PartialMultiAgg:
@@ -90,6 +121,7 @@ def multi_agg(
     ops: list[str],
     prefix: str | None = None,
     batch_size: int | None = None,
+    final: str = "driver",
 ):
     """metricstransform aggregate_labels analog: {sum, count, min, max, mean}
     over ``col`` grouped by the kept label set ``keys``
@@ -99,6 +131,8 @@ def multi_agg(
     total_sum / total_count in the final (tiny) table.  Output columns:
     ``{prefix}_sum`` etc. (prefix defaults to ``col``).
     """
+    import ray.data
+
     prefix = prefix or col
     partial = ds.map_batches(
         _PartialMultiAgg(keys, col),
@@ -106,24 +140,38 @@ def multi_agg(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
-    final = partial.groupby(keys).aggregate(
-        Sum("psum", alias_name=f"{prefix}_sum"),
-        Min("pmin", alias_name=f"{prefix}_min"),
-        Max("pmax", alias_name=f"{prefix}_max"),
-        Sum("pcnt", alias_name=f"{prefix}_count"),
-    )
+    if final == "shuffle":
+        merged_ds = partial.groupby(keys).aggregate(
+            Sum("psum", alias_name=f"{prefix}_sum"),
+            Min("pmin", alias_name=f"{prefix}_min"),
+            Max("pmax", alias_name=f"{prefix}_max"),
+            Sum("pcnt", alias_name=f"{prefix}_count"),
+        )
+        merged = _collect_partials(merged_ds)
+    else:
+        tbl = _collect_partials(partial)
+        merged = tbl.group_by(keys).aggregate(
+            [("psum", "sum"), ("pmin", "min"), ("pmax", "max"), ("pcnt", "sum")]
+        )
+        merged = merged.rename_columns(
+            [
+                {
+                    "psum_sum": f"{prefix}_sum",
+                    "pmin_min": f"{prefix}_min",
+                    "pmax_max": f"{prefix}_max",
+                    "pcnt_sum": f"{prefix}_count",
+                }.get(n, n)
+                for n in merged.column_names
+            ]
+        )
 
     wanted = set(ops)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        if "mean" in wanted:
-            mean = pc.divide(
-                pc.cast(batch.column(f"{prefix}_sum"), pa.float64()),
-                pc.cast(batch.column(f"{prefix}_count"), pa.float64()),
-            )
-            batch = batch.append_column(f"{prefix}_mean", mean)
-        drop = [f"{prefix}_{op}" for op in ("sum", "min", "max", "count")
-                if op not in wanted]
-        return batch.drop_columns(drop)
-
-    return final.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    if "mean" in wanted:
+        mean = pc.divide(
+            pc.cast(merged.column(f"{prefix}_sum"), pa.float64()),
+            pc.cast(merged.column(f"{prefix}_count"), pa.float64()),
+        )
+        merged = merged.append_column(f"{prefix}_mean", mean)
+    drop = [f"{prefix}_{op}" for op in ("sum", "min", "max", "count") if op not in wanted]
+    merged = merged.drop_columns(drop)
+    return ray.data.from_arrow(merged)

@@ -74,8 +74,21 @@ def enrich_dataset(
     types: dict | None = None,
     concurrency=(1, 8),
     batch_size: int | None = None,
+    use_actors: bool = False,
 ):
-    """Attach the enrich actor-pool stage to a Dataset."""
+    """Attach the enrich stage to a Dataset.
+
+    ``use_actors=False`` (default): the small lookup is embedded in a plain
+    callable shipped with each task — no actor-pool spin-up, right for
+    dictionary-sized tables.  ``use_actors=True``: actor pool with the table
+    shipped once per actor via ``ray.put`` — right for big lookup tables
+    (the k8s-informer-cache scale) where per-task serialization would hurt.
+    """
+    if not use_actors:
+        fn = Enrich(lookup, key=key, columns=columns, types=types)
+        return ds.map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
+        )
     ref = ray.put(lookup)
     return ds.map_batches(
         Enrich,

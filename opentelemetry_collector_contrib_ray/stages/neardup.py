@@ -31,14 +31,29 @@ from ..functions.hashing import fnv1a64
 MERSENNE_P = (1 << 61) - 1
 
 
+_COMBINE = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles -> uint64 fnv hashes (unique, sorted)."""
+    """Word n-gram shingles -> uint64 hashes (unique, sorted).
+
+    Per-word fnv1a64 is LRU-cached (small vocab amortizes to dict hits);
+    the n-gram combine is a vectorized rolling mix over the word-hash array
+    (multiply-xor, wraparound mod 2^64) — no n-gram string materialization.
+    """
     words = text.split(" ")
-    if len(words) < n:
-        grams = [" ".join(words)]
-    else:
-        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return np.unique(np.fromiter((fnv1a64(g) for g in grams), dtype=np.uint64))
+    h = np.fromiter((fnv1a64(w) for w in words), dtype=np.uint64, count=len(words))
+    if len(h) == 0:
+        return h
+    if len(h) < n:
+        out = h[0]
+        for x in h[1:]:
+            out = out * _COMBINE ^ x
+        return np.array([out], dtype=np.uint64)
+    acc = h[: len(h) - n + 1].copy()
+    for k in range(1, n):
+        acc = acc * _COMBINE ^ h[k : len(h) - n + 1 + k]
+    return np.unique(acc)
 
 
 class MinHashSketch:
@@ -165,14 +180,16 @@ class SimHashSketch:
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
-        self.bit_weights = (1 << np.arange(64, dtype=np.uint64))
+        self.bit_shifts = np.arange(64, dtype=np.uint64)
+        self.bit_weights = np.uint64(1) << self.bit_shifts
 
     def simhash(self, text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for w in text.split(" "):
-            h = fnv1a64(w)
-            bits = (np.uint64(h) & self.bit_weights) != 0
-            acc += np.where(bits, 1, -1)
+        words = text.split(" ")
+        hs = np.fromiter((fnv1a64(w) for w in words), dtype=np.uint64, count=len(words))
+        if len(hs) == 0:
+            return 0
+        bits = ((hs[:, None] >> self.bit_shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
         return int((self.bit_weights[acc > 0]).sum(dtype=np.uint64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:

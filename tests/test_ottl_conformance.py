@@ -1,0 +1,189 @@
+"""Statement-level conformance suite for the OTTL-subset kernels.
+
+Mirrors the reference's language-semantics spec tests
+(pkg/ottl/e2e/e2e_test.go: real statements against constructed contexts,
+asserting resulting values).  Pure pyarrow — no Ray involved.
+"""
+
+import pyarrow as pa
+import pytest
+
+from opentelemetry_collector_contrib_ray.functions.converters import get_converter
+from opentelemetry_collector_contrib_ray.functions.expr import compile_condition
+from opentelemetry_collector_contrib_ray.stages.transform import (
+    C,
+    Col,
+    Transform,
+    delete_keys,
+    keep_keys,
+    rename_key,
+    replace_pattern,
+    set_,
+    truncate_all,
+)
+
+TBL = pa.table(
+    {
+        "body": ["error in module A", "all good", None, "warn: disk 91% full"],
+        "sev": ["ERROR", "INFO", "DEBUG", "WARN"],
+        "n": [10, 3, 7, 91],
+        "f": [1.5, 2.0, -1.0, 0.25],
+        "tags": [["a", "b"], [], ["c"], ["d", "e", "f"]],
+    }
+)
+
+
+# --- condition compiler ------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "cond,expected",
+    [
+        ('sev == "ERROR"', [True, False, False, False]),
+        ('sev != "ERROR"', [False, True, True, True]),
+        ("n > 5 and n < 50", [True, False, True, False]),
+        ("n <= 3 or n >= 91", [False, True, False, True]),
+        ('not (sev == "INFO")', [True, False, True, True]),
+        ('sev in ("ERROR", "WARN")', [True, False, False, True]),
+        ('IsMatch(body, "disk \\d+%")', [False, False, False, True]),
+        ("Len(tags) >= 2", [True, False, False, True]),
+        ('HasPrefix(sev, "ERR")', [True, False, False, False]),
+        ('HasSuffix(body, "full")', [False, False, False, True]),
+        ("f > 1.0", [True, True, False, False]),
+        ("missing_col == 1", [False, False, False, False]),
+        ("missing_col == nil", [True, True, True, True]),
+        ('body == nil', [False, False, True, False]),
+        ('body != nil', [True, True, False, True]),
+        ("n == 7 or missing_col == 2", [False, False, True, False]),
+    ],
+)
+def test_conditions(cond, expected):
+    assert compile_condition(cond)(TBL).to_pylist() == expected
+
+
+@pytest.mark.parametrize("bad", ["n === 3", "n >", 'sev in "x"', "(n > 1", "n @ 3"])
+def test_bad_conditions_raise(bad):
+    with pytest.raises(ValueError):
+        compile_condition(bad)
+
+
+# --- converters --------------------------------------------------------------
+
+def arr(*vals):
+    return pa.array(list(vals))
+
+
+@pytest.mark.parametrize(
+    "name,args,expected",
+    [
+        ("ToUpperCase", (arr("ab", "Cd"),), ["AB", "CD"]),
+        ("ToLowerCase", (arr("AB", "Cd"),), ["ab", "cd"]),
+        ("ConvertCase", (arr("fooBarBaz", "a-b c"), "snake"), ["foo_bar_baz", "a_b_c"]),
+        ("ConvertCase", (arr("foo_bar", "x-y"), "camel"), ["FooBar", "XY"]),
+        ("Substring", (arr("hello world",), 0, 5), ["hello"]),
+        ("Trim", (arr("  x  ",),), ["x"]),
+        ("Len", (arr("abc", ""),), [3, 0]),
+        ("HasPrefix", (arr("abc", "xbc"), "ab"), [True, False]),
+        ("IsMatch", (arr("a1", "bb"), r"\d"), [True, False]),
+        ("String", (pa.array([1, 2]),), ["1", "2"]),
+        ("ParseInt", (arr("12", "34"),), [12, 34]),
+        ("Double", (arr("1.5",),), [1.5]),
+        ("Hex", (arr("ab",),), ["6162"]),
+        ("MD5", (arr("abc",),), ["900150983cd24fb0d6963f7d28e17f72"]),
+        ("SHA256", (arr("abc",),),
+         ["ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"]),
+        ("Log", (pa.array([1.0]),), [0.0]),
+        ("Sort", (pa.array([[3, 1, 2]]),), [[1, 2, 3]]),
+        ("ContainsValue", (pa.array([[1, 2], [3]]), 2), [True, False]),
+        ("IsString", (arr("a", "b"),), [True, True]),
+        ("IsInt", (arr("a", "b"),), [False, False]),
+    ],
+)
+def test_converters(name, args, expected):
+    out = get_converter(name)(*args)
+    assert out.to_pylist() == expected
+
+
+def test_concat_and_split():
+    c = get_converter("Concat")(arr("a", "b"), arr("x", "y"), delimiter="-")
+    assert c.to_pylist() == ["a-x", "b-y"]
+    s = get_converter("Split")(arr("a,b,c"), ",")
+    assert s.to_pylist() == [["a", "b", "c"]]
+
+
+def test_extract_patterns():
+    out = get_converter("ExtractPatterns")(
+        arr("id=7 code=x9"), r"id=(?P<id>\d+) code=(?P<code>\w+)"
+    )
+    assert out.to_pylist() == [{"id": "7", "code": "x9"}]
+
+
+def test_parse_key_value():
+    out = get_converter("ParseKeyValue")(arr("a=1 b=2", "c=3"))
+    assert out.to_pylist() == [[("a", "1"), ("b", "2")], [("c", "3")]]
+
+
+def test_parse_json_field():
+    out = get_converter("ParseJsonField")(arr('{"k": 5}', "bad", None), "k", pa.int64())
+    assert out.to_pylist() == [5, None, None]
+
+
+def test_time_functions():
+    ts = pa.array([1704067200_000_000], pa.timestamp("us"))
+    assert get_converter("Year")(ts).to_pylist() == [2024]
+    assert get_converter("Month")(ts).to_pylist() == [1]
+    assert get_converter("Hour")(ts).to_pylist() == [0]
+    assert get_converter("UnixSeconds")(ts).to_pylist() == [1704067200]
+    parsed = get_converter("Time")(arr("2024-03-05 10:00:00"), "%Y-%m-%d %H:%M:%S")
+    assert get_converter("Day")(parsed).to_pylist() == [5]
+    trunc = get_converter("TruncateTime")(parsed, "day")
+    assert get_converter("Hour")(trunc).to_pylist() == [0]
+    fmt = get_converter("FormatTime")(parsed, "%Y/%m/%d")
+    assert fmt.to_pylist() == ["2024/03/05"]
+
+
+def test_fnv_matches_reference_impl():
+    from opentelemetry_collector_contrib_ray.functions.hashing import fnv1a64
+
+    out = get_converter("FNV")(arr("abc"))
+    expected = fnv1a64("abc")
+    if expected >= 1 << 63:
+        expected -= 1 << 64  # int64 two's-complement view
+    assert out.to_pylist()[0] == expected
+
+
+# --- editors / statement sequences ------------------------------------------
+
+def test_statement_sequence_order_matters():
+    # later statements observe earlier mutations (parser.go:394-408)
+    t = pa.table({"a": [1, 2]})
+    out = Transform([
+        set_("b", Col("a")),
+        set_("c", C("String", Col("b"))),
+    ])(t)
+    assert out.column("c").to_pylist() == ["1", "2"]
+
+
+def test_set_with_where_guard():
+    t = pa.table({"sev": ["ERROR", "INFO"], "flag": ["n", "n"]})
+    out = Transform([set_("flag", "y", where='sev == "ERROR"')])(t)
+    assert out.column("flag").to_pylist() == ["y", "n"]
+
+
+def test_editors():
+    t = pa.table({"a": [1], "b": ["long-string-value"], "c": [2]})
+    out = Transform([delete_keys("c")])(t)
+    assert out.column_names == ["a", "b"]
+    out = Transform([keep_keys("b")])(t)
+    assert out.column_names == ["b"]
+    out = Transform([rename_key("a", "x")])(t)
+    assert "x" in out.column_names and "a" not in out.column_names
+    out = Transform([truncate_all(4)])(t)
+    assert out.column("b").to_pylist() == ["long"]
+    out = Transform([replace_pattern("b", r"-\w+", "")])(t)
+    assert out.column("b").to_pylist() == ["long"]
+
+
+def test_hash_editor():
+    t = pa.table({"v": ["abc"]})
+    out = Transform([set_("v", C("SHA256", Col("v")))])(t)
+    assert out.column("v").to_pylist()[0].startswith("ba7816bf")
