@@ -33,9 +33,12 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+CORPUS_SHARDS = int(os.environ.get("GRAFT_CORPUS_SHARDS", "128"))
+
+
 def corpus_cache_dir(sf_dir: str, replicate: int) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return f"/tmp/graft_corpus_{tag}_r{replicate}"
+    return f"/tmp/graft_corpus_{tag}_r{replicate}_s{CORPUS_SHARDS}"
 
 
 def ensure_corpus(sf_dir: str, replicate: int) -> str:
@@ -49,8 +52,10 @@ def ensure_corpus(sf_dir: str, replicate: int) -> str:
     from opentelemetry_collector_contrib_ray.sources.corpus import corpus_dataset
 
     shutil.rmtree(out, ignore_errors=True)
-    ds = corpus_dataset(sf_dir, with_raw=True, replicate=replicate,
-                        override_num_blocks=max(4, NUM_CPUS // 2))
+    # many output shards -> read parallelism at bench time is never capped
+    # by file count (one read task per file/row-group)
+    ds = corpus_dataset(sf_dir, with_raw=True, replicate=replicate)
+    ds = ds.repartition(CORPUS_SHARDS)
     ds.write_parquet(out)
     with open(done, "w") as f:
         f.write("ok")
@@ -150,8 +155,8 @@ def main_single(num_cpus: int, headline_only: bool) -> dict:
     return out
 
 
-def run_subprocess(num_cpus: int) -> dict:
-    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus))
+def run_subprocess(num_cpus: int, extra_env: dict | None = None) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus), **(extra_env or {}))
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--headline-only"],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
@@ -161,7 +166,13 @@ def run_subprocess(num_cpus: int) -> dict:
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
+SCALING_REPLICATE = int(os.environ.get("GRAFT_SCALING_REPLICATE", "5000"))
+
+
 def main_scaling() -> dict:
+    # bigger corpus for scaling so per-run compute dominates fixed overhead
+    global REPLICATE
+    REPLICATE = SCALING_REPLICATE
     # materialize the corpus once before timing either configuration
     init_ray(NUM_CPUS)
     ensure_corpus(SF_DIR, REPLICATE)
@@ -170,8 +181,9 @@ def main_scaling() -> dict:
     ray.shutdown()
 
     low_cpus, high_cpus = 8, 32
-    low = run_subprocess(low_cpus)
-    high = run_subprocess(high_cpus)
+    env_rep = {"GRAFT_REPLICATE": str(REPLICATE)}
+    low = run_subprocess(low_cpus, extra_env=env_rep)
+    high = run_subprocess(high_cpus, extra_env=env_rep)
     ratio = high["rows_per_sec"] / low["rows_per_sec"]
     efficiency = ratio / (high_cpus / low_cpus)
     return {

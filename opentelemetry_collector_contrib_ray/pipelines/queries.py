@@ -429,6 +429,57 @@ def q_recombine(sf_dir: str):
     return out.select_columns(["user_id", "combined", "n_merged"])
 
 
+def q_dedup_docs_salted(sf_dir: str):
+    """skew-safe two-phase exact dedup — identical output to dedup_docs (§4)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Fingerprint(), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.drop_columns(["text"])
+    return exact_dedup(ds, key_cols=["doc_fp"], order_col="doc_id", salt=8)
+
+
+def q_hash_partition_counts(sf_dir: str):
+    """consistent-hash partitioner (loadbalancing/kafka-by-key analog) (§2.2)."""
+    from ..stages.route import HashPartitioner
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    ds = ds.map_batches(HashPartitioner("user_id", num_partitions=8),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    return count_sum(ds, keys=["partition"])
+
+
+def q_delta_rate(sf_dir: str):
+    """deltatorateprocessor: delta sum -> per-second rate over interval (§2.7)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def rate(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0)).cast(pa.int64())
+        per_sec = pc.divide(pc.cast(cents, pa.float64()), 60.0)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "rate_cents_per_sec": per_sec})
+
+    return ds.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_topk_per_source(sf_dir: str):
+    """per-group top-k (training-data selection): 3 longest docs per source."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def top3(group):
+        return group.sort_values(["n_chars", "doc_id"],
+                                 ascending=[False, True]).head(3)
+
+    return ds.groupby("source").map_groups(top3, batch_format="pandas")
+
+
+def q_anomaly_scores(sf_dir: str):
+    """isolationforest model-scorer actor pool (no SQL oracle) (§2.7)."""
+    from ..stages.anomaly import score_anomalies
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    scored = score_anomalies(ds, vec_col="embedding", fit_sample=256, n_trees=25)
+    return scored.select_columns(["vec_id", "anomaly_score"])
+
+
 def q_flagship_from_config(sf_dir: str):
     """Config-driven DAG builder producing the flagship pipeline (§2.10/§3)."""
     from ..stages.parse import CORPUS_PATTERN
@@ -485,9 +536,15 @@ QUERIES = {
     "csv_parse": q_csv_parse,
     "redact": q_redact,
     "recombine": q_recombine,
+    "dedup_docs_salted": q_dedup_docs_salted,
+    "hash_partition_counts": q_hash_partition_counts,
+    "delta_rate": q_delta_rate,
+    "topk_per_source": q_topk_per_source,
+    "anomaly_scores": q_anomaly_scores,
 }
 
-NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features"}
+NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
+             "anomaly_scores"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}
@@ -658,6 +715,28 @@ ORACLE_SQL = {
                CAST(CASE WHEN regexp_matches(props, '\d{2,}') THEN 1 ELSE 0 END AS BIGINT)
                    AS redacted_cnt
         FROM events
+    """,
+    "dedup_docs_salted": """
+        SELECT CAST(md5_number_upper(text) % 4611686018427387904 AS BIGINT) AS doc_fp,
+               count(*) AS log_count,
+               min(doc_id) AS first_observed, max(doc_id) AS last_observed
+        FROM documents GROUP BY 1
+    """,
+    "hash_partition_counts": """
+        SELECT CAST(md5_number_upper(CAST(user_id AS VARCHAR)) % 8 AS INTEGER)
+                   AS partition,
+               count(*) AS row_count
+        FROM events GROUP BY 1
+    """,
+    "delta_rate": """
+        SELECT event_id,
+               CAST(round(value * 100, 0) AS BIGINT) / 60.0 AS rate_cents_per_sec
+        FROM events
+    """,
+    "topk_per_source": """
+        SELECT doc_id, source, n_chars FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3
     """,
     "recombine": """
         WITH marked AS (

@@ -50,7 +50,9 @@ def _collect_partials(partial) -> pa.Table:
     """
     import ray
 
-    tables = ray.get(partial.to_arrow_refs())
+    # materialize() executes the plan exactly once; a bare to_arrow_refs()
+    # triggers an extra schema-fetch execution of the whole upstream pipeline
+    tables = ray.get(partial.materialize().to_arrow_refs())
     return pa.concat_tables([t for t in tables if t.num_rows], promote_options="default")
 
 

@@ -14,8 +14,9 @@ document bodies; collisions are broken by the exact key inside each group.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from ..functions.hashing import md5_u64_many
 
@@ -25,15 +26,41 @@ def exact_dedup(
     key_cols: list[str],
     order_col: str,
     count_name: str = "log_count",
+    salt: int | None = None,
 ):
     """One row per distinct key: count + first/last of ``order_col``.
 
     Output columns: key_cols + [count_name, "first_observed", "last_observed"].
+
+    ``salt=k`` enables the skew-safe two-phase variant (SURVEY.md §4 skew
+    row): phase 1 groups by (key, hash(order_col) % k) so a pathologically
+    hot key (one doc duplicated millions of times) spreads over k shuffle
+    partitions; phase 2 merges the ≤k partials per key.  Counts/min/max
+    compose associatively, so results are identical to the unsalted path.
     """
-    return ds.groupby(key_cols).aggregate(
+    if salt is None:
+        return ds.groupby(key_cols).aggregate(
+            Count(alias_name=count_name),
+            Min(order_col, alias_name="first_observed"),
+            Max(order_col, alias_name="last_observed"),
+        )
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        h = md5_u64_many(
+            str(v) for v in batch.column(order_col).to_pylist()
+        ) % np.uint64(salt)
+        return batch.append_column("_salt", pa.array(h.astype(np.int64)))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    phase1 = salted.groupby(key_cols + ["_salt"]).aggregate(
         Count(alias_name=count_name),
         Min(order_col, alias_name="first_observed"),
         Max(order_col, alias_name="last_observed"),
+    )
+    return phase1.groupby(key_cols).aggregate(
+        Sum(count_name, alias_name=count_name),
+        Min("first_observed", alias_name="first_observed"),
+        Max("last_observed", alias_name="last_observed"),
     )
 
 

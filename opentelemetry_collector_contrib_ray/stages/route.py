@@ -55,3 +55,31 @@ class Route:
 def write_routed(ds, out_dir: str, sink_column: str = "sink") -> None:
     """Per-sink partitioned Parquet fan-out (one directory per sink)."""
     ds.write_parquet(out_dir, partition_cols=[sink_column])
+
+
+class HashPartitioner:
+    """Stable key -> partition assignment — the loadbalancingexporter
+    consistent-hash-ring / kafka partition-by-key analog
+    (exporter/loadbalancingexporter/consistent_hashing.go:12-40,
+    exporter/kafkaexporter/config.go:59-73).
+
+    ``partition = md5_u64(key) % n`` gives every record of a key the same
+    partition on every node and every run (DuckDB-reproducible); use the
+    resulting column with ``write_parquet(partition_cols=["partition"])``
+    or as an explicit shuffle key.
+    """
+
+    def __init__(self, key: str, num_partitions: int, out: str = "partition"):
+        self.key = key
+        self.num_partitions = num_partitions
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64_many
+        import numpy as np
+
+        keys = batch.column(self.key).cast(pa.string()).to_pylist()
+        part = md5_u64_many(keys) % np.uint64(self.num_partitions)
+        return batch.append_column(
+            self.out, pa.array(part.astype(np.int32), pa.int32())
+        )
