@@ -224,6 +224,31 @@ def sha512_hex(col):
     return _digest_col(col, "sha512")
 
 
+def trace_id_bytes(col):
+    """TraceID — 32-hex-char string -> binary(16) (trace_parser analog,
+    pkg/stanza/operator/parser/trace)."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+        else:
+            b = binascii.unhexlify(v)
+            out.append(b if len(b) == 16 else b.rjust(16, b"\x00"))
+    return pa.array(out, pa.binary(16))
+
+
+def span_id_bytes(col):
+    """SpanID — 16-hex-char string -> binary(8)."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+        else:
+            b = binascii.unhexlify(v)
+            out.append(b if len(b) == 8 else b.rjust(8, b"\x00"))
+    return pa.array(out, pa.binary(8))
+
+
 def fnv_hash(col):
     """FNV — 64-bit FNV-1a of the UTF-8 string, as int64 (reference FNV converter)."""
     out = np.empty(len(_as_array(col)), dtype=np.uint64)
@@ -376,6 +401,8 @@ REGISTRY = {
     "sha256": sha256_hex,
     "sha512": sha512_hex,
     "fnv": fnv_hash,
+    "traceid": trace_id_bytes,
+    "spanid": span_id_bytes,
     "time": time_parse,
     "formattime": format_time,
     "truncatetime": truncate_time,

@@ -480,6 +480,14 @@ def q_anomaly_scores(sf_dir: str):
     return scored.select_columns(["vec_id", "anomaly_score"])
 
 
+def q_filter_drop_ratio(sf_dir: str):
+    """stanza filter transformer: probabilistic (deterministic-hash) drop of
+    half the matching entries (§2.4)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return filter_dataset(ds, 'event_type == "view"', drop_matches=True,
+                          drop_ratio=0.5, ratio_key="event_id")
+
+
 def q_flagship_from_config(sf_dir: str):
     """Config-driven DAG builder producing the flagship pipeline (§2.10/§3)."""
     from ..stages.parse import CORPUS_PATTERN
@@ -541,6 +549,7 @@ QUERIES = {
     "delta_rate": q_delta_rate,
     "topk_per_source": q_topk_per_source,
     "anomaly_scores": q_anomaly_scores,
+    "filter_drop_ratio": q_filter_drop_ratio,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -737,6 +746,11 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3
+    """,
+    "filter_drop_ratio": """
+        SELECT event_id, event_type FROM events
+        WHERE NOT (event_type = 'view'
+                   AND md5_number_upper(CAST(event_id AS VARCHAR)) % 10000 < 5000)
     """,
     "recombine": """
         WITH marked AS (

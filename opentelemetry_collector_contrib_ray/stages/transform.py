@@ -193,25 +193,54 @@ class Filter:
 
     ``drop_matches=True`` inverts (filterprocessor drops matches;
     stanza filter transformer keeps non-matching entries).
+
+    ``drop_ratio`` ∈ [0,1] with ``ratio_key``: only that fraction of
+    matching rows is dropped — the stanza filter transformer's probabilistic
+    drop (pkg/stanza/operator/transformer/filter/config.go:46,62), but
+    DETERMINISTIC: the draw is ``md5(key) % 10000 < ratio*10000`` instead of
+    an RNG, so reruns and the oracle reproduce the exact row set.
     """
 
-    def __init__(self, condition: str, drop_matches: bool = False):
+    def __init__(self, condition: str, drop_matches: bool = False,
+                 drop_ratio: float = 1.0, ratio_key: str | None = None):
         self.condition = compile_condition(condition)
         self.drop_matches = drop_matches
+        if drop_ratio < 1.0 and ratio_key is None:
+            raise ValueError("drop_ratio < 1 requires ratio_key")
+        self.drop_ratio_bp = int(round(drop_ratio * 10_000))
+        self.ratio_key = ratio_key
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask = self.condition(batch)
+        mask = self.condition(batch)  # True = match
+        if self.drop_ratio_bp < 10_000:
+            from ..functions.hashing import md5_u64_many
+            import numpy as np
+
+            keys = batch.column(self.ratio_key).cast(pa.string()).to_pylist()
+            drawn = pa.array(
+                (md5_u64_many(keys) % np.uint64(10_000)) < self.drop_ratio_bp
+            )
+            mask = pc.and_(mask, drawn)  # match "sticks" only for drawn rows
         if self.drop_matches:
             mask = pc.invert(mask)
         return batch.filter(mask)
 
 
-def filter_dataset(ds, condition: str, drop_matches: bool = False):
+def filter_dataset(ds, condition: str, drop_matches: bool = False,
+                   drop_ratio: float = 1.0, ratio_key: str | None = None):
     return ds.map_batches(
-        Filter(condition, drop_matches=drop_matches),
+        Filter(condition, drop_matches=drop_matches,
+               drop_ratio=drop_ratio, ratio_key=ratio_key),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def round_robin_split(ds, n: int):
+    """roundrobinconnector analog: uniform split into n pipelines
+    (connector/roundrobinconnector) — ``Dataset.split`` preserves rows,
+    balances blocks."""
+    return ds.split(n, equal=True)
 
 
 def transform_dataset(ds, statements: list[Statement]):

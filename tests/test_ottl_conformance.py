@@ -183,6 +183,15 @@ def test_editors():
     assert out.column("b").to_pylist() == ["long"]
 
 
+def test_trace_span_id_converters():
+    t = get_converter("TraceID")(arr("0af7651916cd43dd8448eb211c80319c"))
+    assert t.to_pylist() == [bytes.fromhex("0af7651916cd43dd8448eb211c80319c")]
+    s = get_converter("SpanID")(arr("b7ad6b7169203331"))
+    assert s.to_pylist() == [bytes.fromhex("b7ad6b7169203331")]
+    short = get_converter("SpanID")(arr("3331"))  # zero-padded to 8 bytes
+    assert short.to_pylist() == [b"\x00" * 6 + bytes.fromhex("3331")]
+
+
 def test_hash_editor():
     t = pa.table({"v": ["abc"]})
     out = Transform([set_("v", C("SHA256", Col("v")))])(t)
