@@ -480,6 +480,23 @@ def q_anomaly_scores(sf_dir: str):
     return scored.select_columns(["vec_id", "anomaly_score"])
 
 
+GROK_CORPUS_EXPR = (
+    "^%{UNIXTIME:ts:int} %{LOGLEVEL:severity} source=%{NOTSPACE:source} "
+    "doc=%{NOTSPACE:doc_id} n=%{INT:n_tok:int} msg=%{NOTSPACE}$"
+)
+
+
+def q_grok_parse(sf_dir: str):
+    """ExtractGrokPatterns: grok expression compiled to a vectorized regex
+    parse over the corpus raw line (§2.5 func_extract_grok_patterns)."""
+    from ..functions.grok import grok_parse_stage
+
+    ds = corpus.corpus_dataset(sf_dir, with_raw=True).select_columns(["raw"])
+    stage = grok_parse_stage(GROK_CORPUS_EXPR, parse_from="raw")
+    out = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "source", "severity", "ts", "n_tok"])
+
+
 def q_filter_drop_ratio(sf_dir: str):
     """stanza filter transformer: probabilistic (deterministic-hash) drop of
     half the matching entries (§2.4)."""
@@ -550,6 +567,7 @@ QUERIES = {
     "topk_per_source": q_topk_per_source,
     "anomaly_scores": q_anomaly_scores,
     "filter_drop_ratio": q_filter_drop_ratio,
+    "grok_parse": q_grok_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -746,6 +764,12 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3
+    """,
+    "grok_parse": f"""
+        WITH {corpus.RAW_SQL_CTE.strip()}
+        SELECT doc_id, source, severity, CAST(ts AS BIGINT) AS ts,
+               CAST(n_tok AS BIGINT) AS n_tok
+        FROM corpus
     """,
     "filter_drop_ratio": """
         SELECT event_id, event_type FROM events

@@ -192,6 +192,41 @@ def test_trace_span_id_converters():
     assert short.to_pylist() == [b"\x00" * 6 + bytes.fromhex("3331")]
 
 
+def test_grok_compile_and_extract():
+    from opentelemetry_collector_contrib_ray.functions.grok import compile_grok
+    import pyarrow.compute as pc
+
+    regex, types = compile_grok(
+        "%{IP:client} %{WORD:method} %{NUMBER:bytes:int} %{LOGLEVEL:level}"
+    )
+    assert types == {"bytes": pa.int64()}
+    out = pc.extract_regex(
+        arr("10.0.0.1 GET 512 ERROR", "bad line !!"), regex
+    )
+    assert out.to_pylist() == [
+        {"client": "10.0.0.1", "method": "GET", "bytes": "512", "level": "ERROR"},
+        None,
+    ]
+
+
+def test_grok_user_patterns_and_nesting():
+    from opentelemetry_collector_contrib_ray.functions.grok import compile_grok
+    import pyarrow.compute as pc
+
+    regex, _ = compile_grok(
+        "%{KVPAIR:kv}", extra_patterns={"KVPAIR": r"%{WORD}=%{NOTSPACE}"}
+    )
+    out = pc.extract_regex(arr("k=v rest"), regex)
+    assert out.to_pylist() == [{"kv": "k=v"}]
+
+
+def test_grok_unknown_pattern_raises():
+    from opentelemetry_collector_contrib_ray.functions.grok import compile_grok
+
+    with pytest.raises(ValueError):
+        compile_grok("%{NO_SUCH_PATTERN:x}")
+
+
 def test_hash_editor():
     t = pa.table({"v": ["abc"]})
     out = Transform([set_("v", C("SHA256", Col("v")))])(t)
