@@ -403,6 +403,11 @@ REGISTRY = {
     "fnv": fnv_hash,
     "traceid": trace_id_bytes,
     "spanid": span_id_bytes,
+    # registered lazily to avoid a stages->functions import cycle at import time
+    "url": lambda col: __import__(
+        "opentelemetry_collector_contrib_ray.stages.parsers",
+        fromlist=["url_decompose"],
+    ).url_decompose(col),
     "time": time_parse,
     "formattime": format_time,
     "truncatetime": truncate_time,

@@ -1,0 +1,122 @@
+"""Syslog / container / URL parsers + OTLP-JSON source tests."""
+
+import json
+
+import pyarrow as pa
+import ray.data
+
+from opentelemetry_collector_contrib_ray.functions.converters import get_converter
+from opentelemetry_collector_contrib_ray.sources.otlpjson import (
+    flatten_otlp_logs,
+    read_otlp_json_logs,
+)
+from opentelemetry_collector_contrib_ray.stages.parsers import (
+    ContainerParse,
+    SyslogParse,
+)
+
+
+def test_syslog_rfc3164():
+    batch = pa.table({"raw": [
+        "<34>Oct 11 22:14:15 mymachine su[123]: 'su root' failed",
+        "<13>Feb  5 17:32:18 host1 app: simple message",
+        "not syslog at all",
+    ]})
+    out = SyslogParse(rfc="rfc3164")(batch)
+    assert out.num_rows == 2  # on_error=drop
+    assert out.column("facility").to_pylist() == [4, 1]   # 34>>3, 13>>3
+    assert out.column("severity").to_pylist() == [2, 5]   # 34&7, 13&7
+    assert out.column("hostname").to_pylist() == ["mymachine", "host1"]
+    assert out.column("tag").to_pylist() == ["su", "app"]
+    assert out.column("proc_id").to_pylist() == ["123", None]
+    assert out.column("message").to_pylist() == ["'su root' failed", "simple message"]
+
+
+def test_syslog_rfc5424():
+    line = ('<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog '
+            '- ID47 [exampleSDID@32473 iut="3"] An application event')
+    out = SyslogParse(rfc="rfc5424")(pa.table({"raw": [line]}))
+    assert out.column("facility").to_pylist() == [20]
+    assert out.column("severity").to_pylist() == [5]
+    assert out.column("appname").to_pylist() == ["evntslog"]
+    assert out.column("structured_data").to_pylist() == ['[exampleSDID@32473 iut="3"]']
+    assert out.column("message").to_pylist() == ["An application event"]
+
+
+def test_container_docker_and_cri():
+    docker = pa.table({"raw": [
+        json.dumps({"log": "hello\n", "stream": "stdout",
+                    "time": "2024-01-01T00:00:00.0Z"}),
+        "corrupt",
+    ]})
+    out = ContainerParse("docker")(docker)
+    assert out.num_rows == 1
+    assert out.column("log").to_pylist() == ["hello\n"]
+    assert out.column("stream").to_pylist() == ["stdout"]
+
+    cri = pa.table({"raw": [
+        "2024-01-01T00:00:01.000000000Z stderr F fatal error occurred",
+    ]})
+    out = ContainerParse("cri")(cri)
+    assert out.column("stream").to_pylist() == ["stderr"]
+    assert out.column("logtag").to_pylist() == ["F"]
+    assert out.column("log").to_pylist() == ["fatal error occurred"]
+
+
+def test_url_converter():
+    out = get_converter("URL")(pa.array(
+        ["https://user@example.com:8443/a/b?x=1#frag", "not a url", None]
+    ))
+    rows = out.to_pylist()
+    assert rows[0]["scheme"] == "https"
+    assert rows[0]["host"] == "example.com"
+    assert rows[0]["port"] == 8443
+    assert rows[0]["path"] == "/a/b"
+    assert rows[0]["query"] == "x=1"
+    assert rows[0]["fragment"] == "frag"
+    assert rows[0]["user"] == "user"
+    assert rows[1]["scheme"] is None and rows[1]["path"] == "not a url"
+    assert rows[2] is None
+
+
+OTLP_DOC = {
+    "resourceLogs": [{
+        "resource": {"attributes": [
+            {"key": "service.name", "value": {"stringValue": "svc-a"}},
+        ]},
+        "scopeLogs": [{
+            "scope": {"name": "lib1"},
+            "logRecords": [
+                {"timeUnixNano": "1704067200000000000", "severityNumber": 9,
+                 "severityText": "Info", "body": {"stringValue": "started"},
+                 "attributes": [{"key": "k", "value": {"intValue": "7"}}],
+                 "traceId": "0af7651916cd43dd8448eb211c80319c",
+                 "spanId": "b7ad6b7169203331"},
+                {"timeUnixNano": "1704067201000000000", "severityNumber": 17,
+                 "severityText": "Error", "body": {"stringValue": "boom"}},
+            ],
+        }],
+    }]
+}
+
+
+def test_flatten_otlp_logs():
+    rows = flatten_otlp_logs(OTLP_DOC)
+    assert len(rows) == 2
+    assert rows[0]["body"] == "started"
+    assert rows[0]["severity_number"] == 9
+    assert json.loads(rows[0]["attributes"]) == {"k": 7}
+    assert json.loads(rows[0]["resource_attributes"]) == {"service.name": "svc-a"}
+    assert rows[1]["severity_text"] == "Error"
+
+
+def test_read_otlp_json_logs(tmp_path):
+    p = tmp_path / "logs.otlpjson"
+    with open(p, "w") as f:
+        f.write(json.dumps(OTLP_DOC) + "\n")
+        f.write(json.dumps(OTLP_DOC) + "\n")
+    ds = read_otlp_json_logs(str(p))
+    df = ds.to_pandas()
+    assert len(df) == 4
+    assert set(df["severity_text"]) == {"Info", "Error"}
+    assert df["time_unix_nano"].max() == 1704067201000000000
