@@ -480,6 +480,14 @@ def q_anomaly_scores(sf_dir: str):
     return scored.select_columns(["vec_id", "anomaly_score"])
 
 
+def q_distinct_users(sf_dir: str):
+    """exact COUNT(DISTINCT) per group, shuffle bounded by pair cardinality."""
+    from ..stages.aggregate import distinct_count
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return distinct_count(ds, keys=["event_type"], col="user_id", out_name="n_users")
+
+
 GROK_CORPUS_EXPR = (
     "^%{UNIXTIME:ts:int} %{LOGLEVEL:severity} source=%{NOTSPACE:source} "
     "doc=%{NOTSPACE:doc_id} n=%{INT:n_tok:int} msg=%{NOTSPACE}$"
@@ -568,6 +576,7 @@ QUERIES = {
     "anomaly_scores": q_anomaly_scores,
     "filter_drop_ratio": q_filter_drop_ratio,
     "grok_parse": q_grok_parse,
+    "distinct_users": q_distinct_users,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -764,6 +773,10 @@ ORACLE_SQL = {
         SELECT doc_id, source, n_chars FROM documents
         QUALIFY row_number() OVER (
             PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) <= 3
+    """,
+    "distinct_users": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
     """,
     "grok_parse": f"""
         WITH {corpus.RAW_SQL_CTE.strip()}
