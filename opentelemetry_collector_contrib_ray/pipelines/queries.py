@@ -480,6 +480,29 @@ def q_anomaly_scores(sf_dir: str):
     return scored.select_columns(["vec_id", "anomaly_score"])
 
 
+def q_error_rate(sf_dir: str):
+    """metricsgeneration: derive a metric from two existing ones
+    (errors / total per user) (§2.7 metricsgenerationprocessor)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        is_err = pc.cast(pc.equal(batch.column("event_type"), "error"), pa.int64())
+        return pa.table({"user_id": batch.column("user_id"), "is_err": is_err})
+
+    ds = ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    agg = count_sum(ds, keys=["user_id"], sum_cols={"is_err": "n_err"},
+                    count_name="n_total")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rate = pc.divide(
+            pc.cast(batch.column("n_err"), pa.float64()),
+            pc.cast(batch.column("n_total"), pa.float64()),
+        )
+        return batch.append_column("err_rate", rate)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_distinct_users(sf_dir: str):
     """exact COUNT(DISTINCT) per group, shuffle bounded by pair cardinality."""
     from ..stages.aggregate import distinct_count
@@ -577,6 +600,7 @@ QUERIES = {
     "filter_drop_ratio": q_filter_drop_ratio,
     "grok_parse": q_grok_parse,
     "distinct_users": q_distinct_users,
+    "error_rate": q_error_rate,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -777,6 +801,13 @@ ORACLE_SQL = {
     "distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "error_rate": """
+        SELECT user_id, count(*) AS n_total,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS err_rate
+        FROM events GROUP BY user_id
     """,
     "grok_parse": f"""
         WITH {corpus.RAW_SQL_CTE.strip()}

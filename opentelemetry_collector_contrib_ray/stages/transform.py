@@ -115,6 +115,22 @@ def hash_attribute(target: str, algo: str = "sha256") -> Statement:
     return Statement("hash", (target, algo))
 
 
+def unquote(target: str) -> Statement:
+    """stanza unquote transformer: strip one layer of matching quotes."""
+    return Statement("unquote", (target,))
+
+
+def flatten_struct(target: str, prefix: str | None = None) -> Statement:
+    """stanza flatten transformer: promote a struct column's fields to
+    top-level columns ``{prefix}{field}`` (one-level flatten)."""
+    return Statement("flatten", (target, prefix))
+
+
+def assign_keys(targets: list[str], keys: list[str]) -> Statement:
+    """stanza assign_keys: positional rename of a column list."""
+    return Statement("assign_keys", (tuple(targets), tuple(keys)))
+
+
 class Transform:
     """map_batches callable executing an ordered statement list per batch."""
 
@@ -184,6 +200,33 @@ class Transform:
             i = batch.column_names.index(target)
             hashed = get_converter(algo)(batch.column(i))
             return batch.set_column(i, target, _as_array(hashed))
+
+        if ed == "unquote":
+            (target,) = st.args
+            i = batch.column_names.index(target)
+            col = _as_array(batch.column(i))
+            col = pc.replace_substring_regex(col, r'^"(.*)"$', r"\1")
+            col = pc.replace_substring_regex(col, r"^'(.*)'$", r"\1")
+            return batch.set_column(i, target, _as_array(col))
+
+        if ed == "flatten":
+            target, prefix = st.args
+            i = batch.column_names.index(target)
+            col = _as_array(batch.column(i))
+            batch = batch.remove_column(i)
+            pre = prefix if prefix is not None else ""
+            for field in col.type:
+                batch = batch.append_column(
+                    f"{pre}{field.name}", pc.struct_field(col, field.name)
+                )
+            return batch
+
+        if ed == "assign_keys":
+            targets, keys = st.args
+            mapping = dict(zip(targets, keys))
+            return batch.rename_columns(
+                [mapping.get(n, n) for n in batch.column_names]
+            )
 
         raise ValueError(f"unknown editor {ed!r}")
 

@@ -227,6 +227,46 @@ def test_grok_unknown_pattern_raises():
         compile_grok("%{NO_SUCH_PATTERN:x}")
 
 
+def test_unquote_flatten_assign_keys():
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        assign_keys,
+        flatten_struct,
+        unquote,
+    )
+
+    t = pa.table({"v": ['"quoted"', "'single'", "plain", '"half']})
+    out = Transform([unquote("v")])(t)
+    assert out.column("v").to_pylist() == ["quoted", "single", "plain", '"half']
+
+    t = pa.table({
+        "s": pa.array([{"a": 1, "b": "x"}], pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "keep": [9],
+    })
+    out = Transform([flatten_struct("s", prefix="s_")])(t)
+    assert set(out.column_names) == {"keep", "s_a", "s_b"}
+    assert out.column("s_a").to_pylist() == [1]
+
+    t = pa.table({"c0": [1], "c1": [2]})
+    out = Transform([assign_keys(["c0", "c1"], ["x", "y"])])(t)
+    assert out.column_names == ["x", "y"]
+
+
+def test_hll_sketch_accuracy():
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import HLL
+
+    hll = HLL(p=12)
+    regs = hll.fold(range(10_000))
+    est = hll.estimate(regs)
+    assert abs(est - 10_000) / 10_000 < 0.05
+    # mergeability: two halves merged == whole
+    a = hll.fold(range(5_000))
+    b = hll.fold(range(5_000, 10_000))
+    merged = hll.merge(a, b)
+    assert np.array_equal(merged, regs)
+
+
 def test_hash_editor():
     t = pa.table({"v": ["abc"]})
     out = Transform([set_("v", C("SHA256", Col("v")))])(t)
