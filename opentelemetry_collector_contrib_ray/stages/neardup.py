@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Count, Max, Min  # noqa: F401 (Max kept for API users)
 
 from ..functions.hashing import fnv1a64
 
@@ -91,48 +91,107 @@ class MinHashSketch:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(MERSENNE_P)
         return vals.min(axis=1)
 
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix via one reduceat per perm —
+        all docs' shingles processed in one flat vectorized pass."""
+        shingle_arrays = [_shingle_hashes(t or "", self.shingle_n) for t in texts]
+        lens = np.array([max(len(s), 1) for s in shingle_arrays])
+        flat = np.concatenate(
+            [s if len(s) else np.array([0], dtype=np.uint64) for s in shingle_arrays]
+        )
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        p = np.uint64(MERSENNE_P)
+        for j in range(self.num_perm):
+            vals = (self.a[j] * flat + self.b[j]) % p
+            sigs[:, j] = np.minimum.reduceat(vals, offsets)
+        return sigs
+
+    def band_buckets(self, sigs: np.ndarray) -> np.ndarray:
+        """(n, bands) int64 bucket keys: rolling multiply-xor per band —
+        vectorized across docs, no per-doc string building."""
+        n = len(sigs)
+        r = self.rows_per_band
+        buckets = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            chunk = sigs[:, b * r : (b + 1) * r]
+            acc = chunk[:, 0].copy()
+            for k in range(1, r):
+                acc = acc * _COMBINE ^ chunk[:, k]
+            buckets[:, b] = acc
+        return buckets.view(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        """Per-doc signatures: (doc_id, sig list<int64>)."""
+        ids = batch.column(self.id_col)
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_bucket, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.signature(t or "")
-            sig_list = sig.view(np.int64).tolist()
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                bucket = int(fnv1a64(",".join(map(str, chunk.tolist()))))
-                out_id.append(i)
-                out_band.append(b)
-                out_bucket.append(np.int64(np.uint64(bucket)))
-                out_sig.append(sig_list)
+        sigs = self.signatures_batch(texts)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "band": pa.array(out_band, pa.int32()),
-                "bucket": pa.array(out_bucket, pa.int64()),
-                "sig": pa.array(out_sig, pa.list_(pa.int64())),
+                self.id_col: ids,
+                "sig": pa.array(sigs.view(np.int64).tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    def explode_bands(self, batch: pa.Table) -> pa.Table:
+        """(doc_id, sig) -> lean (doc_id, band, bucket) rows — the ONLY rows
+        entering the LSH shuffle (3 fixed-width values, never the payload)."""
+        ids = batch.column(self.id_col)
+        sig_col = batch.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        n = len(ids)
+        sigs = (
+            sig_col.values.to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+            .reshape(n, self.num_perm)
+        )
+        buckets = self.band_buckets(sigs)
+        idx = np.repeat(np.arange(n), self.bands)
+        return pa.table(
+            {
+                self.id_col: ids.take(pa.array(idx, pa.int32())),
+                "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+                "bucket": pa.array(buckets.reshape(-1), pa.int64()),
             }
         )
 
 
-def _pairs_from_bucket(group: pd.DataFrame, id_col: str, threshold: float,
-                       max_bucket: int) -> pd.DataFrame:
+def _candidate_pairs(group: pd.DataFrame, id_col: str,
+                     max_bucket: int) -> pd.DataFrame:
     n = len(group)
     if n < 2 or n > max_bucket:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
-    ids = group[id_col].to_numpy()
-    sigs = np.stack(group["sig"].to_numpy())
-    rows = []
-    for i in range(n):
-        eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-        for off, j_est in enumerate(eq, start=i + 1):
-            if j_est >= threshold:
-                a, b = ids[i], ids[off]
-                if a > b:
-                    a, b = b, a
-                if a != b:
-                    rows.append((a, b, float(j_est)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"])
+        return pd.DataFrame({"id_a": [], "id_b": []})
+    ids = np.sort(group[id_col].to_numpy())
+    ia, ib = np.triu_indices(n, k=1)
+    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+
+class _VerifyPairs:
+    """Score candidate pairs with estimated Jaccard from broadcast sigs."""
+
+    def __init__(self, sigs_ref, threshold: float):
+        import ray
+
+        sigs = ray.get(sigs_ref) if isinstance(sigs_ref, ray.ObjectRef) else sigs_ref
+        self.ids, self.sig_matrix = sigs  # (ids ndarray, (n, perm) ndarray)
+        self.pos = {v: i for i, v in enumerate(self.ids)}
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ia = np.array([self.pos[v] for v in a], dtype=np.int64)
+        ib = np.array([self.pos[v] for v in b], dtype=np.int64)
+        est = (self.sig_matrix[ia] == self.sig_matrix[ib]).mean(axis=1)
+        keep = est >= self.threshold
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep]),
+                "id_b": pa.array(b[keep]),
+                "jaccard_est": pa.array(est[keep], pa.float64()),
+            }
+        )
 
 
 def minhash_lsh_pairs(
@@ -145,25 +204,86 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket: int = 500,
 ):
-    """Candidate near-dup pairs with estimated Jaccard ≥ threshold."""
-    sketched = ds.map_batches(
-        MinHashSketch,
-        fn_constructor_kwargs=dict(
-            id_col=id_col, text_col=text_col, num_perm=num_perm,
-            bands=bands, shingle_n=shingle_n,
-        ),
+    """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
+
+    Shape: signatures once per doc (actor pool) → lean (id, band, bucket)
+    rows through the ONLY shuffle → within-bucket candidate pairs →
+    pair dedup → vectorized verification against broadcast signatures.
+    Scale note: the signature broadcast (num_docs × num_perm × 8 B) is the
+    small side here; beyond broadcast size, replace verification with a
+    shuffle join of pairs against the signature table on id.
+    """
+    import ray
+
+    sketch = MinHashSketch(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                           bands=bands, shingle_n=shingle_n)
+    sigs = ds.map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    band_rows = sigs.map_batches(
+        sketch.explode_bands, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # semi-join prefilter: only buckets with >=2 members can yield pairs —
+    # broadcast their keys and drop the singleton majority before the
+    # group step (bucket-count partials are tiny; combined key collisions
+    # only re-admit rows, never lose candidates)
+    from .aggregate import count_sum
+
+    counts = count_sum(band_rows, keys=["band", "bucket"]).materialize()
+    hot = pa.concat_tables(
+        [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
+    )
+    hot = hot.filter(
+        pa.array(hot.column("row_count").to_numpy(zero_copy_only=False) >= 2)
+    )
+    hot_keys = (
+        hot.column("bucket").to_numpy(zero_copy_only=False) * np.int64(16)
+        + hot.column("band").to_numpy(zero_copy_only=False)
+    )
+    hot_ref = ray.put(np.unique(hot_keys))
+
+    class _KeepHotBuckets:
+        def __init__(self, keys_ref):
+            keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
+            self.keys = keys
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            combined = (
+                batch.column("bucket").to_numpy(zero_copy_only=False) * np.int64(16)
+                + batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return batch.filter(pa.array(np.isin(combined, self.keys)))
+
+    survivors = band_rows.map_batches(
+        _KeepHotBuckets,
+        fn_constructor_kwargs=dict(keys_ref=hot_ref),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=(1, 4),
     )
-    pairs = sketched.groupby(["band", "bucket"]).map_groups(
-        lambda g: _pairs_from_bucket(g, id_col, threshold, max_bucket),
+    cands = survivors.groupby(["band", "bucket"]).map_groups(
+        lambda g: _candidate_pairs(g, id_col, max_bucket),
         batch_format="pandas",
     )
-    # same pair can surface from several bands -> dedupe
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Max("jaccard_est", alias_name="jaccard_est")
+    uniq = cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
+
+    sig_tables = ray.get(sigs.to_arrow_refs())
+    full = pa.concat_tables([t for t in sig_tables if t.num_rows])
+    ids = full.column(id_col).to_numpy(zero_copy_only=False)
+    mat = (
+        full.column("sig").combine_chunks().values.to_numpy(zero_copy_only=False)
+        .view(np.int64).reshape(len(ids), num_perm)
     )
+    ref = ray.put((ids, mat))
+    verified = uniq.map_batches(
+        _VerifyPairs,
+        fn_constructor_kwargs=dict(sigs_ref=ref, threshold=threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return verified
 
 
 # --- SimHash -----------------------------------------------------------------
