@@ -15,12 +15,13 @@ import base64
 import binascii
 import hashlib
 import json
+import re
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import FNV64_OFFSET, FNV64_PRIME, U64
+from .hashing import FNV64_OFFSET, FNV64_PRIME, U32, U64
 
 
 def _as_array(col):
@@ -198,7 +199,164 @@ def hex_encode(col):
     return pa.array(out, pa.string())
 
 
+def parse_xml(col):
+    """ParseXML — XML string -> JSON-encoded {tag, attributes, children, text}
+    (the reference's ParseXML map shape, func_parse_xml.go)."""
+    import xml.etree.ElementTree as ET
+
+    def conv(el):
+        out = {"tag": el.tag}
+        if el.attrib:
+            out["attributes"] = dict(el.attrib)
+        text = (el.text or "").strip()
+        if text:
+            out["content"] = text
+        kids = [conv(c) for c in el]
+        if kids:
+            out["children"] = kids
+        return out
+
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        try:
+            rows.append(json.dumps(conv(ET.fromstring(v)), sort_keys=True))
+        except ET.ParseError:
+            rows.append(None)
+    return pa.array(rows, pa.string())
+
+
+def get_xml(col, xpath: str):
+    """GetXML — return the text of the first element matching an XPath."""
+    import xml.etree.ElementTree as ET
+
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        try:
+            found = ET.fromstring(v).find(xpath)
+            rows.append(None if found is None else (found.text or ""))
+        except ET.ParseError:
+            rows.append(None)
+    return pa.array(rows, pa.string())
+
+
+_UA_BROWSERS = [
+    ("Edge", re.compile(r"Edg(?:e|A|iOS)?/([\d.]+)")),
+    ("Chrome", re.compile(r"Chrome/([\d.]+)")),
+    ("Firefox", re.compile(r"Firefox/([\d.]+)")),
+    ("Safari", re.compile(r"Version/([\d.]+).*Safari")),
+    ("curl", re.compile(r"curl/([\d.]+)")),
+]
+_UA_OS = [
+    ("Windows", re.compile(r"Windows NT")),
+    ("macOS", re.compile(r"Mac OS X")),
+    ("Android", re.compile(r"Android")),
+    ("iOS", re.compile(r"iPhone|iPad")),
+    ("Linux", re.compile(r"Linux")),
+]
+
+
+def user_agent(col):
+    """UserAgent — heuristic UA decomposition -> struct(name, version, os)
+    (func_user_agent.go shape; heuristic stand-in for the ua-parser lib)."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        name = version = None
+        for n, pat in _UA_BROWSERS:
+            m = pat.search(v)
+            if m:
+                name, version = n, m.group(1)
+                break
+        os_name = next((n for n, pat in _UA_OS if pat.search(v)), None)
+        rows.append({"name": name, "version": version, "os": os_name})
+    return pa.array(
+        rows,
+        pa.struct([("name", pa.string()), ("version", pa.string()), ("os", pa.string())]),
+    )
+
+
+def decode_text(col, encoding: str = "utf-8"):
+    """Decode — bytes/base64 string -> text in the given charset."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+        elif isinstance(v, bytes):
+            rows.append(v.decode(encoding, errors="replace"))
+        else:
+            rows.append(base64.b64decode(v).decode(encoding, errors="replace"))
+    return pa.array(rows, pa.string())
+
+
 # --- hash family -------------------------------------------------------------
+
+
+def _murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Pure-python MurmurHash3 x86 32-bit (Appleby's public algorithm)."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & U32
+    n = len(data)
+    rounded = n - (n % 4)
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & U32
+        k = ((k << 15) | (k >> 17)) & U32
+        k = (k * c2) & U32
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & U32
+        h = (h * 5 + 0xE6546B64) & U32
+    k = 0
+    tail = data[rounded:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & U32
+        k = ((k << 15) | (k >> 17)) & U32
+        k = (k * c2) & U32
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & U32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & U32
+    h ^= h >> 16
+    return h
+
+
+def murmur3_hash(col):
+    """Murmur3Hash — 32-bit murmur3 of the UTF-8 string as int64."""
+    return pa.array(
+        [None if v is None else _murmur3_32(v.encode("utf-8"))
+         for v in _as_array(col).to_pylist()],
+        pa.int64(),
+    )
+
+
+def map_keys(col):
+    """Keys — map column -> list of keys."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        rows.append(None if v is None else [k for k, _ in v])
+    return pa.array(rows, pa.list_(pa.string()))
+
+
+def map_values(col):
+    """Values — map column -> list of values."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        rows.append(None if v is None else [val for _, val in v])
+    return pa.array(rows, pa.list_(pa.string()))
 
 def _digest_col(col, algo: str):
     h = getattr(hashlib, algo)
@@ -403,6 +561,13 @@ REGISTRY = {
     "fnv": fnv_hash,
     "traceid": trace_id_bytes,
     "spanid": span_id_bytes,
+    "parsexml": parse_xml,
+    "getxml": get_xml,
+    "useragent": user_agent,
+    "decode": decode_text,
+    "murmur3hash": murmur3_hash,
+    "keys": map_keys,
+    "values": map_values,
     # registered lazily to avoid a stages->functions import cycle at import time
     "url": lambda col: __import__(
         "opentelemetry_collector_contrib_ray.stages.parsers",

@@ -225,44 +225,14 @@ def minhash_lsh_pairs(
         sketch.explode_bands, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # semi-join prefilter: only buckets with >=2 members can yield pairs —
-    # broadcast their keys and drop the singleton majority before the
-    # group step (bucket-count partials are tiny; combined key collisions
-    # only re-admit rows, never lose candidates)
-    from .aggregate import count_sum
+    # semi-join prefilter: only buckets with >=2 members can yield pairs
+    def combine(t: pa.Table) -> np.ndarray:
+        return (
+            t.column("bucket").to_numpy(zero_copy_only=False) * np.int64(16)
+            + t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
 
-    counts = count_sum(band_rows, keys=["band", "bucket"]).materialize()
-    hot = pa.concat_tables(
-        [t for t in ray.get(counts.to_arrow_refs()) if t.num_rows]
-    )
-    hot = hot.filter(
-        pa.array(hot.column("row_count").to_numpy(zero_copy_only=False) >= 2)
-    )
-    hot_keys = (
-        hot.column("bucket").to_numpy(zero_copy_only=False) * np.int64(16)
-        + hot.column("band").to_numpy(zero_copy_only=False)
-    )
-    hot_ref = ray.put(np.unique(hot_keys))
-
-    class _KeepHotBuckets:
-        def __init__(self, keys_ref):
-            keys = ray.get(keys_ref) if isinstance(keys_ref, ray.ObjectRef) else keys_ref
-            self.keys = keys
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            combined = (
-                batch.column("bucket").to_numpy(zero_copy_only=False) * np.int64(16)
-                + batch.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
-            )
-            return batch.filter(pa.array(np.isin(combined, self.keys)))
-
-    survivors = band_rows.map_batches(
-        _KeepHotBuckets,
-        fn_constructor_kwargs=dict(keys_ref=hot_ref),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
-    )
+    survivors = prefilter_hot_groups(band_rows, ["band", "bucket"], combine)
     cands = survivors.groupby(["band", "bucket"]).map_groups(
         lambda g: _candidate_pairs(g, id_col, max_bucket),
         batch_format="pandas",
@@ -351,6 +321,39 @@ def _simhash_pairs(group: pd.DataFrame, id_col: str, max_hamming: int,
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
 
+def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
+                         min_size: int = 2):
+    """Semi-join prefilter: keep only rows whose group has ≥ min_size members.
+
+    ``combine_fn(table) -> np.int64 array`` encodes the group key columns to
+    one int64 per row (collisions only re-admit rows — never lose groups).
+    Group counts travel as tiny per-block partials; the surviving key set is
+    broadcast once.
+    """
+    import ray
+
+    from .aggregate import count_sum
+
+    counts = count_sum(band_rows, keys=key_cols).materialize()
+    hot = pa.concat_tables([t for t in ray.get(counts.to_arrow_refs()) if t.num_rows])
+    hot = hot.filter(
+        pa.array(hot.column("row_count").to_numpy(zero_copy_only=False) >= min_size)
+    )
+    keys_ref = ray.put(np.unique(combine_fn(hot)))
+
+    class _Keep:
+        def __init__(self, ref):
+            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(pa.array(np.isin(combine_fn(batch), self.keys)))
+
+    return band_rows.map_batches(
+        _Keep, fn_constructor_kwargs=dict(ref=keys_ref),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_bucket: int = 500):
     sketched = ds.map_batches(
@@ -359,8 +362,17 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 8),
-    )
-    pairs = sketched.groupby(["chunk", "chunk_val"]).map_groups(
+    ).materialize()
+
+    def combine(t: pa.Table) -> np.ndarray:
+        return (
+            t.column("chunk_val").to_numpy(zero_copy_only=False).astype(np.int64)
+            * np.int64(SimHashSketch.N_CHUNKS)
+            + t.column("chunk").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+
+    survivors = prefilter_hot_groups(sketched, ["chunk", "chunk_val"], combine)
+    pairs = survivors.groupby(["chunk", "chunk_val"]).map_groups(
         lambda g: _simhash_pairs(g, id_col, max_hamming, max_bucket),
         batch_format="pandas",
     )

@@ -227,6 +227,45 @@ def test_grok_unknown_pattern_raises():
         compile_grok("%{NO_SUCH_PATTERN:x}")
 
 
+def test_xml_converters():
+    xml = '<root a="1"><child>hi</child></root>'
+    parsed = get_converter("ParseXML")(arr(xml, "not<xml"))
+    import json as _json
+
+    obj = _json.loads(parsed.to_pylist()[0])
+    assert obj["tag"] == "root" and obj["attributes"] == {"a": "1"}
+    assert obj["children"][0]["content"] == "hi"
+    assert parsed.to_pylist()[1] is None
+    got = get_converter("GetXML")(arr(xml), "child")
+    assert got.to_pylist() == ["hi"]
+
+
+def test_user_agent_and_decode():
+    ua = get_converter("UserAgent")(arr(
+        "Mozilla/5.0 (Windows NT 10.0) Chrome/120.0.0.0 Safari/537.36",
+        "curl/8.4.0",
+    ))
+    rows = ua.to_pylist()
+    assert rows[0] == {"name": "Chrome", "version": "120.0.0.0", "os": "Windows"}
+    assert rows[1]["name"] == "curl"
+    dec = get_converter("Decode")(pa.array([b"hej"]))
+    assert dec.to_pylist() == ["hej"]
+
+
+def test_murmur3_known_vectors():
+    # public murmur3_x86_32 test vectors (seed 0)
+    m = get_converter("Murmur3Hash")
+    assert m(arr("")).to_pylist() == [0]
+    assert m(arr("hello")).to_pylist() == [0x248BFA47]
+    assert m(arr("hello, world")).to_pylist() == [0x149BBB7F]
+
+
+def test_map_keys_values():
+    kv = get_converter("ParseKeyValue")(arr("a=1 b=2"))
+    assert get_converter("Keys")(kv).to_pylist() == [["a", "b"]]
+    assert get_converter("Values")(kv).to_pylist() == [["1", "2"]]
+
+
 def test_unquote_flatten_assign_keys():
     from opentelemetry_collector_contrib_ray.stages.transform import (
         assign_keys,
