@@ -503,6 +503,34 @@ def q_error_rate(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_asof_join(sf_dir: str):
+    """as-of join: each event picks the user's most recent order at event
+    time (custom temporal-join operator; DuckDB ASOF JOIN oracle)."""
+    from ..stages.asof import asof_join
+
+    events = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["o_orderkey", "user_id", "o_orderdate"]
+        )
+
+    orders = orders.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+    # dedupe right side to one row per (key, ts) so as-of ties are
+    # deterministic on both sides (keep max orderkey)
+    from ray.data.aggregate import Max
+
+    orders = orders.groupby(["user_id", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey")
+    )
+    out = asof_join(events, orders, key="user_id", left_ts="ts",
+                    right_ts="o_orderdate", right_cols=["o_orderkey"])
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
 def q_distinct_users(sf_dir: str):
     """exact COUNT(DISTINCT) per group, shuffle bounded by pair cardinality."""
     from ..stages.aggregate import distinct_count
@@ -601,6 +629,7 @@ QUERIES = {
     "grok_parse": q_grok_parse,
     "distinct_users": q_distinct_users,
     "error_rate": q_error_rate,
+    "asof_join": q_asof_join,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -801,6 +830,16 @@ ORACLE_SQL = {
     "distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "asof_join": """
+        WITH o AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
     """,
     "error_rate": """
         SELECT user_id, count(*) AS n_total,
