@@ -503,6 +503,16 @@ def q_error_rate(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_session_windows(sf_dir: str):
+    """session windows: per-user event sessions split on >30min gaps
+    (streaming-window analog; SURVEY.md §1.3)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    return window.sessionize(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        ts_col="ts", gap_seconds=1800.0,
+    )
+
+
 def q_asof_join(sf_dir: str):
     """as-of join: each event picks the user's most recent order at event
     time (custom temporal-join operator; DuckDB ASOF JOIN oracle)."""
@@ -630,6 +640,7 @@ QUERIES = {
     "distinct_users": q_distinct_users,
     "error_rate": q_error_rate,
     "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -830,6 +841,22 @@ ORACLE_SQL = {
     "distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         FROM events GROUP BY event_type
+    """,
+    "session_windows": """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        ), s AS (
+            SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM s GROUP BY user_id, session_id
     """,
     "asof_join": """
         WITH o AS (

@@ -76,6 +76,44 @@ def cumulative_to_delta(
     return ds.groupby(key_cols).map_groups(diff, batch_format="pandas")
 
 
+def sessionize(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    agg: str = "summary",
+):
+    """Session windows: per key, a new session starts when the gap between
+    consecutive rows exceeds ``gap_seconds`` (the classic event-time session
+    window; Ray Data has no watermarks, so windows close when the group is
+    complete — SURVEY.md §1.3 / guide "Streaming-shaped workloads").
+
+    ``agg="summary"`` emits one row per session: key_cols + session index +
+    n_events + first/last of order_cols[;1]; ``agg="tag"`` keeps every row,
+    adding a ``session_id`` column.
+    """
+
+    def windows(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        ts = group[ts_col]
+        gaps = ts.diff().dt.total_seconds().fillna(0.0)
+        session = (gaps > gap_seconds).cumsum()
+        if agg == "tag":
+            group["session_id"] = session
+            return group
+        out = group.groupby(session).agg(
+            n_events=(order_cols[-1], "size"),
+            first_ts=(ts_col, "min"),
+            last_ts=(ts_col, "max"),
+        ).reset_index(names="session_id")
+        for k in key_cols:
+            out[k] = group[k].iloc[0]
+        return out[key_cols + ["session_id", "n_events", "first_ts", "last_ts"]]
+
+    return ds.groupby(key_cols).map_groups(windows, batch_format="pandas")
+
+
 def last_per_interval(
     ds,
     key_cols: list[str],

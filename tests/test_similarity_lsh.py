@@ -1,0 +1,50 @@
+"""HyperplaneLSH scale-path tests: bucket stability + near-dup co-location."""
+
+import numpy as np
+import pyarrow as pa
+
+from opentelemetry_collector_contrib_ray.stages.similarity import HyperplaneLSH
+
+
+def _table(vecs, ids):
+    return pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_identical_vectors_share_all_buckets():
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal(64)
+    out = HyperplaneLSH(dim=64)(_table([v, v], [1, 2]))
+    df = out.to_pandas()
+    b1 = df[df.vec_id == 1].set_index("band")["bucket"]
+    b2 = df[df.vec_id == 2].set_index("band")["bucket"]
+    assert (b1.sort_index() == b2.sort_index()).all()
+
+
+def test_near_duplicates_colocate_with_high_probability():
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((50, 64))
+    noisy = base + 0.02 * rng.standard_normal((50, 64))  # cosine ~0.9998
+    vecs = np.concatenate([base, noisy])
+    ids = list(range(50)) + list(range(100, 150))
+    df = HyperplaneLSH(dim=64)(_table(vecs, ids)).to_pandas()
+
+    hits = 0
+    for i in range(50):
+        a = df[df.vec_id == i][["band", "bucket"]]
+        b = df[df.vec_id == 100 + i][["band", "bucket"]]
+        if len(a.merge(b)) > 0:  # share at least one band bucket
+            hits += 1
+    assert hits >= 45  # near-dups co-locate with high probability
+
+
+def test_determinism_across_instances():
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((5, 64))
+    t = _table(v, list(range(5)))
+    d1 = HyperplaneLSH(dim=64)(t).to_pandas()
+    d2 = HyperplaneLSH(dim=64)(t).to_pandas()
+    assert d1.equals(d2)
