@@ -148,6 +148,79 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float) -> "ray
     )
 
 
+class IVFIndex:
+    """IVF (inverted-file) ANN scale path: deterministic k-means-lite
+    centroids, cell assignment per batch, probe-limited search.
+
+    Build: Lloyd iterations on a bounded driver-side sample (seeded, so the
+    index is reproducible). Search: score only vectors whose cell is among
+    the ``n_probe`` nearest centroids to the query — the bucketed
+    alternative once the corpus outgrows the brute-force broadcast.
+    Partitioning assumption: the dataset is (re)partitioned by ``cell`` so a
+    probe touches only the matching partitions.
+    """
+
+    def __init__(self, n_cells: int = 16, n_iter: int = 10, seed: int = 42):
+        self.n_cells = n_cells
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, sample: np.ndarray) -> "IVFIndex":
+        X = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(self.seed)
+        init = rng.choice(len(X), size=min(self.n_cells, len(X)), replace=False)
+        C = X[init].copy()
+        for _ in range(self.n_iter):
+            assign = np.argmax(X @ C.T, axis=1)
+            for c in range(len(C)):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+            C = _normalize(C)
+        self.centroids = C
+        return self
+
+    def assign_stage(self, vec_col: str = "embedding", out: str = "cell"):
+        """map_batches callable adding the nearest-centroid cell id."""
+        C = self.centroids
+
+        def assign(batch: pa.Table) -> pa.Table:
+            m = _normalize(_matrix(batch, vec_col))
+            cells = np.argmax(m @ C.T, axis=1).astype(np.int32)
+            return batch.append_column(out, pa.array(cells, pa.int32()))
+
+        return assign
+
+    def probe_cells(self, query: np.ndarray, n_probe: int) -> np.ndarray:
+        q = _normalize(np.asarray(query, dtype=np.float64)[None, :])[0]
+        sims = self.centroids @ q
+        return np.argsort(-sims)[:n_probe]
+
+
+def ivf_topk(ds, query: np.ndarray, id_col: str, vec_col: str, k: int,
+             n_cells: int = 16, n_probe: int = 4, fit_sample: int = 2048,
+             exclude_ids: set | None = None) -> pa.Table:
+    """Approximate top-k: search only the n_probe nearest IVF cells."""
+    sample = ds.limit(fit_sample).to_pandas()
+    index = IVFIndex(n_cells=n_cells).fit(np.stack(sample[vec_col].to_numpy()))
+    assigned = ds.map_batches(
+        index.assign_stage(vec_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = index.probe_cells(query, n_probe)
+    cell_set = set(int(c) for c in cells)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = np.isin(
+            batch.column("cell").to_numpy(zero_copy_only=False), list(cell_set)
+        )
+        return batch.filter(pa.array(mask))
+
+    probed = assigned.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return knn_brute_force(probed, query[None, :], id_col=id_col, vec_col=vec_col,
+                           k=k, exclude_ids=exclude_ids)
+
+
 class HyperplaneLSH:
     """Scale path: sign-pattern bucket keys (random hyperplanes, fixed seed).
 

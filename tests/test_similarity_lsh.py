@@ -41,6 +41,36 @@ def test_near_duplicates_colocate_with_high_probability():
     assert hits >= 45  # near-dups co-locate with high probability
 
 
+def test_ivf_topk_recall_vs_brute_force():
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        ivf_topk,
+        knn_brute_force,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    q = np.asarray(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["embedding"],
+                      filters=[("vec_id", "==", 0)]).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    exact = knn_brute_force(ds, q[None, :], id_col="vec_id", vec_col="embedding",
+                            k=10, exclude_ids={0})
+    approx = ivf_topk(ds, q, id_col="vec_id", vec_col="embedding", k=10,
+                      n_cells=8, n_probe=4, exclude_ids={0})
+    exact_ids = set(exact.column("vec_id").to_pylist())
+    approx_ids = set(approx.column("vec_id").to_pylist())
+    # probing half the cells should recover most of the true top-10
+    assert len(exact_ids & approx_ids) >= 5
+    # rank-1 within probed cells is deterministic
+    assert approx.column("rank").to_pylist() == list(range(1, len(approx_ids) + 1))
+
+
 def test_determinism_across_instances():
     rng = np.random.default_rng(3)
     v = rng.standard_normal((5, 64))
