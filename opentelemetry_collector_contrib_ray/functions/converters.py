@@ -343,6 +343,89 @@ def murmur3_hash(col):
     )
 
 
+def to_key_value_string(col, pair_delimiter: str = " ", kv_delimiter: str = "="):
+    """ToKeyValueString — map column -> 'k=v k2=v2' string (sorted keys)."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+        else:
+            rows.append(pair_delimiter.join(
+                f"{k}{kv_delimiter}{val}" for k, val in sorted(v)
+            ))
+    return pa.array(rows, pa.string())
+
+
+def slice_to_map(col, keys: list[str]):
+    """SliceToMap — list column + key names -> map column (positional)."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+        else:
+            rows.append([(k, str(v[i])) for i, k in enumerate(keys) if i < len(v)])
+    return pa.array(rows, pa.map_(pa.string(), pa.string()))
+
+
+def is_valid_luhn(col):
+    """IsValidLuhn — Luhn checksum validation of a digit string."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None or not str(v).isdigit():
+            out.append(None if v is None else False)
+            continue
+        digits = [int(c) for c in str(v)][::-1]
+        total = sum(digits[0::2]) + sum(
+            d * 2 - 9 if d * 2 > 9 else d * 2 for d in digits[1::2]
+        )
+        out.append(total % 10 == 0)
+    return pa.array(out, pa.bool_())
+
+
+_DURATION_RE = re.compile(
+    r"(?:(?P<h>\d+(?:\.\d+)?)h)?(?:(?P<m>\d+(?:\.\d+)?)m)?"
+    r"(?:(?P<s>\d+(?:\.\d+)?)s)?(?:(?P<ms>\d+(?:\.\d+)?)ms)?"
+    r"(?:(?P<us>\d+(?:\.\d+)?)(?:us|µs))?(?:(?P<ns>\d+(?:\.\d+)?)ns)?$"
+)
+
+
+def duration_nanos(col):
+    """Duration — Go-style duration string ('1h30m', '250ms') -> int64 ns."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        m = _DURATION_RE.match(v.strip())
+        if not m or not any(m.groupdict().values()):
+            out.append(None)
+            continue
+        g = {k: float(x) if x else 0.0 for k, x in m.groupdict().items()}
+        ns = (g["h"] * 3600 + g["m"] * 60 + g["s"]) * 1e9
+        ns += g["ms"] * 1e6 + g["us"] * 1e3 + g["ns"]
+        out.append(int(round(ns)))
+    return pa.array(out, pa.int64())
+
+
+def uuid_v5_like(col, namespace: str = "otel"):
+    """Deterministic content-derived UUID (v5-style: sha1 of namespace+value).
+
+    The reference's UUID()/UUIDv7() draw randomness; a batch engine needs
+    reproducible ids, so this is the name-based variant (RFC 4122 v5 shape).
+    """
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        d = bytearray(hashlib.sha1((namespace + str(v)).encode()).digest()[:16])
+        d[6] = (d[6] & 0x0F) | 0x50  # version 5
+        d[8] = (d[8] & 0x3F) | 0x80  # RFC 4122 variant
+        h = binascii.hexlify(bytes(d)).decode()
+        rows.append(f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:]}")
+    return pa.array(rows, pa.string())
+
+
 def map_keys(col):
     """Keys — map column -> list of keys."""
     rows = []
@@ -568,6 +651,11 @@ REGISTRY = {
     "murmur3hash": murmur3_hash,
     "keys": map_keys,
     "values": map_values,
+    "tokeyvaluestring": to_key_value_string,
+    "slicetomap": slice_to_map,
+    "isvalidluhn": is_valid_luhn,
+    "duration": duration_nanos,
+    "uuid": uuid_v5_like,
     # registered lazily to avoid a stages->functions import cycle at import time
     "url": lambda col: __import__(
         "opentelemetry_collector_contrib_ray.stages.parsers",

@@ -260,6 +260,26 @@ def test_murmur3_known_vectors():
     assert m(arr("hello, world")).to_pylist() == [0x149BBB7F]
 
 
+def test_kv_string_slice_map_roundtrip():
+    kv = get_converter("ParseKeyValue")(arr("b=2 a=1"))
+    s = get_converter("ToKeyValueString")(kv)
+    assert s.to_pylist() == ["a=1 b=2"]  # sorted keys
+    lst = pa.array([["x", "y", "z"]])
+    m = get_converter("SliceToMap")(lst, ["first", "second"])
+    assert m.to_pylist() == [[("first", "x"), ("second", "y")]]
+
+
+def test_luhn_duration_uuid():
+    luhn = get_converter("IsValidLuhn")(arr("79927398713", "79927398714", "abc"))
+    assert luhn.to_pylist() == [True, False, False]
+    d = get_converter("Duration")(arr("1h30m", "250ms", "1.5s", "bogus"))
+    assert d.to_pylist() == [5_400_000_000_000, 250_000_000, 1_500_000_000, None]
+    u = get_converter("UUID")(arr("doc-1", "doc-1", "doc-2"))
+    vals = u.to_pylist()
+    assert vals[0] == vals[1] != vals[2]  # deterministic, content-derived
+    assert vals[0][14] == "5" and len(vals[0]) == 36
+
+
 def test_map_keys_values():
     kv = get_converter("ParseKeyValue")(arr("a=1 b=2"))
     assert get_converter("Keys")(kv).to_pylist() == [["a", "b"]]
