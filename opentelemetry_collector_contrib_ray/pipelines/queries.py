@@ -705,13 +705,13 @@ ORACLE_SQL = {
     """,
     "group_by_attrs": """
         SELECT user_id, event_type, count(*) AS row_count,
-               sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_cents
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_cents
         FROM events GROUP BY user_id, event_type
     """,
     "delta_cumsum": """
         SELECT event_id, user_id,
-               sum(CAST(round(value * 100, 0) AS BIGINT))
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum_cents
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
         FROM events
     """,
     "interval_last": """
@@ -750,8 +750,8 @@ ORACLE_SQL = {
     """,
     "token_counts": r"""
         SELECT source, count(*) AS row_count,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tok_sum,
-               sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)) AS bpe_tok_sum
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tok_sum,
+               CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)) AS BIGINT) AS bpe_tok_sum
         FROM documents GROUP BY source
     """,
     "quality_stats": r"""
@@ -794,7 +794,7 @@ ORACLE_SQL = {
     """,
     "join_orders": """
         SELECT o_orderstatus, count(*) AS row_count,
-               sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS price_cents_sum
+               CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS price_cents_sum
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderstatus
     """,
@@ -870,7 +870,7 @@ ORACLE_SQL = {
     """,
     "error_rate": """
         SELECT user_id, count(*) AS n_total,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                     AS DOUBLE) / count(*) AS err_rate
         FROM events GROUP BY user_id

@@ -26,8 +26,10 @@ def test_catalog_consistency():
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_query_matches_oracle(name, oracle_smoke):
     result = QUERIES[name](SF_SMOKE)
-    expected = oracle_smoke.sql(ORACLE_SQL[name]).df()
-    assert_frames_equal_unordered(result, expected)
+    # .arrow() keeps DuckDB's true types (HUGEINT -> decimal128) so the
+    # type-strict check catches driver-level hash/type drift (VERDICT r1 #1).
+    expected = oracle_smoke.sql(ORACLE_SQL[name]).arrow()
+    assert_frames_equal_unordered(result, expected, check_types=True)
 
 
 @pytest.mark.parametrize("name", sorted(NO_ORACLE))
