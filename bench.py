@@ -7,11 +7,15 @@ Prints ONE JSON line:
    "rows": R, "tokens": T, "rows_per_sec": ..., "tokens_per_sec": ...}
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-GRAFT_REPLICATE (corpus replication factor, default 20 → 100k docs at sf0.1).
+GRAFT_REPLICATE (corpus replication factor, default 1000 → 5M docs at sf0.1;
+valid range 1..1000 — doc ids stay unique per replica at any factor since
+the U20 id-format fix).
 
---scaling runs the headline twice in FRESH subprocesses (num_cpus=8 and 32)
-on the same materialized corpus and reports both throughputs + scaling
-efficiency (the sandbox stand-in for the N→4N-node criterion).
+--scaling runs the headline twice in FRESH subprocesses at GRAFT_SCALE_LOW/
+GRAFT_SCALE_HIGH cpus (default 4 and 16 — the 8→32 pair saturates this
+box's memory bus, see BASELINE.md) with GRAFT_SCALING_REPLICATE (default
+5000) on the same materialized corpus and reports both throughputs +
+scaling efficiency (the sandbox stand-in for the N→4N-node criterion).
 
 Setup (untimed): the tokenized corpus is synthesized from documents.parquet
 and materialized to /tmp ONCE per (sf, replicate) — the production pipeline

@@ -34,10 +34,24 @@ def md5_u64(s: str) -> int:
 
 
 def md5_u64_many(strings) -> np.ndarray:
-    """Vectorized-ish md5_u64 over an iterable of strings -> uint64 ndarray."""
+    """Vectorized-ish md5_u64 over an iterable of strings -> uint64 ndarray.
+
+    ``None`` keys hash as the empty string — a deterministic null policy so
+    the sampler / partitioner / salted dedup never crash on a null key.
+    (DuckDB oracles propagate NULL through predicates, which evaluates
+    false in WHERE; callers whose data can hold null keys should filter or
+    coalesce explicitly to keep oracle parity.)
+    """
     md5 = hashlib.md5
+    empty = b""
     out = np.fromiter(
-        (int.from_bytes(md5(s.encode("utf-8")).digest()[:8], "little") for s in strings),
+        (
+            int.from_bytes(
+                md5(s.encode("utf-8") if s is not None else empty).digest()[:8],
+                "little",
+            )
+            for s in strings
+        ),
         dtype=np.uint64,
     )
     return out

@@ -38,6 +38,20 @@ SEVERITIES = ("DEBUG", "INFO", "WARN", "ERROR", "FATAL")
 TS_BASE = 1704067200  # 2024-01-01T00:00:00Z
 
 
+def _doc_id_strings(ids: np.ndarray, offset: int) -> np.ndarray:
+    """Format numeric ids as ``doc-<zero-padded>``, collision-free.
+
+    ``np.char.zfill(a, w)`` TRUNCATES strings longer than ``w`` (its width is
+    the output itemsize), so the historical ``zfill(ids.astype('U8'), 8)``
+    silently collided doc_ids once replica offsets pushed ids past 8 digits
+    (ADVICE r1). Width is derived from the replica offset — constant for
+    every batch of a replica (replicas span < 10^7 ids), minimum 8 to keep
+    the base corpus format ``doc-00000126`` byte-stable for the oracles.
+    """
+    width = max(8, len(str(offset + 9_999_999)))
+    return np.char.add("doc-", np.char.zfill(ids.astype(f"U{width}"), width))
+
+
 class BuildCorpus:
     """map_batches callable: documents batch -> corpus batch (stateless)."""
 
@@ -52,7 +66,7 @@ class BuildCorpus:
         texts = batch.column("text").to_pylist()
         sources = batch.column("source")
 
-        doc_ids = np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+        doc_ids = _doc_id_strings(ids, self.offset)
         token_lists = []
         n_tok = np.empty(len(texts), dtype=np.int32)
         for i, t in enumerate(texts):
@@ -110,8 +124,9 @@ class _ReplicatedBuild:
         src_list = sources.to_pylist()
 
         for rep in range(self.replicate):
-            ids = ids0 + rep * 10_000_000
-            doc_ids = np.char.add("doc-", np.char.zfill(ids.astype("U8"), 8))
+            offset = rep * 10_000_000
+            ids = ids0 + offset
+            doc_ids = _doc_id_strings(ids, offset)
             h = md5_u64_many(doc_ids)
             cols = {
                 "doc_id": pa.array(doc_ids, pa.string()),

@@ -32,8 +32,10 @@ class Redact:
         self.summary = summary
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        deleted_cnt = 0
         if self.allowed_keys is not None:
             keep = [c for c in batch.column_names if c in self.allowed_keys]
+            deleted_cnt = batch.num_columns - len(keep)
             batch = batch.select(keep)
 
         redacted = np.zeros(batch.num_rows, dtype=np.int64)
@@ -55,4 +57,14 @@ class Redact:
 
         if self.summary:
             batch = batch.append_column("redacted_cnt", pa.array(redacted))
+            if self.allowed_keys is not None:
+                # reference emits BOTH masked and deleted summary attributes
+                # (processor/redactionprocessor/processor.go:142-167); columns
+                # are our attribute analog, so the count is per-row constant
+                batch = batch.append_column(
+                    "redaction_deleted_cnt",
+                    pa.array(
+                        np.full(batch.num_rows, deleted_cnt, dtype=np.int64)
+                    ),
+                )
         return batch

@@ -56,7 +56,12 @@ class _BatchTopK:
         for qi in range(sims.shape[1]):
             col = sims[:, qi]
             k = min(self.k, len(col))
-            top = np.argpartition(-col, k - 1)[:k]
+            # deterministic block-level cut under exact cosine ties: order by
+            # (cosine desc, id asc) so the k-th-boundary tie keeps the
+            # smallest id — same tie-break the driver merge (and the DuckDB
+            # oracle ORDER BY) applies. argpartition's arbitrary tie subset
+            # could drop the candidate the oracle keeps.
+            top = np.lexsort((ids, -col))[:k]
             out_q.extend([qi] * k)
             out_id.extend(ids[top])
             out_sim.extend(col[top])

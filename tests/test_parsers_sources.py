@@ -120,3 +120,19 @@ def test_read_otlp_json_logs(tmp_path):
     assert len(df) == 4
     assert set(df["severity_text"]) == {"Info", "Error"}
     assert df["time_unix_nano"].max() == 1704067201000000000
+
+
+def test_replicated_corpus_doc_ids_unique_past_rep10():
+    """rep >= 10 shifts ids to 9+ digits; the old U8 format truncated them
+    into collisions across replicas (ADVICE r1). U20 keeps all digits."""
+    from opentelemetry_collector_contrib_ray.sources.corpus import corpus_dataset
+
+    from .conftest import SF_SMOKE
+
+    ds = corpus_dataset(SF_SMOKE, with_raw=False, replicate=12)
+    df = ds.to_pandas()
+    assert df["doc_id"].is_unique
+    # base replica keeps the historical 8-digit zero-padded format
+    assert df["doc_id"].str.startswith("doc-0000").any()
+    # replica 11 carries full 9-digit ids (110_000_000 + i), untruncated
+    assert df["doc_id"].str.len().max() >= len("doc-110000000")
