@@ -275,9 +275,22 @@ def q_knn_vec0(sf_dir: str):
 
 
 def q_embed_neardup(sf_dir: str):
-    """embedding-cosine near-dup pairs (threshold 0.30, broadcast baseline)."""
+    """embedding-cosine near-dup pairs (threshold 0.30) — EXACT, via the
+    distributed block-pair join (driver holds refs only; no broadcast)."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     pairs = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding", threshold=0.30)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
+def q_lsh_neardup(sf_dir: str):
+    """hyperplane-LSH near-dup pairs — the approximate 100-TB path (no SQL
+    oracle: recall < 1 by construction at this threshold; the companion
+    test measures recall against the exact block-pair join)."""
+    from ..stages.similarity import lsh_near_dups
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = lsh_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                          threshold=0.30, dim=64)
     return pairs.select_columns(["id_a", "id_b"])
 
 
@@ -641,10 +654,11 @@ QUERIES = {
     "error_rate": q_error_rate,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
+    "lsh_neardup": q_lsh_neardup,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
-             "anomaly_scores"}
+             "anomaly_scores", "lsh_neardup"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

@@ -160,6 +160,13 @@ class MinHashSketch:
 def _candidate_pairs(group: pd.DataFrame, id_col: str,
                      max_bucket: int) -> pd.DataFrame:
     n = len(group)
+    if n > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minhash LSH: skipping pathological bucket with %d members "
+            "(> max_bucket=%d); its pairs are NOT emitted", n, max_bucket
+        )
     if n < 2 or n > max_bucket:
         return pd.DataFrame({"id_a": [], "id_b": []})
     ids = np.sort(group[id_col].to_numpy())
@@ -167,28 +174,54 @@ def _candidate_pairs(group: pd.DataFrame, id_col: str,
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
-class _VerifyPairs:
-    """Score candidate pairs with estimated Jaccard from broadcast sigs."""
+def _sig_list_to_binary(col, num_perm: int) -> pa.Array:
+    """list<int64> signatures -> equal-width pa.binary() values, zero-loop.
 
-    def __init__(self, sigs_ref, threshold: float):
-        import ray
+    Arrow's hash join (acero) rejects list-typed non-key payload columns,
+    so signatures travel through the pairs⋈sigs join as packed bytes.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    width = num_perm * 8
+    flat = col.values.to_numpy(zero_copy_only=False).astype("<i8", copy=False)
+    offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, offsets.buffers()[1], pa.py_buffer(flat.tobytes())],
+    )
 
-        sigs = ray.get(sigs_ref) if isinstance(sigs_ref, ray.ObjectRef) else sigs_ref
-        self.ids, self.sig_matrix = sigs  # (ids ndarray, (n, perm) ndarray)
-        self.pos = {v: i for i, v in enumerate(self.ids)}
+
+def _binary_sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Packed-bytes signatures (no nulls, equal width) -> (n, num_perm)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    width = num_perm * 8
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    start = int(offs[col.offset])
+    raw = data[start:start + n * width]
+    return np.frombuffer(raw.tobytes(), dtype="<i8").reshape(n, num_perm)
+
+
+class _ScoreJoinedPairs:
+    """Vectorized Jaccard estimate over pair rows carrying both signatures."""
+
+    def __init__(self, num_perm: int, threshold: float):
+        self.num_perm = num_perm
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy(zero_copy_only=False)
-        b = batch.column("id_b").to_numpy(zero_copy_only=False)
-        ia = np.array([self.pos[v] for v in a], dtype=np.int64)
-        ib = np.array([self.pos[v] for v in b], dtype=np.int64)
-        est = (self.sig_matrix[ia] == self.sig_matrix[ib]).mean(axis=1)
+        sa = _binary_sig_matrix(batch.column("sig_a"), self.num_perm)
+        sb = _binary_sig_matrix(batch.column("sig_b"), self.num_perm)
+        est = (sa == sb).mean(axis=1)
         keep = est >= self.threshold
+        mask = pa.array(keep)
         return pa.table(
             {
-                "id_a": pa.array(a[keep]),
-                "id_b": pa.array(b[keep]),
+                "id_a": batch.column("id_a").filter(mask),
+                "id_b": batch.column("id_b").filter(mask),
                 "jaccard_est": pa.array(est[keep], pa.float64()),
             }
         )
@@ -203,18 +236,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 500,
+    join_partitions: int = 8,
 ):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     Shape: signatures once per doc (actor pool) → lean (id, band, bucket)
-    rows through the ONLY shuffle → within-bucket candidate pairs →
-    pair dedup → vectorized verification against broadcast signatures.
-    Scale note: the signature broadcast (num_docs × num_perm × 8 B) is the
-    small side here; beyond broadcast size, replace verification with a
-    shuffle join of pairs against the signature table on id.
+    rows through the LSH shuffle → within-bucket candidate pairs → pair
+    dedup → DISTRIBUTED verification: two hash joins of the pair table
+    against the signature table on id (Ray Data native join), then a
+    vectorized signature compare. No driver-side signature concat, no
+    broadcast — signatures move once per join through a hash-partitioned
+    exchange (the round-1 broadcast was ~500 GB at 1 B docs; gone).
+    Pathological buckets larger than ``max_bucket`` are skipped (their pair
+    count is quadratic; dedup-by-fingerprint handles exact boilerplate);
+    the skip count is logged.
     """
-    import ray
-
     sketch = MinHashSketch(id_col=id_col, text_col=text_col, num_perm=num_perm,
                            bands=bands, shingle_n=shingle_n)
     sigs = ds.map_batches(
@@ -238,31 +274,63 @@ def minhash_lsh_pairs(
         batch_format="pandas",
     )
     uniq = cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
+    uniq = uniq.drop_columns(["_nb"])
 
-    sig_tables = ray.get(sigs.to_arrow_refs())
-    full = pa.concat_tables([t for t in sig_tables if t.num_rows])
-    ids = full.column(id_col).to_numpy(zero_copy_only=False)
-    mat = (
-        full.column("sig").combine_chunks().values.to_numpy(zero_copy_only=False)
-        .view(np.int64).reshape(len(ids), num_perm)
-    )
-    ref = ray.put((ids, mat))
-    verified = uniq.map_batches(
-        _VerifyPairs,
-        fn_constructor_kwargs=dict(sigs_ref=ref, threshold=threshold),
+    def pack(name_id: str, name_sig: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                name_id: t.column(id_col),
+                name_sig: _sig_list_to_binary(t.column("sig"), num_perm),
+            })
+
+        return fn
+
+    sig_a = sigs.map_batches(pack("id_a", "sig_a"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    sig_b = sigs.map_batches(pack("id_b", "sig_b"), batch_format="pyarrow",
+                             zero_copy_batch=True)
+    joined = uniq.join(sig_a, join_type="inner",
+                       num_partitions=join_partitions, on=("id_a",))
+    joined = joined.join(sig_b, join_type="inner",
+                         num_partitions=join_partitions, on=("id_b",))
+    return joined.map_batches(
+        _ScoreJoinedPairs(num_perm=num_perm, threshold=threshold),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        zero_copy_batch=True,
     )
-    return verified
 
 
 # --- SimHash -----------------------------------------------------------------
+
+# 16-bit popcount LUT (numpy < 2 has no bitwise_count); popcount64 is four
+# LUT gathers + adds — fully vectorized.
+_POPCOUNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8
+)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count via the 16-bit LUT."""
+    x = x.astype(np.uint64, copy=False)
+    m = np.uint64(0xFFFF)
+    return (
+        _POPCOUNT16[(x & m).astype(np.int64)].astype(np.int64)
+        + _POPCOUNT16[((x >> np.uint64(16)) & m).astype(np.int64)]
+        + _POPCOUNT16[((x >> np.uint64(32)) & m).astype(np.int64)]
+        + _POPCOUNT16[((x >> np.uint64(48)) & m).astype(np.int64)]
+    )
+
 
 class SimHashSketch:
     """64-bit simhash per doc + 4×16-bit chunk keys for hamming-≤3 search.
 
     Pigeonhole: hamming(a,b) ≤ 3 over 64 bits ⇒ at least one of the 4
     16-bit chunks is identical, so candidates co-locate on (chunk, value).
+
+    Batch-vectorized (VERDICT r1 #8): one flat word-hash array for the whole
+    batch, a (total_words, 64) sign matrix reduced per doc with
+    ``np.add.reduceat`` — the per-row Python loop is gone; per-word fnv1a64
+    stays LRU-cached.
     """
 
     N_CHUNKS = 4
@@ -274,31 +342,51 @@ class SimHashSketch:
         self.bit_weights = np.uint64(1) << self.bit_shifts
 
     def simhash(self, text: str) -> int:
-        words = text.split(" ")
-        hs = np.fromiter((fnv1a64(w) for w in words), dtype=np.uint64, count=len(words))
-        if len(hs) == 0:
-            return 0
-        bits = ((hs[:, None] >> self.bit_shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        return int((self.bit_weights[acc > 0]).sum(dtype=np.uint64))
+        return int(self.simhash_batch([text])[0])
+
+    def simhash_batch(self, texts: list) -> np.ndarray:
+        """(n,) uint64 simhashes for a batch of texts."""
+        word_lists = [(t or "").split(" ") for t in texts]
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        total = int(lens.sum())
+        flat = np.fromiter(
+            (fnv1a64(w) for ws in word_lists for w in ws),
+            dtype=np.uint64, count=total,
+        )
+        # bit-plane expansion via unpackbits on the little-endian byte view:
+        # (total, 64) uint8, 1 byte per bit — 8× leaner than a uint64
+        # broadcast; reduceat accumulates into int64 so no overflow at any
+        # doc length
+        bits = np.unpackbits(
+            flat[:, None].view(np.uint8), axis=1, bitorder="little"
+        )
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        acc = 2 * ones - lens[:, None]  # sum of ±1 votes per bit
+        return ((acc > 0).astype(np.uint64) << self.bit_shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_chunk, out_val, out_hash = [], [], [], []
-        for i, t in zip(ids, texts):
-            sh = self.simhash(t or "")
-            for c in range(self.N_CHUNKS):
-                out_id.append(i)
-                out_chunk.append(c)
-                out_val.append((sh >> (16 * c)) & 0xFFFF)
-                out_hash.append(np.int64(np.uint64(sh)))
+        n = len(texts)
+        sh = self.simhash_batch(texts)
+        k = self.N_CHUNKS
+        idx = np.repeat(np.arange(n), k)
+        chunks = np.tile(np.arange(k, dtype=np.int32), n)
+        vals = (
+            (sh[idx] >> (np.uint64(16) * chunks.astype(np.uint64)))
+            & np.uint64(0xFFFF)
+        ).astype(np.int32)
         return pa.table(
             {
-                self.id_col: pa.array(out_id),
-                "chunk": pa.array(out_chunk, pa.int32()),
-                "chunk_val": pa.array(out_val, pa.int32()),
-                "simhash": pa.array(out_hash, pa.int64()),
+                self.id_col: ids.take(pa.array(idx, pa.int32())),
+                "chunk": pa.array(chunks, pa.int32()),
+                "chunk_val": pa.array(vals, pa.int32()),
+                "simhash": pa.array(sh[idx].view(np.int64), pa.int64()),
             }
         )
 
@@ -306,19 +394,27 @@ class SimHashSketch:
 def _simhash_pairs(group: pd.DataFrame, id_col: str, max_hamming: int,
                    max_bucket: int) -> pd.DataFrame:
     n = len(group)
+    if n > max_bucket:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "simhash: skipping pathological bucket with %d members "
+            "(> max_bucket=%d); its pairs are NOT emitted", n, max_bucket
+        )
     if n < 2 or n > max_bucket:
         return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
     ids = group[id_col].to_numpy()
     hashes = group["simhash"].to_numpy().astype(np.uint64)
-    rows = []
-    for i in range(n):
-        x = hashes[i] ^ hashes[i + 1 :]
-        ham = np.array([bin(int(v)).count("1") for v in x])
-        for off, d in enumerate(ham, start=i + 1):
-            if d <= max_hamming and ids[i] != ids[off]:
-                a, b = sorted((ids[i], ids[off]))
-                rows.append((a, b, int(d)))
-    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+    ia, ib = np.triu_indices(n, k=1)
+    ham = popcount64(hashes[ia] ^ hashes[ib])
+    keep = (ham <= max_hamming) & (ids[ia] != ids[ib])
+    a, b = ids[ia[keep]], ids[ib[keep]]
+    swap = a > b
+    return pd.DataFrame({
+        "id_a": np.where(swap, b, a),
+        "id_b": np.where(swap, a, b),
+        "hamming": ham[keep].astype(np.int64),
+    })
 
 
 def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,

@@ -32,6 +32,27 @@ STOPWORDS = {"the", "a", "of", "and", "to"}
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
 
 
+def _space_padded_tokens(text: pa.Array) -> pa.Array:
+    """`` a  b  c `` view of ``a b c``: doubling internal spaces then adding
+    sentinels means every split(" ") token is delimited by its OWN spaces,
+    so a non-overlapping literal search for `` tok `` counts exact token
+    occurrences — including consecutive hits — with zero Python looping
+    (RE2 has no lookarounds, so this is the vectorizable equivalent of
+    ``\\btok\\b`` under split-token semantics)."""
+    doubled = pc.replace_substring(text, " ", "  ")
+    sp = pa.scalar(" ", pa.string())
+    return pc.binary_join_element_wise(sp, doubled, sp, "")
+
+
+def _count_token_occurrences(padded: pa.Array, tokens) -> np.ndarray:
+    """Sum of exact split-token occurrence counts over ``tokens``."""
+    total = np.zeros(len(padded), dtype=np.int64)
+    for tok in tokens:
+        c = pc.count_substring(padded, f" {tok} ")
+        total += c.to_numpy(zero_copy_only=False)
+    return total
+
+
 class TextStats:
     """Per-doc integer quality counters + whitespace/BPE-ish token counts."""
 
@@ -51,10 +72,9 @@ class TextStats:
         n_bpe_tok = pc.count_substring_regex(text, BPE_ISH_PATTERN)
         n_punct = pc.count_substring_regex(text, r"[^\w\s]")
 
-        stop_cnt = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text.to_pylist()):
-            if t:
-                stop_cnt[i] = sum(1 for w in t.split(" ") if w in STOPWORDS)
+        stop_cnt = _count_token_occurrences(
+            _space_padded_tokens(text), sorted(STOPWORDS)
+        )
 
         out = batch
         for name, arr in [
@@ -71,23 +91,44 @@ class TextStats:
 
 
 class LangId:
-    """Stopword-profile language guess -> ``lang_pred`` column."""
+    """Stopword-profile language guess -> ``lang_pred`` column.
+
+    Vectorized (VERDICT r1 #8): per marker word, ONE literal substring scan
+    over the space-padded lowercased batch gives a presence bit; the score
+    is the count of DISTINCT markers present (same semantics as the old
+    per-row ``set(words) & markers``), argmax with the original tie-break
+    (highest score, then lexicographically greatest language)."""
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
         self.langs = sorted(LANG_MARKERS)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column(self.text_col).to_pylist():
-            if not t:
-                preds.append("und")
-                continue
-            words = set(t.lower().split(" "))
-            scores = [(len(words & LANG_MARKERS[l]), l) for l in self.langs]
-            best, lang = max(scores)
-            preds.append(lang if best > 0 else "und")
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        padded = _space_padded_tokens(
+            pc.utf8_lower(pc.fill_null(text, ""))
+        )
+        n = len(padded)
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            for m in LANG_MARKERS[lang]:
+                hit = pc.count_substring(padded, f" {m} ").to_numpy(
+                    zero_copy_only=False
+                )
+                scores[:, li] += hit > 0
+        # tie-break = lexicographically greatest lang among max scores:
+        # scan langs in reverse order so argmax keeps the greatest
+        rev = scores[:, ::-1]
+        best_rev = np.argmax(rev, axis=1)
+        best_idx = len(self.langs) - 1 - best_rev
+        best_score = rev[np.arange(n), best_rev]
+        langs_arr = np.array(self.langs, dtype=object)
+        preds = np.where(best_score > 0, langs_arr[best_idx], "und")
+        return batch.append_column(
+            "lang_pred", pa.array(preds.tolist(), pa.string())
+        )
 
 
 class Fingerprint:

@@ -3,6 +3,8 @@
 import numpy as np
 import pyarrow as pa
 
+import ray
+
 from opentelemetry_collector_contrib_ray.stages.similarity import HyperplaneLSH
 
 
@@ -78,3 +80,25 @@ def test_determinism_across_instances():
     d1 = HyperplaneLSH(dim=64)(t).to_pandas()
     d2 = HyperplaneLSH(dim=64)(t).to_pandas()
     assert d1.equals(d2)
+
+
+def test_lsh_near_dups_subset_of_exact():
+    """lsh_near_dups must return a SUBSET of the exact block-pair join
+    (precision 1.0 — within-bucket verify is exact cosine) with nonzero
+    recall. Recall < 1 is by design at this near-threshold corpus (module
+    docstring); measured ~0.29 at sf0.001 with 8 bits × 16 bands."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        embedding_near_dups,
+        lsh_near_dups,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                                threshold=0.30).to_pandas()
+    approx = lsh_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                           threshold=0.30, dim=64).to_pandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    a = set(zip(approx["id_a"], approx["id_b"]))
+    assert a <= e, f"false positives: {sorted(a - e)[:5]}"
+    assert len(a) / len(e) >= 0.15  # deterministic seed; measured 0.289
