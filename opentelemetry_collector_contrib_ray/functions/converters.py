@@ -511,6 +511,148 @@ def time_parse(col, fmt: str):
     return pc.strptime(_as_array(col), format=fmt, unit="us")
 
 
+_EPOCH_LAYOUTS = ("s", "ms", "us", "ns", "s.ms", "s.us", "s.ns")
+
+# Go reference-time tokens -> strptime directives, longest-first so "January"
+# wins over "Jan" and "2006" over "06" (pkg/stanza/operator/helper/time.go
+# gotime layout_type; token table from Go's time package reference layout).
+_GOTIME_TOKENS = [
+    ("January", "%B"), ("Monday", "%A"), ("2006", "%Y"), ("-0700", "%z"),
+    ("Jan", "%b"), ("Mon", "%a"), ("MST", "%Z"), ("15", "%H"), ("05", "%S"),
+    ("04", "%M"), ("03", "%I"), ("02", "%d"), ("01", "%m"), ("06", "%y"),
+    ("PM", "%p"), ("pm", "%p"), ("_2", "%e"), ("2", "%-d"),
+]
+
+
+def gotime_to_strptime(layout: str) -> str:
+    """Translate a Go time.Parse layout to a strptime format string."""
+    out = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "." and i + 1 < len(layout) and layout[i + 1] in "09":
+            # fractional seconds .000/.999... -> %f (arrow parses subseconds)
+            j = i + 1
+            while j < len(layout) and layout[j] in "09":
+                j += 1
+            out.append(".%f")
+            i = j
+            continue
+        for tok, rep in _GOTIME_TOKENS:
+            if layout.startswith(tok, i):
+                out.append(rep)
+                i += len(tok)
+                break
+        else:
+            out.append(layout[i])
+            i += 1
+    return "".join(out)
+
+
+def parse_time_layout(col, layout: str, layout_type: str = "strptime"):
+    """stanza time_parser with all three layout types
+    (pkg/stanza/operator/helper/time.go:20-27, 93-101, 176-246):
+
+    - ``strptime``: C-style format -> timestamp[us]
+    - ``gotime``: Go reference-time layout, translated -> strptime
+    - ``epoch``: numeric layouts s/ms/us/ns (integer) and s.ms/s.us/s.ns
+      (seconds with subsecond fraction); ns-resolution layouts return
+      timestamp[ns], others timestamp[us]
+    """
+    arr = _as_array(col)
+    if layout_type == "strptime":
+        return pc.strptime(arr, format=layout, unit="us")
+    if layout_type == "gotime":
+        return pc.strptime(arr, format=gotime_to_strptime(layout), unit="us")
+    if layout_type != "epoch":
+        raise ValueError(
+            f"unsupported layout_type {layout_type!r}: valid values are "
+            "'strptime', 'gotime', and 'epoch'"
+        )
+    if layout not in _EPOCH_LAYOUTS:
+        raise ValueError(
+            f"invalid layout {layout!r} for epoch type: specify "
+            "'s', 'ms', 'us', 'ns', 's.ms', 's.us', or 's.ns'"
+        )
+    import numpy as np
+
+    if layout in ("s", "ms", "us", "ns"):
+        ints = arr.cast(pa.float64()).cast(pa.int64()) if pa.types.is_string(arr.type) \
+            else arr.cast(pa.int64())
+        v = ints.to_numpy(zero_copy_only=False)
+        if layout == "s":
+            return pa.array(v * 1_000_000, pa.timestamp("us"))
+        if layout == "ms":
+            return pa.array(v * 1_000, pa.timestamp("us"))
+        if layout == "us":
+            return pa.array(v, pa.timestamp("us"))
+        return pa.array(v, pa.timestamp("ns"))
+    # s.ms / s.us / s.ns: seconds with subsecond fraction
+    f = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+    if layout == "s.ms":
+        return pa.array(
+            np.round(f * 1e3).astype(np.int64) * 1_000, pa.timestamp("us")
+        )
+    if layout == "s.us":
+        return pa.array(np.round(f * 1e6).astype(np.int64), pa.timestamp("us"))
+    return pa.array(np.round(f * 1e9).astype(np.int64), pa.timestamp("ns"))
+
+
+def parse_json_array(col, header: list | None = None, types: dict | None = None):
+    """jsonarray parser (pkg/stanza/operator/parser/jsonarray/parser.go):
+    a JSON-array string per row -> list<string> of element literals, or —
+    with a header — a struct with one field per position (nested objects
+    kept as compact JSON strings, like the reference). ``types`` optionally
+    casts header fields (the reference's attributes stay typed)."""
+    import json as _json
+
+    def literal(v):
+        if v is None:
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (dict, list)):
+            return _json.dumps(v, separators=(",", ":"))
+        return str(v)
+
+    rows = _as_array(col).to_pylist()
+    if header is None:
+        out = []
+        for r in rows:
+            if r is None:
+                out.append(None)
+                continue
+            try:
+                parsed = _json.loads(r)
+                out.append([literal(v) for v in parsed]
+                           if isinstance(parsed, list) else None)
+            except (ValueError, TypeError):
+                out.append(None)
+        return pa.array(out, pa.list_(pa.string()))
+
+    cols: dict[str, list] = {h: [] for h in header}
+    for r in rows:
+        parsed = None
+        if r is not None:
+            try:
+                p = _json.loads(r)
+                parsed = p if isinstance(p, list) else None
+            except (ValueError, TypeError):
+                parsed = None
+        for i, h in enumerate(header):
+            cols[h].append(
+                literal(parsed[i]) if parsed is not None and i < len(parsed)
+                else None
+            )
+    fields, arrays = [], []
+    for h in header:
+        a = pa.array(cols[h], pa.string())
+        if types and h in types:
+            a = a.cast(types[h])
+        fields.append((h, a.type))
+        arrays.append(a)
+    return pa.StructArray.from_arrays(arrays, fields=[pa.field(n, t) for n, t in fields])
+
+
 def format_time(col, fmt: str):
     return pc.strftime(_as_array(col), format=fmt)
 
@@ -662,6 +804,8 @@ REGISTRY = {
         fromlist=["url_decompose"],
     ).url_decompose(col),
     "time": time_parse,
+    "timelayout": parse_time_layout,
+    "parsejsonarray": parse_json_array,
     "formattime": format_time,
     "truncatetime": truncate_time,
     "unixseconds": unix_seconds,

@@ -94,6 +94,30 @@ def q_transform_statements(sf_dir: str):
     return ds.map_batches(Transform(stmts), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_editor_tail(sf_dir: str):
+    """round-2 OTTL editor tail in one statement list: replace_match (glob
+    full-value), append (scalar -> list), delete_matching_keys, limit
+    (pkg/ottl/ottlfuncs/func_replace_match.go, func_append.go,
+    func_delete_matching_keys.go, func_limit.go)."""
+    from ..stages.transform import (
+        append_to,
+        delete_matching_keys,
+        limit_keys,
+        replace_match,
+    )
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value", "props"])
+    stmts = [
+        replace_match("event_type", "c*", "click-ish"),
+        append_to("tags", value=Col("event_type"), values=("t1",)),
+        delete_matching_keys("^(props|value)$"),
+        limit_keys(3, ("event_id",)),
+    ]
+    return ds.map_batches(Transform(stmts), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_attributes_hash(sf_dir: str):
     """attributesprocessor hash action (SHA-256) (§2.6)."""
     ds = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -113,6 +137,155 @@ def q_severity_map(sf_dir: str):
     return enrich_dataset(
         ds, lookup, key="event_type", types={"severity_number": pa.int32()}
     ).select_columns(["event_id", "event_type", "severity_number"])
+
+
+def q_severity_full(sf_dir: str):
+    """full severity_parser: the 24-level enum with alias + numeric-string +
+    HTTP-shorthand + min/max-range mappings (pkg/stanza/entry/severity.go:
+    13-50, operator/helper/severity_builder.go:20-158), vectorized as one
+    dictionary lookup per batch."""
+    from ..stages.parsers import SeverityParser
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def derive_status(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        status = (eid % 500 + 100).astype(np.int64)
+        return t.append_column(
+            "status", pa.array(status, pa.int64()).cast(pa.string())
+        )
+
+    ds = ds.map_batches(derive_status, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    etype = SeverityParser(
+        "event_type",
+        mapping={"info": ["click", "view"], "warn": "signup",
+                 "error2": "purchase"},
+        out="sev_etype", text_out="sev_etype_text",
+    )
+    status = SeverityParser(
+        "status",
+        mapping={"debug": {"min": 100, "max": 199}, "info": "2xx",
+                 "error": "4xx", "fatal": "5xx"},
+        out="sev_status", text_out=None,
+    )
+    ds = ds.map_batches(etype, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(status, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(
+        ["event_id", "sev_etype", "sev_etype_text", "sev_status"]
+    )
+
+
+def q_tail_sampling_composite(sf_dir: str):
+    """tail-sampling composite policy set (processor/tailsamplingprocessor/
+    internal/sampling/composite.go, status_code.go, latency.go, drop.go,
+    span_count_sampler.go): a group (trace analog = user) is kept when the
+    ordered composite [status_code(ERROR), latency >= 1h] samples it AND the
+    drop veto (span_count >= 40) does not fire. Deterministic (no rate
+    lanes) so the SQL oracle reproduces it exactly."""
+    from ..stages.policy import (
+        all_of,
+        composite,
+        drop_when,
+        policy_latency,
+        policy_min_count,
+        policy_status_code,
+        tail_sample,
+    )
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type", "ts"])
+
+    def derive_status(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        status = pc_.if_else(
+            pc_.equal(t.column("event_type"), "error"),
+            pa.scalar("ERROR", pa.string()), pa.scalar("OK", pa.string()),
+        )
+        return t.append_column("status", status)
+
+    ds = ds.map_batches(derive_status, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    # sub1 matches no group (no UNSET statuses) -> the ordered composite
+    # falls through to the latency-range sub-policy; the drop veto then
+    # removes high-span-count groups (span_count analog)
+    keep = all_of(
+        composite(0, [(policy_status_code("status", ["UNSET"]), 50),
+                      (policy_latency("ts", "ts", 2_400_000_000.0,
+                                      upper_threshold_ms=2_560_000_000.0),
+                       50)]),
+        drop_when(policy_min_count(67)),
+    )
+    out = tail_sample(ds, group_key="user_id", policy=keep)
+    return out.select_columns(["event_id", "user_id"])
+
+
+def q_time_layouts(sf_dir: str):
+    """time_parser epoch + gotime layout types (pkg/stanza/operator/helper/
+    time.go:20-27): integer epoch layouts s/ms/us and a Go reference-time
+    layout, all vectorized."""
+    from ..functions.converters import parse_time_layout
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        ts = t.column("ts")
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # arrow's %S prints subseconds for sub-second unit types; floor and
+        # cast to timestamp[s] so the gotime layout (no fraction) round-trips
+        secs = pc_.floor_temporal(ts, unit="second").cast(pa.timestamp("s"))
+        txt = pc_.strftime(secs, format="%Y-%m-%d %H:%M:%S")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "t_s": parse_time_layout(pa.array(us // 1_000_000), "s", "epoch"),
+            "t_ms": parse_time_layout(pa.array(us // 1_000), "ms", "epoch"),
+            "t_us": parse_time_layout(pa.array(us), "us", "epoch"),
+            "t_go": parse_time_layout(txt, "2006-01-02 15:04:05", "gotime"),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_jsonarray_parse(sf_dir: str):
+    """jsonarray parser (pkg/stanza/operator/parser/jsonarray): build a
+    JSON-array line per event, parse it back with a positional header into
+    typed fields."""
+    from ..functions.converters import parse_json_array
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def build_and_parse(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc_
+
+        cents = np.round(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        line = pc_.binary_join_element_wise(
+            '["', t.column("event_type").combine_chunks()
+            if isinstance(t.column("event_type"), pa.ChunkedArray)
+            else t.column("event_type"),
+            '",', pa.array(cents, pa.int64()).cast(pa.string()), "]", "",
+        )
+        parsed = parse_json_array(
+            line, header=["etype", "cents"], types={"cents": pa.int64()}
+        )
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "etype": pc_.struct_field(parsed, "etype"),
+            "cents": pc_.struct_field(parsed, "cents"),
+        })
+
+    return ds.map_batches(build_and_parse, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def q_sampled_events(sf_dir: str):
@@ -616,8 +789,13 @@ QUERIES = {
     "enrich_join": q_enrich_join,
     "filter_errors": q_filter_errors,
     "transform_statements": q_transform_statements,
+    "editor_tail": q_editor_tail,
     "attributes_hash": q_attributes_hash,
     "severity_map": q_severity_map,
+    "severity_full": q_severity_full,
+    "time_layouts": q_time_layouts,
+    "jsonarray_parse": q_jsonarray_parse,
+    "tail_sampling_composite": q_tail_sampling_composite,
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
     "group_by_attrs": q_group_by_attrs,
@@ -697,6 +875,14 @@ ORACLE_SQL = {
                value > 150 AS is_big
         FROM events
     """,
+    "editor_tail": """
+        SELECT event_id,
+               CASE WHEN event_type LIKE 'c%' THEN 'click-ish'
+                    ELSE event_type END AS event_type,
+               [CASE WHEN event_type LIKE 'c%' THEN 'click-ish'
+                     ELSE event_type END, 't1'] AS tags
+        FROM events
+    """,
     "attributes_hash": """
         SELECT c_custkey, sha256(c_name) AS name_sha256 FROM customer
     """,
@@ -705,6 +891,51 @@ ORACLE_SQL = {
                CASE event_type WHEN 'click' THEN 5 WHEN 'view' THEN 9
                     WHEN 'signup' THEN 10 WHEN 'purchase' THEN 13
                     WHEN 'error' THEN 17 END AS severity_number
+        FROM events
+    """,
+    "severity_full": """
+        SELECT event_id,
+               CAST(CASE WHEN event_type IN ('click', 'view') THEN 9
+                         WHEN event_type = 'signup' THEN 13
+                         WHEN event_type = 'purchase' THEN 18
+                         WHEN event_type = 'error' THEN 17
+                         ELSE 0 END AS INTEGER) AS sev_etype,
+               CASE WHEN event_type IN ('click', 'view') THEN 'INFO'
+                    WHEN event_type = 'signup' THEN 'WARN'
+                    WHEN event_type = 'purchase' THEN 'ERROR2'
+                    WHEN event_type = 'error' THEN 'ERROR'
+                    ELSE 'DEFAULT' END AS sev_etype_text,
+               CAST(CASE WHEN event_id % 500 + 100 BETWEEN 100 AND 199 THEN 5
+                         WHEN event_id % 500 + 100 BETWEEN 200 AND 299 THEN 9
+                         WHEN event_id % 500 + 100 BETWEEN 400 AND 499 THEN 17
+                         WHEN event_id % 500 + 100 BETWEEN 500 AND 599 THEN 21
+                         ELSE 0 END AS INTEGER) AS sev_status
+        FROM events
+    """,
+    "tail_sampling_composite": """
+        WITH g AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS has_err,
+                   (epoch_us(max(ts)) - epoch_us(min(ts))) / 1000.0 AS dur_ms,
+                   count(*) AS n
+            FROM events GROUP BY user_id)
+        SELECT e.event_id, e.user_id
+        FROM events e JOIN g USING (user_id)
+        WHERE (g.dur_ms > 2400000000 AND g.dur_ms <= 2560000000)
+          AND NOT (g.n >= 67)
+    """,
+    "time_layouts": """
+        SELECT event_id,
+               make_timestamp((epoch_us(ts) // 1000000) * 1000000) AS t_s,
+               make_timestamp((epoch_us(ts) // 1000) * 1000) AS t_ms,
+               ts AS t_us,
+               date_trunc('second', ts) AS t_go
+        FROM events
+    """,
+    "jsonarray_parse": """
+        SELECT event_id, event_type AS etype,
+               CAST(round(value * 100, 0) AS BIGINT) AS cents
         FROM events
     """,
     "sampled_events": f"""

@@ -131,6 +131,141 @@ def assign_keys(targets: list[str], keys: list[str]) -> Statement:
     return Statement("assign_keys", (tuple(targets), tuple(keys)))
 
 
+def merge_maps(source: str, strategy: str = "upsert") -> Statement:
+    """OTTL merge_maps (pkg/ottl/ottlfuncs/func_merge_maps.go:40-45): merge a
+    struct column's fields into the top-level columns. Per-row key presence
+    maps to value validity: insert fills only where the target is null (or
+    the column is absent), update overwrites only existing columns where the
+    source field is valid, upsert does both."""
+    if strategy not in ("insert", "update", "upsert"):
+        raise ValueError(
+            f"invalid merge_maps strategy {strategy!r}: must be "
+            "'insert', 'update' or 'upsert'"
+        )
+    return Statement("merge_maps", (source, strategy))
+
+
+def limit_keys(limit: int, priority_keys: tuple = ()) -> Statement:
+    """OTTL limit (func_limit.go:36-47): keep at most ``limit`` columns —
+    priority keys always survive, then first-seen order."""
+    if limit < 0:
+        raise ValueError(f"limit cannot be negative, got {limit}")
+    if limit < len(priority_keys):
+        raise ValueError(
+            f"limit {limit} cannot be less than the number of priority "
+            f"keys {len(priority_keys)}"
+        )
+    return Statement("limit", (limit, tuple(priority_keys)))
+
+
+def delete_matching_keys(pattern: str) -> Statement:
+    """OTTL delete_matching_keys (func_delete_matching_keys.go:36-51):
+    drop columns whose NAME matches the regex."""
+    import re
+
+    re.compile(pattern)  # validate eagerly, like the reference factory
+    return Statement("delete_matching_keys", (pattern,))
+
+
+def keep_matching_keys(pattern: str) -> Statement:
+    """OTTL keep_matching_keys: keep only columns whose NAME matches."""
+    import re
+
+    re.compile(pattern)
+    return Statement("keep_matching_keys", (pattern,))
+
+
+def append_to(target: str, value=None, values: tuple = ()) -> Statement:
+    """OTTL append (func_append.go:36-41): target becomes a list with the
+    given value(s) appended per row; a scalar target contributes its value
+    as the first element, a null list target contributes nothing."""
+    if value is None and not values:
+        raise ValueError(
+            "at least one of 'value' or 'values' must be provided"
+        )
+    vals = tuple(values) if value is None else (value,) + tuple(values)
+    return Statement("append", (target, vals))
+
+
+def replace_match(target: str, pattern: str, replacement: str,
+                  where: str | None = None) -> Statement:
+    """OTTL replace_match (func_replace_match.go:43-47): glob full-match on
+    the value -> replace the WHOLE value."""
+    return Statement("replace_match", (target, pattern, replacement), where)
+
+
+def replace_all_matches(pattern: str, replacement: str) -> Statement:
+    """OTTL replace_all_matches: replace_match over every string column."""
+    return Statement("replace_all_matches", (pattern, replacement))
+
+
+def replace_all_patterns(pattern: str, replacement: str) -> Statement:
+    """OTTL replace_all_patterns: replace_pattern over every string column."""
+    return Statement("replace_all_patterns", (pattern, replacement))
+
+
+def _glob_to_regex(pattern: str) -> str:
+    """Translate a glob (* ?) to an anchored RE2 regex (fnmatch dialect,
+    no char classes — matching the gobwas/glob subset the reference uses)."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append("\\" + ch if ch in r"\.^$+{}[]|()" else ch)
+    return "^" + "".join(out) + "$"
+
+
+def _elementwise_list_concat(segments: list, n: int) -> pa.Array:
+    """Concatenate per-row segments into one list array, fully vectorized.
+
+    Each segment is a pa.Array of length n: list-typed (contributes its
+    elements; null rows contribute none) or flat (contributes one element,
+    null included). One arrow ``take`` + numpy index arithmetic — no row
+    loop.
+    """
+    import numpy as np
+
+    lens_parts, vals_parts = [], []
+    for seg in segments:
+        seg = _as_array(seg)
+        if pa.types.is_list(seg.type) or pa.types.is_large_list(seg.type):
+            lens = pc.fill_null(pc.list_value_length(seg), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            vals_parts.append(seg.flatten())  # skips null rows' values
+            lens_parts.append(lens)
+        else:
+            vals_parts.append(seg)
+            lens_parts.append(np.ones(n, dtype=np.int64))
+
+    # unify value types (appended literals cast to the first segment's type)
+    common = vals_parts[0].type
+    vals_parts = [v if v.type == common else v.cast(common) for v in vals_parts]
+
+    row_lens = np.sum(lens_parts, axis=0)
+    offsets = np.concatenate(([0], np.cumsum(row_lens)))
+    total = int(offsets[-1])
+    idx = np.empty(total, dtype=np.int64)
+    pos = offsets[:-1].copy()
+    base = 0
+    for vals, lens in zip(vals_parts, lens_parts):
+        part_total = int(lens.sum())
+        if part_total:
+            starts_rel = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            within = np.arange(part_total) - np.repeat(starts_rel, lens)
+            dest = np.repeat(pos, lens) + within
+            idx[dest] = base + np.arange(part_total)
+        pos += lens
+        base += len(vals)
+    flat = pa.concat_arrays([_as_array(v) for v in vals_parts]).take(
+        pa.array(idx, pa.int64())
+    )
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+
+
 class Transform:
     """map_batches callable executing an ordered statement list per batch."""
 
@@ -227,6 +362,105 @@ class Transform:
             return batch.rename_columns(
                 [mapping.get(n, n) for n in batch.column_names]
             )
+
+        if ed == "merge_maps":
+            source, strategy = st.args
+            src = _as_array(batch.column(source))
+            for f in src.type:
+                vals = _as_array(pc.struct_field(src, f.name))
+                if f.name in batch.column_names:
+                    i = batch.column_names.index(f.name)
+                    tgt = _as_array(batch.column(i))
+                    sv, tv = pc.is_valid(vals), pc.is_valid(tgt)
+                    if strategy == "insert":
+                        # fill only rows where the target key is absent
+                        merged = pc.if_else(tv, tgt, vals.cast(tgt.type))
+                    elif strategy == "update":
+                        merged = pc.if_else(
+                            pc.and_(sv, tv), vals.cast(tgt.type), tgt
+                        )
+                    else:  # upsert
+                        merged = pc.if_else(sv, vals.cast(tgt.type), tgt)
+                    batch = batch.set_column(i, f.name, merged)
+                elif strategy in ("insert", "upsert"):
+                    batch = batch.append_column(f.name, vals)
+            return batch
+
+        if ed == "limit":
+            limit, priority = st.args
+            if batch.num_columns <= limit:
+                return batch
+            keep = [c for c in priority if c in batch.column_names]
+            for c in batch.column_names:
+                if len(keep) >= limit:
+                    break
+                if c not in keep:
+                    keep.append(c)
+            # preserve original column order like the reference map
+            ordered = [c for c in batch.column_names if c in set(keep)]
+            return batch.select(ordered)
+
+        if ed == "delete_matching_keys":
+            import re
+
+            (pattern,) = st.args
+            rx = re.compile(pattern)
+            return batch.drop_columns(
+                [c for c in batch.column_names if rx.search(c)]
+            )
+
+        if ed == "keep_matching_keys":
+            import re
+
+            (pattern,) = st.args
+            rx = re.compile(pattern)
+            return batch.select(
+                [c for c in batch.column_names if rx.search(c)]
+            )
+
+        if ed == "append":
+            target, values = st.args
+            segments = []
+            if target in batch.column_names:
+                segments.append(_as_array(batch.column(target)))
+            for v in values:
+                r = _resolve(v, batch)
+                if not isinstance(r, (pa.Array, pa.ChunkedArray)):
+                    r = pa.array([r] * batch.num_rows)
+                segments.append(r)
+            new = _elementwise_list_concat(segments, batch.num_rows)
+            if target in batch.column_names:
+                i = batch.column_names.index(target)
+                return batch.set_column(i, target, new)
+            return batch.append_column(target, new)
+
+        if ed == "replace_match":
+            target, pattern, replacement = st.args
+            i = batch.column_names.index(target)
+            old = _as_array(batch.column(i))
+            hit = pc.fill_null(
+                pc.match_substring_regex(old, _glob_to_regex(pattern)), False
+            )
+            if mask is not None:
+                hit = pc.and_(hit, mask)
+            new = pc.if_else(hit, pa.scalar(replacement, old.type), old)
+            return batch.set_column(i, target, _as_array(new))
+
+        if ed in ("replace_all_matches", "replace_all_patterns"):
+            pattern, replacement = st.args
+            rx = (_glob_to_regex(pattern) if ed == "replace_all_matches"
+                  else pattern)
+            for i, f in enumerate(batch.schema):
+                if not pa.types.is_string(f.type):
+                    continue
+                old = _as_array(batch.column(i))
+                if ed == "replace_all_matches":
+                    hit = pc.fill_null(pc.match_substring_regex(old, rx), False)
+                    new = pc.if_else(hit, pa.scalar(replacement, old.type), old)
+                else:
+                    new = pc.replace_substring_regex(old, rx, replacement)
+                batch = batch.set_column(i, f.name, _as_array(new))
+            return batch
 
         raise ValueError(f"unknown editor {ed!r}")
 

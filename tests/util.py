@@ -82,7 +82,15 @@ def assert_frames_equal_unordered(left, right, keys: list[str] | None = None,
     l = l[sorted(l.columns)]
     r = r[sorted(r.columns)]
     assert list(l.columns) == list(r.columns), (list(l.columns), list(r.columns))
-    sort_cols = keys if keys else list(l.columns)
+    if keys:
+        sort_cols = keys
+    else:
+        # list-valued cells (ndarray/list) are unhashable sort keys — sort by
+        # the scalar columns only (like the driver, which sorts then hashes)
+        sort_cols = [c for c in l.columns
+                     if not l[c].map(lambda v: isinstance(v, (list, tuple))
+                                     or hasattr(v, "__array__")).any()]
+        sort_cols = sort_cols or list(l.columns)
     l = l.sort_values(sort_cols, ignore_index=True)
     r = r.sort_values(sort_cols, ignore_index=True)
     pd.testing.assert_frame_equal(l, r, check_dtype=False, check_exact=False, rtol=1e-9)
