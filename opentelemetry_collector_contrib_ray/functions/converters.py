@@ -343,6 +343,305 @@ def murmur3_hash(col):
     )
 
 
+def _murmur3_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """128-bit x64 murmur3 (public domain algorithm, MurmurHash3_x64_128)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    m = (1 << 64) - 1
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (64 - r))) & m
+
+    def fmix(k):
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & m
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & m
+        k ^= k >> 33
+        return k
+
+    h1 = h2 = seed
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16:i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8:i * 16 + 16], "little")
+        k1 = (k1 * c1) & m
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & m
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & m
+        h1 = (h1 * 5 + 0x52DCE729) & m
+        k2 = (k2 * c2) & m
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & m
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & m
+        h2 = (h2 * 5 + 0x38495AB5) & m
+    tail = data[nblocks * 16:]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0"), "little")
+        k2 = (k2 * c2) & m
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & m
+        h2 ^= k2
+    if len(tail) > 0:
+        k1 = int.from_bytes(tail[:8].ljust(8, b"\0"), "little")
+        k1 = (k1 * c1) & m
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & m
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & m
+    h2 = (h2 + h1) & m
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & m
+    h2 = (h2 + h1) & m
+    return h1, h2
+
+
+def murmur3_hash128(col):
+    """Murmur3Hash128 (func_murmur3_hash128.go) — hex of the 128-bit x64
+    murmur3 digest (h1 || h2, little-endian bytes like the Go impl)."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        h1, h2 = _murmur3_128(v.encode("utf-8"))
+        rows.append(h1.to_bytes(8, "little").hex()
+                    + h2.to_bytes(8, "little").hex())
+    return pa.array(rows, pa.string())
+
+
+def uuid_v7(col=None, ts_col=None):
+    """UUIDv7 (func_uuidv7.go) — time-ordered UUID. The reference draws
+    wall-clock + randomness; a batch engine needs reproducible ids, so the
+    timestamp field comes from ``ts_col`` (timestamp column, ms precision)
+    and the random bits from md5 of the value column — deterministic, but
+    preserving v7's sort-by-time property and version/variant bits."""
+    import hashlib as _hl
+
+    vals = _as_array(col).to_pylist() if col is not None else None
+    if ts_col is not None:
+        ts = _as_array(ts_col).cast(pa.int64()).to_pylist()  # us
+    else:
+        ts = [0] * len(vals)
+    rows = []
+    for i in range(len(ts)):
+        v = vals[i] if vals is not None else str(i)
+        if v is None:
+            rows.append(None)
+            continue
+        ms = (ts[i] or 0) // 1000
+        rand = _hl.md5(str(v).encode()).digest()
+        b = bytearray(16)
+        b[0:6] = int(ms).to_bytes(6, "big")
+        b[6] = 0x70 | (rand[0] & 0x0F)  # version 7
+        b[7] = rand[1]
+        b[8] = 0x80 | (rand[2] & 0x3F)  # RFC 4122 variant
+        b[9:16] = rand[3:10]
+        h = bytes(b).hex()
+        rows.append(f"{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}")
+    return pa.array(rows, pa.string())
+
+
+# --- duration extractors (func_hours.go etc): Go time.Duration methods over
+# int64-nanosecond duration columns. Hours/Minutes/Seconds -> float64;
+# Milliseconds/Microseconds/Nanoseconds -> int64 (matching d.Milliseconds()).
+
+def _dur_ns(col):
+    return _as_array(col).cast(pa.int64())
+
+
+def duration_hours(col):
+    return pc.divide(_dur_ns(col).cast(pa.float64()), 3_600_000_000_000.0)
+
+
+def duration_minutes(col):
+    return pc.divide(_dur_ns(col).cast(pa.float64()), 60_000_000_000.0)
+
+
+def duration_seconds(col):
+    return pc.divide(_dur_ns(col).cast(pa.float64()), 1_000_000_000.0)
+
+
+def duration_milliseconds(col):
+    return pc.divide(_dur_ns(col), 1_000_000)
+
+
+def duration_microseconds(col):
+    return pc.divide(_dur_ns(col), 1_000)
+
+
+def duration_nanoseconds(col):
+    return _dur_ns(col)
+
+
+def nanosecond_field(col):
+    """Nanosecond(time) — the nanosecond field of a timestamp."""
+    arr = _as_array(col)
+    us = arr.cast(pa.int64())  # timestamp[us]
+    return pc.multiply(pc.subtract(us, pc.multiply(
+        pc.divide(us, 1_000_000), 1_000_000)), 1_000)
+
+
+def is_map(col):
+    arr = _as_array(col)
+    ok = pa.types.is_struct(arr.type) or pa.types.is_map(arr.type)
+    return pa.array([ok if v else ok for v in [True] * len(arr)], pa.bool_()) \
+        if len(arr) else pa.array([], pa.bool_())
+
+
+def parse_simplified_xml(col):
+    """ParseSimplifiedXML (func_parse_simplified_xml.go) — element tree
+    WITHOUT attributes or extraneous text: {tag: text | nested}, repeated
+    tags collected into lists; returned as a JSON string (arrow structs
+    need a fixed schema, maps don't)."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+
+    def simplify(el):
+        if not len(el):
+            return (el.text or "").strip()
+        out: dict = {}
+        for child in el:
+            v = simplify(child)
+            if child.tag in out:
+                prev = out[child.tag]
+                out[child.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+            else:
+                out[child.tag] = v
+        return out
+
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        try:
+            root = ET.fromstring(v)
+            rows.append(_json.dumps({root.tag: simplify(root)},
+                                    separators=(",", ":"), sort_keys=True))
+        except ET.ParseError:
+            rows.append(None)
+    return pa.array(rows, pa.string())
+
+
+def _edit_xml(col, xpath: str, fn):
+    import xml.etree.ElementTree as ET
+
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        try:
+            root = ET.fromstring(v)
+            fn(root, xpath)
+            rows.append(ET.tostring(root, encoding="unicode"))
+        except ET.ParseError:
+            rows.append(v)
+    return pa.array(rows, pa.string())
+
+
+def insert_xml(col, xpath: str, sub_xml: str):
+    """InsertXML (func_insert_xml.go) — append a parsed XML fragment as a
+    child of every element matching the XPath."""
+    import xml.etree.ElementTree as ET
+
+    def fn(root, xp):
+        frag = ET.fromstring(sub_xml)
+        targets = [root] if xp in (".", "/") else root.findall(xp)
+        for t in targets:
+            import copy as _copy
+
+            t.append(_copy.deepcopy(frag))
+
+    return _edit_xml(col, xpath, fn)
+
+
+def remove_xml(col, xpath: str):
+    """RemoveXML (func_remove_xml.go) — delete all elements matching the
+    XPath (parent-relative search, like etree removal requires)."""
+    def fn(root, xp):
+        # find parents of matches: iterate all elements, remove matching kids
+        to_remove = set(id(e) for e in root.findall(xp))
+        if not to_remove:
+            return
+        for parent in root.iter():
+            for child in list(parent):
+                if id(child) in to_remove:
+                    parent.remove(child)
+
+    return _edit_xml(col, xpath, fn)
+
+
+def convert_attributes_to_elements_xml(col, xpath: str = "//*"):
+    """ConvertAttributesToElementsXML — every attribute becomes a child
+    element (func_convert_attributes_to_elements_xml.go)."""
+    import xml.etree.ElementTree as ET
+
+    def fn(root, _xp):
+        for el in root.iter():
+            for k in sorted(el.attrib):
+                child = ET.SubElement(el, k)
+                child.text = el.attrib[k]
+            el.attrib.clear()
+
+    return _edit_xml(col, xpath, fn)
+
+
+def convert_text_to_elements_xml(col, element_name: str = "value"):
+    """ConvertTextToElementsXML — stray text content moves into dedicated
+    child elements (func_convert_text_to_elements_xml.go)."""
+    import xml.etree.ElementTree as ET
+
+    def fn(root, _xp):
+        for el in root.iter():
+            if len(el) and el.text and el.text.strip():
+                child = ET.Element(element_name)
+                child.text = el.text.strip()
+                el.insert(0, child)
+                el.text = None
+
+    return _edit_xml(col, "", fn)
+
+
+def profile_id(col):
+    """ProfileID — 16-byte hex id -> fixed binary (profile-context analog of
+    TraceID; func_profile_id.go)."""
+    rows = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        b = bytes.fromhex(v)
+        if len(b) != 16:
+            raise ValueError(f"profile ids must be 16 bytes, got {len(b)}")
+        rows.append(b)
+    return pa.array(rows, pa.binary(16))
+
+
+def is_root_span(parent_span_id_col):
+    """IsRootSpan (func_is_root_span.go) — true when the parent span id is
+    empty/all-zero."""
+    arr = _as_array(parent_span_id_col)
+    rows = []
+    for v in arr.to_pylist():
+        if v is None:
+            rows.append(True)
+        elif isinstance(v, bytes):
+            rows.append(v == b"" or set(v) == {0})
+        else:
+            rows.append(v == "" or set(str(v)) <= {"0"})
+    return pa.array(rows, pa.bool_())
+
+
 def to_key_value_string(col, pair_delimiter: str = " ", kv_delimiter: str = "="):
     """ToKeyValueString — map column -> 'k=v k2=v2' string (sorted keys)."""
     rows = []
@@ -806,6 +1105,25 @@ REGISTRY = {
     "time": time_parse,
     "timelayout": parse_time_layout,
     "parsejsonarray": parse_json_array,
+    "murmur3hash128": murmur3_hash128,
+    "uuidv7": uuid_v7,
+    "hours": duration_hours,
+    "minutes": duration_minutes,
+    "seconds": duration_seconds,
+    "milliseconds": duration_milliseconds,
+    "microseconds": duration_microseconds,
+    "nanoseconds": duration_nanoseconds,
+    "nanosecond": nanosecond_field,
+    "ismap": is_map,
+    "parsesimplifiedxml": parse_simplified_xml,
+    "insertxml": insert_xml,
+    "removexml": remove_xml,
+    "convertattributestoelementsxml": convert_attributes_to_elements_xml,
+    "converttexttoelementsxml": convert_text_to_elements_xml,
+    "profileid": profile_id,
+    "isrootspan": is_root_span,
+    "tocamelcase": lambda col: convert_case(col, "camel"),
+    "tosnakecase": lambda col: convert_case(col, "snake"),
     "formattime": format_time,
     "truncatetime": truncate_time,
     "unixseconds": unix_seconds,

