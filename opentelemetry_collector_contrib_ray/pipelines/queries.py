@@ -178,6 +178,21 @@ def q_severity_full(sf_dir: str):
     )
 
 
+EXPO_SCALE, EXPO_LO, EXPO_HI = 2, -28, 36  # covers events.value 0.01..491
+
+
+def q_exp_histogram(sf_dir: str):
+    """spanmetrics exponential-bucket histogram (connector/
+    spanmetricsconnector/internal/metrics/metrics.go:37-75): fixed scale 2,
+    searchsorted over precomputed base-2^(1/4) edges — bit-identical to the
+    oracle's CASE ladder built from the same float64 boundaries."""
+    from ..stages.expohist import exp_histogram
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return exp_histogram(ds, value_col="value", keys=["event_type"],
+                         scale=EXPO_SCALE, idx_lo=EXPO_LO, idx_hi=EXPO_HI)
+
+
 def q_geoip_dns(sf_dir: str):
     """geoip + dns enrich via actor-held database readers (§2.8 tail,
     processor/geoipprocessor + dnslookupprocessor analogs): range-db lookup
@@ -602,13 +617,13 @@ def q_kv_parse(sf_dir: str):
     ds = corpus.corpus_dataset(sf_dir, with_raw=True).select_columns(["raw"])
 
     def parse(batch: pa.Table) -> pa.Table:
+        from ..functions.converters import kv_lookup
+
         kv = parse_key_value(batch.column("raw"), pair_delimiter=" ", kv_delimiter="=")
-        rows = kv.to_pylist()
-        get = lambda pairs, k: dict(pairs).get(k)  # noqa: E731
         return pa.table({
-            "doc_id": pa.array([get(r, "doc") for r in rows], pa.string()),
-            "source": pa.array([get(r, "source") for r in rows], pa.string()),
-            "n_tok": pa.array([int(get(r, "n")) for r in rows], pa.int32()),
+            "doc_id": kv_lookup(kv, "doc"),
+            "source": kv_lookup(kv, "source"),
+            "n_tok": kv_lookup(kv, "n").cast(pa.int32()),
         })
 
     return ds.map_batches(parse, batch_format="pyarrow", zero_copy_batch=True)
@@ -848,6 +863,7 @@ QUERIES = {
     "jsonarray_parse": q_jsonarray_parse,
     "tail_sampling_composite": q_tail_sampling_composite,
     "geoip_dns": q_geoip_dns,
+    "exp_histogram": q_exp_histogram,
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
     "group_by_attrs": q_group_by_attrs,
@@ -964,6 +980,7 @@ ORACLE_SQL = {
                          ELSE 0 END AS INTEGER) AS sev_status
         FROM events
     """,
+    "exp_histogram": None,  # built below (needs the generated CASE ladder)
     "geoip_dns": """
         WITH e AS (
             SELECT event_id,
@@ -1209,3 +1226,15 @@ ORACLE_SQL = {
         FROM marked GROUP BY user_id, grp
     """,
 }
+
+# exp_histogram oracle: the CASE ladder is generated from the SAME float64
+# bucket edges the engine searches, so comparisons are bit-identical.
+from ..stages.expohist import bucket_case_sql as _bucket_case_sql  # noqa: E402
+
+ORACLE_SQL["exp_histogram"] = f"""
+    SELECT event_type,
+           CAST({_bucket_case_sql('value', EXPO_SCALE, EXPO_LO, EXPO_HI)}
+                AS INTEGER) AS bucket,
+           count(*) AS row_count
+    FROM events GROUP BY event_type, bucket
+"""

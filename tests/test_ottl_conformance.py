@@ -597,3 +597,40 @@ def test_converter_tail_round2():
 
     # case aliases
     assert gc("ToSnakeCase")(pa.array(["FooBarBaz"])).to_pylist() == ["foo_bar_baz"]
+
+
+def test_exponential_histogram_sketch():
+    """Auto-downscaling mergeable expohisto (spanmetrics scale path):
+    merge(a, b) == from_values(a ++ b) totals; downscale halves indices."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.expohist import (
+        ExponentialHistogram,
+        bucket_boundaries,
+        exponential_bucketize,
+    )
+
+    rng = np.random.default_rng(7)
+    a, b = rng.lognormal(0, 2, 500), rng.lognormal(3, 1, 500)
+    h1 = ExponentialHistogram(scale=4, max_size=32).add_values(a)
+    h2 = ExponentialHistogram(scale=4, max_size=32).add_values(b)
+    both = ExponentialHistogram(scale=4, max_size=32).add_values(
+        np.concatenate([a, b]))
+    merged = h1.merge(h2)
+    assert merged.total == both.total == 1000
+    assert merged.scale <= 4
+    # merged counts at the coarser common scale match the direct build
+    while both.scale > merged.scale:
+        both.scale -= 1
+        both.counts = {k >> 1: sum(v for kk, v in both.counts.items()
+                                   if kk >> 1 == k >> 1) for k in both.counts}
+    assert merged.counts == both.counts
+    # zero/negative -> zero bucket
+    hz = ExponentialHistogram().add_values(np.array([0.0, -1.0, 2.0]))
+    assert hz.zero_count == 2 and hz.total == 3
+
+    # fixed-scale bucketize: upper-inclusive edges, under/overflow sentinels
+    bounds = bucket_boundaries(0, 0, 3)  # 1,2,4,8,16
+    idx = exponential_bucketize(np.array([1.0, 1.5, 2.0, 16.0, 17.0, 0.5]),
+                                bounds, 0)
+    assert idx.tolist() == [-1, 0, 0, 3, 4, -1]
