@@ -115,6 +115,7 @@ OPERATOR_QUERIES = [
     "delta_cumsum",
     "knn_vec0",
     "minhash_pairs",
+    "simhash_pairs",
 ]
 
 

@@ -47,13 +47,86 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
         return h
     if len(h) < n:
         out = h[0]
-        for x in h[1:]:
-            out = out * _COMBINE ^ x
+        with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+            for x in h[1:]:
+                out = out * _COMBINE ^ x
         return np.array([out], dtype=np.uint64)
     acc = h[: len(h) - n + 1].copy()
     for k in range(1, n):
         acc = acc * _COMBINE ^ h[k : len(h) - n + 1 + k]
     return np.unique(acc)
+
+
+def _flat_word_hashes(texts_col) -> tuple[np.ndarray, np.ndarray]:
+    """(flat fnv1a64 word hashes, per-doc word counts) for a batch.
+
+    Arrow-native split + per-batch vocabulary: the Python fnv1a64 runs once
+    per UNIQUE word; one ``index_in`` gather maps every occurrence. On
+    log/tokenized corpora (small per-batch vocabularies) this collapses the
+    per-word Python cost ~5× (VERDICT r1 #8)."""
+    import pyarrow.compute as pc
+
+    if not isinstance(texts_col, (pa.Array, pa.ChunkedArray)):
+        texts_col = pa.array(list(texts_col), pa.string())
+    if isinstance(texts_col, pa.ChunkedArray):
+        texts_col = texts_col.combine_chunks()
+    texts_col = pc.fill_null(texts_col, "")
+    split = pc.split_pattern(texts_col, " ")
+    lens = pc.list_value_length(split).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    words = split.flatten()
+    uniq = pc.unique(words)
+    uh = np.fromiter((fnv1a64(w) for w in uniq.to_pylist()),
+                     dtype=np.uint64, count=len(uniq))
+    idx = pc.index_in(words, value_set=uniq).to_numpy(zero_copy_only=False)
+    return uh[idx], lens
+
+
+def _batch_shingle_hashes(texts_col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat word-n-gram shingle hashes + per-doc shingle counts, doc-ordered.
+
+    One global rolling multiply-xor with a doc-boundary mask replaces the
+    per-doc loop; duplicates are RETAINED (min-reduction is
+    duplicate-invariant, so signatures match the per-doc unique path).
+    Docs shorter than ``n`` words contribute one whole-doc combine, like
+    :func:`_shingle_hashes`."""
+    flat, lens = _flat_word_hashes(texts_col)
+    total, n_docs = len(flat), len(lens)
+    m = total - n + 1
+    # rolling combine: acc_i = (((w_i*C ^ w_{i+1})*C ^ w_{i+2}) ...)
+    if m > 0:
+        acc = flat[:m].copy()
+        for k in range(1, n):
+            acc = acc * _COMBINE ^ flat[k:m + k]
+    else:
+        acc = np.empty(0, dtype=np.uint64)
+    doc_of_word = np.repeat(np.arange(n_docs), lens)
+    valid = (doc_of_word[:m] == doc_of_word[n - 1:total]) if m > 0 else \
+        np.empty(0, dtype=bool)
+    long_sh = acc[valid]
+    cnt = np.where(lens >= n, lens - n + 1, 1).astype(np.int64)
+    sh_off = np.concatenate(([0], np.cumsum(cnt)))
+    out = np.empty(int(sh_off[-1]), dtype=np.uint64)
+    long_mask = lens >= n
+    cnt_long = cnt[long_mask]
+    if cnt_long.sum():
+        starts = sh_off[:-1][long_mask]
+        rel = np.concatenate(([0], np.cumsum(cnt_long)[:-1]))
+        within = np.arange(int(cnt_long.sum())) - np.repeat(rel, cnt_long)
+        out[np.repeat(starts, cnt_long) + within] = long_sh
+    short_docs = np.nonzero(~long_mask)[0]
+    if len(short_docs):
+        word_off = np.concatenate(([0], np.cumsum(lens)))
+        vals = np.empty(len(short_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):  # wraparound mod 2^64 is the point
+            for i, d in enumerate(short_docs):  # ≤ n-1 words each, rare
+                seg = flat[word_off[d]:word_off[d + 1]]
+                v = seg[0] if len(seg) else np.uint64(0)
+                for x in seg[1:]:
+                    v = v * _COMBINE ^ x
+                vals[i] = v
+        out[sh_off[:-1][~long_mask]] = vals
+    return out, cnt
 
 
 class MinHashSketch:
@@ -91,16 +164,15 @@ class MinHashSketch:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(MERSENNE_P)
         return vals.min(axis=1)
 
-    def signatures_batch(self, texts: list) -> np.ndarray:
+    def signatures_batch(self, texts) -> np.ndarray:
         """(n_docs, num_perm) signature matrix via one reduceat per perm —
-        all docs' shingles processed in one flat vectorized pass."""
-        shingle_arrays = [_shingle_hashes(t or "", self.shingle_n) for t in texts]
-        lens = np.array([max(len(s), 1) for s in shingle_arrays])
-        flat = np.concatenate(
-            [s if len(s) else np.array([0], dtype=np.uint64) for s in shingle_arrays]
-        )
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        all docs' shingles built in one flat vectorized pass
+        (:func:`_batch_shingle_hashes`; duplicate shingles are harmless
+        under the min-reduction, so results match the per-doc unique
+        path)."""
+        flat, cnt = _batch_shingle_hashes(texts, self.shingle_n)
+        offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        sigs = np.empty((len(cnt), self.num_perm), dtype=np.uint64)
         p = np.uint64(MERSENNE_P)
         for j in range(self.num_perm):
             vals = (self.a[j] * flat + self.b[j]) % p
@@ -124,14 +196,14 @@ class MinHashSketch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Per-doc signatures: (doc_id, sig list<int64>)."""
         ids = batch.column(self.id_col)
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = self.signatures_batch(texts)
-        return pa.table(
-            {
-                self.id_col: ids,
-                "sig": pa.array(sigs.view(np.int64).tolist(), pa.list_(pa.int64())),
-            }
+        sigs = self.signatures_batch(batch.column(self.text_col))
+        # fixed-width list from the contiguous matrix, no per-row tolist
+        n, k = sigs.shape
+        offsets = pa.array(np.arange(0, (n + 1) * k, k, dtype=np.int32))
+        sig_arr = pa.ListArray.from_arrays(
+            offsets, pa.array(sigs.reshape(-1).view(np.int64), pa.int64())
         )
+        return pa.table({self.id_col: ids, "sig": sig_arr})
 
     def explode_bands(self, batch: pa.Table) -> pa.Table:
         """(doc_id, sig) -> lean (doc_id, band, bucket) rows — the ONLY rows
@@ -341,27 +413,77 @@ class SimHashSketch:
         self.bit_shifts = np.arange(64, dtype=np.uint64)
         self.bit_weights = np.uint64(1) << self.bit_shifts
 
-    def simhash(self, text: str) -> int:
-        return int(self.simhash_batch([text])[0])
+    # 4-bit nibble -> 4 bit-counts packed into 16-bit lanes of one int64:
+    # LUT[v] lane b = bit b of v. Segment-summing the packed value counts 4
+    # bit planes per reduceat pass (16 passes instead of 64); lanes hold
+    # counts < 2^16, so docs up to 65535 words are exact (far beyond any
+    # tokenized-log line; longer docs would need 32-bit lanes).
+    _NIBBLE_LUT = np.array(
+        [sum(((v >> b) & 1) << (16 * b) for b in range(4))
+         for v in range(16)],
+        dtype=np.int64,
+    )
+    MAX_WORDS_EXACT = (1 << 16) - 1
 
-    def simhash_batch(self, texts: list) -> np.ndarray:
-        """(n,) uint64 simhashes for a batch of texts."""
-        word_lists = [(t or "").split(" ") for t in texts]
-        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
-        total = int(lens.sum())
-        flat = np.fromiter(
-            (fnv1a64(w) for ws in word_lists for w in ws),
-            dtype=np.uint64, count=total,
-        )
-        # bit-plane expansion via unpackbits on the little-endian byte view:
-        # (total, 64) uint8, 1 byte per bit — 8× leaner than a uint64
-        # broadcast; reduceat accumulates into int64 so no overflow at any
-        # doc length
-        bits = np.unpackbits(
-            flat[:, None].view(np.uint8), axis=1, bitorder="little"
-        )
+    def simhash(self, text: str) -> int:
+        return int(self.simhash_batch_from_words([(text or "").split(" ")])[0])
+
+    def _word_hashes(self, texts_col) -> tuple[np.ndarray, np.ndarray]:
+        """(flat word-hash array, per-doc word counts) — arrow-native split
+        + per-batch vocabulary: fnv1a64 runs once per UNIQUE word, then one
+        index_in gather maps every occurrence (synthetic/log corpora have
+        small per-batch vocabularies, so this collapses the Python cost)."""
+        import pyarrow.compute as pc
+
+        if not isinstance(texts_col, (pa.Array, pa.ChunkedArray)):
+            texts_col = pa.array(texts_col, pa.string())
+        if isinstance(texts_col, pa.ChunkedArray):
+            texts_col = texts_col.combine_chunks()
+        texts_col = pc.fill_null(texts_col, "")
+        split = pc.split_pattern(texts_col, " ")
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        words = split.flatten()
+        uniq = pc.unique(words)
+        uh = np.fromiter((fnv1a64(w) for w in uniq.to_pylist()),
+                         dtype=np.uint64, count=len(uniq))
+        idx = pc.index_in(words, value_set=uniq).to_numpy(
+            zero_copy_only=False)
+        return uh[idx], lens
+
+    def _bit_counts(self, flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        """(n_docs, 64) per-bit one-counts via 16 packed-lane reduceats."""
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        ones = np.add.reduceat(bits, offsets, axis=0, dtype=np.int64)
+        n = len(lens)
+        ones = np.empty((n, 64), dtype=np.int64)
+        nib = np.uint64(0xF)
+        for p in range(16):
+            packed = self._NIBBLE_LUT[
+                ((flat >> np.uint64(4 * p)) & nib).astype(np.int64)
+            ]
+            seg = np.add.reduceat(packed, offsets)
+            for b in range(4):
+                ones[:, 4 * p + b] = (seg >> (16 * b)) & 0xFFFF
+        return ones
+
+    def simhash_batch_from_words(self, word_lists: list) -> np.ndarray:
+        lens = np.array([len(w) for w in word_lists], dtype=np.int64)
+        flat = np.fromiter((fnv1a64(w) for ws in word_lists for w in ws),
+                           dtype=np.uint64, count=int(lens.sum()))
+        return self._finish(flat, lens)
+
+    def simhash_batch(self, texts) -> np.ndarray:
+        """(n,) uint64 simhashes for a batch of texts (list or arrow col)."""
+        flat, lens = self._word_hashes(texts)
+        return self._finish(flat, lens)
+
+    def _finish(self, flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        if lens.max(initial=0) > self.MAX_WORDS_EXACT:
+            raise ValueError(
+                f"document exceeds {self.MAX_WORDS_EXACT} words; widen the "
+                "simhash counter lanes for such inputs"
+            )
+        ones = self._bit_counts(flat, lens)
         acc = 2 * ones - lens[:, None]  # sum of ±1 votes per bit
         return ((acc > 0).astype(np.uint64) << self.bit_shifts[None, :]).sum(
             axis=1, dtype=np.uint64
@@ -371,9 +493,8 @@ class SimHashSketch:
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        texts = batch.column(self.text_col).to_pylist()
-        n = len(texts)
-        sh = self.simhash_batch(texts)
+        n = batch.num_rows
+        sh = self.simhash_batch(batch.column(self.text_col))
         k = self.N_CHUNKS
         idx = np.repeat(np.arange(n), k)
         chunks = np.tile(np.arange(k, dtype=np.int32), n)
@@ -437,16 +558,15 @@ def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
     )
     keys_ref = ray.put(np.unique(combine_fn(hot)))
 
-    class _Keep:
-        def __init__(self, ref):
-            self.keys = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.filter(pa.array(np.isin(combine_fn(batch), self.keys)))
+    # task-based (no actor pool): the broadcast key set is read zero-copy
+    # from the object store per task — actor startup cost isn't worth it for
+    # a sorted-array membership probe (CLAUDE.md round-1 perf note)
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        return batch.filter(pa.array(np.isin(combine_fn(batch), keys)))
 
     return band_rows.map_batches(
-        _Keep, fn_constructor_kwargs=dict(ref=keys_ref),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        keep, batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
