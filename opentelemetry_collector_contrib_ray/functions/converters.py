@@ -642,6 +642,49 @@ def is_root_span(parent_span_id_col):
     return pa.array(rows, pa.bool_())
 
 
+def parse_json(col):
+    """ParseJSON (func_parse_json.go) — JSON string -> compact re-serialized
+    JSON (object/array) or None on parse failure. Arrow maps need fixed
+    schemas, so the full dynamic map stays JSON-encoded; use
+    ParseJsonField to pluck typed values."""
+    out = []
+    for v in _as_array(col).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.dumps(json.loads(v), separators=(",", ":"),
+                                  sort_keys=True))
+        except (ValueError, TypeError):
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+def unix_time(seconds_col, nanoseconds_col=None):
+    """Unix(seconds, [nanoseconds]) -> timestamp (func_unix.go:33-52)."""
+    sec = _as_array(seconds_col).cast(pa.int64())
+    us = pc.multiply(sec, 1_000_000)
+    if nanoseconds_col is not None:
+        ns = _as_array(nanoseconds_col).cast(pa.int64())
+        us = pc.add(us, pc.divide(ns, 1_000))
+    return us.cast(pa.timestamp("us"))
+
+
+def now(col=None, fixed: str | None = None):
+    """Now() (func_now.go). The reference returns wall-clock time — useless
+    for a reproducible batch engine — so ``fixed`` (ISO string) pins the
+    value; without it, one wall-clock timestamp is taken PER BATCH and
+    broadcast (still non-deterministic across runs; prefer ``fixed``)."""
+    import datetime as _dt
+
+    n = len(_as_array(col)) if col is not None else 1
+    if fixed is not None:
+        t = _dt.datetime.fromisoformat(fixed)
+    else:
+        t = _dt.datetime.utcnow()
+    return pa.array([t] * n, pa.timestamp("us"))
+
+
 def kv_lookup(kv_col, key: str):
     """First value for ``key`` from a parsed key-value list<struct<key,value>>
     column — vectorized (flatten + equality + first-per-row take), no
@@ -1138,6 +1181,10 @@ REGISTRY = {
     "timelayout": parse_time_layout,
     "parsejsonarray": parse_json_array,
     "murmur3hash128": murmur3_hash128,
+    "parsejson": parse_json,
+    "unix": unix_time,
+    "now": now,
+    "kvlookup": kv_lookup,
     "uuidv7": uuid_v7,
     "hours": duration_hours,
     "minutes": duration_minutes,

@@ -390,6 +390,18 @@ def q_delta_cumsum(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "cum_cents"])
 
 
+def q_delta_cumsum_bucketed(sf_dir: str):
+    """deltatocumulative, skew-safe path: time-range pre-split + per-key
+    offset join (stages/window.py delta_to_cumulative_bucketed) — identical
+    results to the window-sum oracle, bounded task sizes under hot keys."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    out = window.delta_to_cumulative_bucketed(
+        ds, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", out_col="cum_cents", time_buckets=8,
+    )
+    return out.select_columns(["event_id", "user_id", "cum_cents"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -868,6 +880,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "group_by_attrs": q_group_by_attrs,
     "delta_cumsum": q_delta_cumsum,
+    "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
     "interval_last": q_interval_last,
     "histogram_buckets": q_histogram_buckets,
     "routing_events": q_routing_events,
@@ -1037,6 +1050,12 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id, event_type
     """,
     "delta_cumsum": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
+        FROM events
+    """,
+    "delta_cumsum_bucketed": """
         SELECT event_id, user_id,
                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents

@@ -29,6 +29,11 @@ class RegexParse:
     on_error : "drop" removes rows that fail the regex; "send" keeps them
         with null captures (helper/parser.go on_error semantics).
     keep_input : keep the raw column in the output.
+    memoize : batch analog of the reference's raw-line→captures LRU cache
+        (parser/regex/parser.go ``cache``): extract once per UNIQUE line in
+        the batch and gather results back by index — a big win on log
+        streams where the same line repeats (health checks, heartbeats).
+        Off by default; enable when the duplicate ratio is known high.
     """
 
     def __init__(
@@ -38,6 +43,7 @@ class RegexParse:
         types: dict[str, pa.DataType] | None = None,
         on_error: str = "drop",
         keep_input: bool = False,
+        memoize: bool = False,
     ):
         if on_error not in ("drop", "send"):
             raise ValueError("on_error must be 'drop' or 'send'")
@@ -46,12 +52,22 @@ class RegexParse:
         self.types = types or {}
         self.on_error = on_error
         self.keep_input = keep_input
+        self.memoize = memoize
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.parse_from)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        extracted = pc.extract_regex(col, self.pattern)  # struct array, null on miss
+        if self.memoize:
+            uniq = pc.unique(col)
+            if len(uniq) < len(col):
+                per_uniq = pc.extract_regex(uniq, self.pattern)
+                idx = pc.index_in(col, value_set=uniq)
+                extracted = per_uniq.take(idx)
+            else:
+                extracted = pc.extract_regex(col, self.pattern)
+        else:
+            extracted = pc.extract_regex(col, self.pattern)  # null on miss
         matched = pc.is_valid(extracted)
 
         if self.on_error == "drop" and not pc.all(matched).as_py():

@@ -312,10 +312,66 @@ class IVFIndex:
         return np.argsort(-sims)[:n_probe]
 
 
+def ivf_build(ds, index_dir: str, id_col: str, vec_col: str,
+              n_cells: int = 16, fit_sample: int = 2048,
+              seed: int = 42) -> "IVFIndex":
+    """Build a PARTITIONED IVF index on disk: one Parquet directory per
+    cell (``cell=<i>/``) plus the centroid matrix — so a probe-limited
+    search reads ONLY the matching partitions (pruning at the read, the
+    scale path ivf_topk's docstring promises)."""
+    import os
+
+    sample = ds.limit(fit_sample).to_pandas()
+    index = IVFIndex(n_cells=n_cells, seed=seed).fit(
+        np.stack(sample[vec_col].to_numpy())
+    )
+    assigned = ds.map_batches(
+        index.assign_stage(vec_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    assigned.write_parquet(index_dir, partition_cols=["cell"])
+    np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
+    return index
+
+
+def ivf_search(index_dir: str, query: np.ndarray, id_col: str, vec_col: str,
+               k: int, n_probe: int = 4,
+               exclude_ids: set | None = None) -> pa.Table:
+    """Probe-limited search over a partitioned IVF index: reads only the
+    ``n_probe`` nearest cells' Parquet partitions — I/O scales with the
+    probed fraction, not the corpus."""
+    import os
+
+    import ray.data as rd
+
+    C = np.load(os.path.join(index_dir, "centroids.npy"))
+    index = IVFIndex(n_cells=len(C))
+    index.centroids = C
+    cells = index.probe_cells(np.asarray(query, dtype=np.float64), n_probe)
+    paths = []
+    for c in cells:
+        d = os.path.join(index_dir, f"cell={int(c)}")
+        if os.path.isdir(d):
+            paths.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    if not paths:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int32())})
+    probed = rd.read_parquet(paths, columns=[id_col, vec_col])
+    out = knn_brute_force(probed, np.asarray(query)[None, :], id_col=id_col,
+                          vec_col=vec_col, k=k, exclude_ids=exclude_ids)
+    return out.select([id_col, "cosine", "rank"])
+
+
 def ivf_topk(ds, query: np.ndarray, id_col: str, vec_col: str, k: int,
              n_cells: int = 16, n_probe: int = 4, fit_sample: int = 2048,
              exclude_ids: set | None = None) -> pa.Table:
-    """Approximate top-k: search only the n_probe nearest IVF cells."""
+    """Approximate top-k: search only the n_probe nearest IVF cells.
+
+    In-stream variant (assign + filter per query); for repeated queries
+    build the index ONCE with :func:`ivf_build` and use :func:`ivf_search`,
+    which prunes at the Parquet read instead of scanning every row."""
     sample = ds.limit(fit_sample).to_pandas()
     index = IVFIndex(n_cells=n_cells).fit(np.stack(sample[vec_col].to_numpy()))
     assigned = ds.map_batches(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def delta_to_cumulative(
@@ -52,6 +53,109 @@ def delta_to_cumulative(
         return group
 
     return ds.groupby(key_cols).map_groups(cumsum, batch_format="pandas")
+
+
+def delta_to_cumulative_bucketed(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum_value",
+    time_buckets: int = 8,
+    join_partitions: int = 8,
+):
+    """Skew-safe running cumulative sum (integer cents): the time-range
+    pre-split the plain path's docstring promises.
+
+    A pathological key (one user with a billion rows) makes
+    ``groupby(key).map_groups`` a single giant task. Two-phase instead:
+
+    1. bucket rows by coarse time range (global min/max ÷ ``time_buckets``),
+       local sorted cumsum within each (key, bucket) group — bounded tasks;
+    2. per-(key, bucket) totals -> per-key EXCLUSIVE prefix offsets (a tiny
+       groupby over |keys|×|buckets| rows) joined back and added.
+
+    Results are bit-identical to the plain path / the SQL window sum.
+    """
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+    from ray.data.aggregate import Sum as ASum
+
+    t_col = order_cols[0]
+    bounds = ds.aggregate(AMin(t_col, alias_name="lo"),
+                          AMax(t_col, alias_name="hi"))
+    lo, hi = bounds["lo"], bounds["hi"]
+    lo_us = int(pd.Timestamp(lo).value // 1000) if hasattr(lo, "isoformat") \
+        or isinstance(lo, pd.Timestamp) else int(lo)
+    hi_us = int(pd.Timestamp(hi).value // 1000) if hasattr(hi, "isoformat") \
+        or isinstance(hi, pd.Timestamp) else int(hi)
+    width = max(1, (hi_us - lo_us) // time_buckets + 1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        col = t.column(t_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(col.type) \
+            else col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = np.clip((us - lo_us) // width, 0, time_buckets - 1)
+        return t.append_column("_tb", pa.array(tb.astype(np.int64)))
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def local_cumsum(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_cols, kind="mergesort")
+        cents = np.rint(group[value_col].to_numpy() * 100).astype(np.int64)
+        group["_local"] = np.cumsum(cents)
+        return group
+
+    local = bucketed.groupby([key_col, "_tb"]).map_groups(
+        local_cumsum, batch_format="pandas"
+    )
+
+    def totals_batch(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column(value_col).to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({
+            key_col: t.column(key_col),
+            "_tb": t.column("_tb"),
+            "_c": pa.array(cents, pa.int64()),
+        })
+
+    totals = bucketed.map_batches(
+        totals_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby([key_col, "_tb"]).aggregate(ASum("_c", alias_name="_sum"))
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("_tb", kind="mergesort")
+        s = group["_sum"].to_numpy()
+        group["_off"] = np.concatenate(([0], np.cumsum(s)[:-1])).astype(np.int64)
+        group["_tb"] = group["_tb"].astype(np.int64)  # join-key type parity
+        return group[[key_col, "_tb", "_off"]]
+
+    off = totals.groupby(key_col).map_groups(offsets, batch_format="pandas")
+
+    from .blocks import nonempty_blocks
+
+    joined = nonempty_blocks(local).join(
+        nonempty_blocks(off), join_type="inner",
+        num_partitions=join_partitions, on=(key_col, "_tb"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        cum = (
+            t.column("_local").to_numpy(zero_copy_only=False)
+            + t.column("_off").to_numpy(zero_copy_only=False)
+        )
+        keep = [c for c in t.column_names
+                if c not in ("_local", "_off", "_tb")]
+        out = t.select(keep)
+        return out.append_column(out_col, pa.array(cum, pa.int64()))
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def cumulative_to_delta(

@@ -634,3 +634,39 @@ def test_exponential_histogram_sketch():
     idx = exponential_bucketize(np.array([1.0, 1.5, 2.0, 16.0, 17.0, 0.5]),
                                 bounds, 0)
     assert idx.tolist() == [-1, 0, 0, 3, 4, -1]
+
+
+def test_parse_json_unix_now_kvlookup():
+    gc = get_converter
+    out = gc("ParseJSON")(pa.array(['{"b":1,"a":2}', "nope", None]))
+    assert out.to_pylist() == ['{"a":2,"b":1}', None, None]
+
+    ts = gc("Unix")(pa.array([1_700_000_000], pa.int64()),
+                    pa.array([123_000], pa.int64()))
+    assert ts.type == pa.timestamp("us") and ts[0].value == 1_700_000_000_000_123
+
+    fixed = gc("Now")(pa.array([1, 2, 3]), "2024-06-01T12:00:00")
+    assert fixed.to_pylist()[0].isoformat() == "2024-06-01T12:00:00"
+    assert len(fixed) == 3
+
+    from opentelemetry_collector_contrib_ray.functions.converters import (
+        parse_key_value,
+    )
+
+    kv = parse_key_value(pa.array(["a=1 b=2", "b=9", "c=0"]),
+                         pair_delimiter=" ", kv_delimiter="=")
+    vals = gc("KVLookup")(kv, "b")
+    assert vals.to_pylist() == ["2", "9", None]
+
+
+def test_regex_parse_memoized_matches_plain():
+    from opentelemetry_collector_contrib_ray.stages.parse import RegexParse
+
+    rows = ["x=1 y=a", "x=2 y=b", "x=1 y=a", "bad"] * 10
+    t = pa.table({"raw": rows})
+    pat = r"^x=(?P<x>\d+) y=(?P<y>\w+)$"
+    plain = RegexParse(pat, on_error="send", keep_input=True)(t)
+    memo = RegexParse(pat, on_error="send", keep_input=True, memoize=True)(t)
+    assert plain.to_pydict() == memo.to_pydict()
+    dropped = RegexParse(pat, on_error="drop", memoize=True)(t)
+    assert dropped.num_rows == 30

