@@ -14,9 +14,15 @@ Supported grammar (the subset our corpus + routing tables exercise):
     or       := and ("or" and)*
     and      := unary ("and" unary)*
     unary    := "not" unary | "(" expr ")" | comparison
-    compare  := operand (OP operand | "in" "(" lit ("," lit)* ")")?
+    compare  := sum (OP sum | "in" "(" lit ("," lit)* ")")?
+    sum      := product (("+" | "-") product)*
+    product  := operand (("*" | "/") operand)*
     operand  := IDENT | literal | converter "(" args ")"
     literal  := "str" | 'str' | int | float | true | false | nil
+
+Math follows pkg/ottl/LANGUAGE.md "Math Expressions" / pkg/ottl/math.go:
+int and float NEVER mix (a type error, like the reference), int division
+truncates, division by zero errors.
 
 Converters usable inside conditions: ``IsMatch(col, "regex")``,
 ``Len(col)``, ``HasPrefix/HasSuffix(col, "s")`` — mirroring the most common
@@ -40,6 +46,7 @@ _TOKEN_RE = re.compile(
         (?P<num>-?\d+\.\d+|-?\d+)
       | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
       | (?P<op>==|!=|<=|>=|<|>)
+      | (?P<arith>[+\-*/])
       | (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
       | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
@@ -66,6 +73,11 @@ def _tokenize(text: str) -> list[_Tok]:
         pos = m.end()
         kind = m.lastgroup
         val = m.group(kind)
+        # "a -5" after an operand means subtraction, not a negative literal
+        if (kind == "num" and val.startswith("-") and toks
+                and toks[-1].kind in ("num", "str", "ident", "rpar")):
+            toks.append(_Tok("arith", "-"))
+            val = val[1:]
         if kind == "ident" and val.lower() in _KEYWORDS:
             toks.append(_Tok(val.lower(), val.lower()))
         else:
@@ -140,11 +152,11 @@ class _Parser:
         return self.comparison()
 
     def comparison(self):
-        lhs = self.operand()
+        lhs = self.sum()
         t = self.peek()
         if t.kind == "op":
             op = self.next().value
-            rhs = self.operand()
+            rhs = self.sum()
             return ("cmp", op, lhs, rhs)
         if t.kind == "in":
             self.next()
@@ -158,6 +170,20 @@ class _Parser:
         # bare truthy operand (e.g. a boolean column)
         return ("truthy", lhs)
 
+    def sum(self):
+        node = self.product()
+        while self.peek().kind == "arith" and self.peek().value in "+-":
+            op = self.next().value
+            node = ("arith", op, node, self.product())
+        return node
+
+    def product(self):
+        node = self.operand()
+        while self.peek().kind == "arith" and self.peek().value in "*/":
+            op = self.next().value
+            node = ("arith", op, node, self.operand())
+        return node
+
     def operand(self):
         t = self.peek()
         if t.kind in ("num", "str") or t.kind in ("true", "false", "nil", "null"):
@@ -168,10 +194,10 @@ class _Parser:
                 self.next()
                 args = []
                 if self.peek().kind != "rpar":
-                    args.append(self.operand())
+                    args.append(self.sum())
                     while self.peek().kind == "comma":
                         self.next()
-                        args.append(self.operand())
+                        args.append(self.sum())
                 self.expect("rpar")
                 return ("call", name, args)
             return ("col", name)
@@ -213,7 +239,55 @@ def _eval_operand(node, table: pa.Table):
         name, args = node[1], node[2]
         vals = [_eval_operand(a, table) for a in args]
         return _call_converter(name, vals)
+    if kind == "arith":
+        _, op, l, r = node
+        return _eval_arith(op, _eval_operand(l, table),
+                           _eval_operand(r, table))
     raise ValueError(f"bad operand {node}")
+
+
+def _is_floatish(v) -> bool:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return pa.types.is_floating(v.type)
+    return isinstance(v, float)
+
+
+def _is_intish(v) -> bool:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return pa.types.is_integer(v.type)
+    return isinstance(v, int) and not isinstance(v, bool)
+
+
+def _eval_arith(op: str, lv, rv):
+    """OTTL math (pkg/ottl/math.go): int∘int -> int (truncating /),
+    float∘float -> float; MIXING int and float is a type error; division
+    by zero errors (explicitly checked for floats, where Arrow would give
+    inf)."""
+    if lv is None or rv is None:
+        raise ValueError(f"math on nil operand ({op})")
+    li, lf = _is_intish(lv), _is_floatish(lv)
+    ri, rf = _is_intish(rv), _is_floatish(rv)
+    if not ((li or lf) and (ri or rf)):
+        raise ValueError(f"non-numeric operand for {op!r}")
+    if (li and rf) or (lf and ri):
+        raise ValueError(
+            f"int and float never mix in OTTL math ({op!r}); Double()/Int() "
+            "convert explicitly"
+        )
+    if op == "+":
+        return pc.add_checked(lv, rv)
+    if op == "-":
+        return pc.subtract_checked(lv, rv)
+    if op == "*":
+        return pc.multiply_checked(lv, rv)
+    if lf:  # float division: arrow yields inf on 0 — OTTL errors
+        rz = pc.equal(rv, 0.0) if isinstance(rv, (pa.Array, pa.ChunkedArray)) \
+            else (rv == 0.0)
+        bad = pc.any(rz).as_py() if not isinstance(rz, bool) else rz
+        if bad:
+            raise ZeroDivisionError("division by zero in condition math")
+        return pc.divide_checked(lv, rv)
+    return pc.divide_checked(lv, rv)  # int: truncates; raises on zero
 
 
 def _call_converter(name: str, vals: list):
@@ -249,7 +323,10 @@ def _eval_bool(node, table: pa.Table):
         _, op, lhs, rhs = node
         lv, rv = _eval_operand(lhs, table), _eval_operand(rhs, table)
         if lv is None or rv is None:
-            # comparison against nil: only ==/!= meaningful
+            # nil comparisons (pkg/ottl/compare.go): == / != test nil-ness;
+            # ordering ops against nil are always false
+            if op not in ("==", "!="):
+                return pa.array([False] * n, pa.bool_())
             arr = rv if lv is None else lv
             if isinstance(arr, (pa.Array, pa.ChunkedArray)):
                 isnull = pc.is_null(arr)

@@ -134,6 +134,25 @@ def policy_trace_state(column: str, key: str, values: list[str]):
     return decide
 
 
+def policy_ottl_condition(condition: str):
+    """ottl_condition policy (internal/sampling/ottl.go): keep the group if
+    ANY row satisfies the compiled OTTL condition (ErrorMode=ignore: rows
+    the condition cannot evaluate simply don't match)."""
+    from ..functions.expr import compile_condition
+
+    cond = compile_condition(condition)
+
+    def decide(group: pd.DataFrame) -> bool:
+        import pyarrow as pa
+
+        mask = cond(pa.Table.from_pandas(group, preserve_index=False))
+        import pyarrow.compute as pc
+
+        return bool(pc.any(mask).as_py())
+
+    return decide
+
+
 def invert(policy):
     """invert_match modifier (policy.go InvertSampled semantics)."""
 

@@ -267,14 +267,39 @@ def _elementwise_list_concat(segments: list, n: int) -> pa.Array:
 
 
 class Transform:
-    """map_batches callable executing an ordered statement list per batch."""
+    """map_batches callable executing an ordered statement list per batch.
 
-    def __init__(self, statements: list[Statement]):
+    ``error_mode`` follows the transformprocessor statement-group modes
+    (processor/transformprocessor README "error_mode" /
+    pkg/ottl/parser.go error handling): ``propagate`` re-raises a failing
+    statement (fails the task), ``ignore`` logs the error and continues
+    with the next statement, ``silent`` continues without logging. The unit
+    of failure here is a statement×batch (the batch engine's record-set
+    analog of the reference's per-record evaluation)."""
+
+    def __init__(self, statements: list[Statement],
+                 error_mode: str = "propagate"):
+        if error_mode not in ("propagate", "ignore", "silent"):
+            raise ValueError(
+                f"error_mode must be propagate|ignore|silent, got {error_mode!r}"
+            )
         self.statements = statements
+        self.error_mode = error_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         for st in self.statements:
-            batch = self._apply(batch, st)
+            try:
+                batch = self._apply(batch, st)
+            except Exception as e:  # noqa: BLE001
+                if self.error_mode == "propagate":
+                    raise
+                if self.error_mode == "ignore":
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "statement %s failed (%s); continuing (error_mode="
+                        "ignore)", st.editor, e
+                    )
         return batch
 
     def _apply(self, batch: pa.Table, st: Statement) -> pa.Table:

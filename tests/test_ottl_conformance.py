@@ -670,3 +670,43 @@ def test_regex_parse_memoized_matches_plain():
     assert plain.to_pydict() == memo.to_pydict()
     dropped = RegexParse(pat, on_error="drop", memoize=True)(t)
     assert dropped.num_rows == 30
+
+
+def test_math_expressions():
+    """LANGUAGE.md "Math Expressions" / math.go: + - * / with int/float
+    segregation, truncating int division, div-by-zero errors."""
+    t = pa.table({"a": [1, 2, 3], "b": [10, 20, 30], "f": [1.0, 2.5, 3.0]})
+    cc = compile_condition
+    assert cc("a + 1 == 3")(t).to_pylist() == [False, True, False]
+    assert cc("b / a >= 10")(t).to_pylist() == [True, True, True]
+    assert cc("a * 2 - 1 == 5")(t).to_pylist() == [False, False, True]
+    assert cc("b / 7 == 2")(t).to_pylist() == [False, True, False]  # truncates
+    assert cc("f * 2.0 > 4.9")(t).to_pylist() == [False, True, True]
+    assert cc("a - 5 == -3")(t).to_pylist() == [False, True, False]
+    with pytest.raises(ValueError, match="never mix"):
+        cc("a + 1.5 == 2")(t)
+    with pytest.raises(Exception):
+        cc("a / 0 == 1")(t)
+
+
+def test_transform_error_modes():
+    """transformprocessor error_mode: propagate raises, ignore/silent
+    continue with later statements still applied."""
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+        Transform,
+        rename_key,
+        set_,
+    )
+
+    t = pa.table({"x": [1]})
+    bad = Statement("hash", ("missing_col", "sha256"))
+    good = set_("y", 7)
+    with pytest.raises(Exception):
+        Transform([bad, good])(t)
+    out = Transform([bad, good], error_mode="ignore")(t)
+    assert out.column("y").to_pylist() == [7]
+    out2 = Transform([bad, rename_key("x", "z")], error_mode="silent")(t)
+    assert out2.column_names == ["z"]
+    with pytest.raises(ValueError, match="error_mode"):
+        Transform([], error_mode="loud")

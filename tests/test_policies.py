@@ -100,3 +100,15 @@ def test_composite_order_and_tail_sample():
     kept = tail_sample(ds, "trace", all_of(first)).to_pandas()
     assert set(kept["trace"]) == {"t1"}
     assert len(kept) == 3  # whole group kept atomically
+
+
+def test_ottl_condition_policy():
+    from opentelemetry_collector_contrib_ray.stages.policy import (
+        policy_ottl_condition,
+    )
+
+    g = _trace(status=["OK", "ERROR"], value=[10.0, 200.0])
+    assert policy_ottl_condition('status == "ERROR" and value > 100')(g)
+    assert not policy_ottl_condition('status == "UNSET"')(g)
+    # unknown columns evaluate to no-match, not an error (ignore mode)
+    assert not policy_ottl_condition("missing_col > 5")(g)
