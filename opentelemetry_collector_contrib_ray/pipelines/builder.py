@@ -146,6 +146,83 @@ def _select(ds, columns: list[str]):
     return ds.select_columns(columns)
 
 
+@register_stage("severity_parse")
+def _severity_parse(ds, parse_from: str, preset: str = "default",
+                    mapping: dict | None = None,
+                    out: str = "severity_number",
+                    text_out: str | None = "severity_text"):
+    from ..stages.parsers import SeverityParser
+
+    return ds.map_batches(
+        SeverityParser(parse_from, preset=preset, mapping=mapping,
+                       out=out, text_out=text_out),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+@register_stage("geoip")
+def _geoip(ds, db_path: str, ip_col: str = "ip"):
+    from ..stages.geo import GeoIPEnrich
+
+    return ds.map_batches(
+        GeoIPEnrich, fn_constructor_kwargs=dict(db_path=db_path, ip_col=ip_col),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), num_cpus=0.5,
+    )
+
+
+@register_stage("dns_lookup")
+def _dns_lookup(ds, db_path: str, host_col: str = "host",
+                out: str = "resolved_ip"):
+    from ..stages.geo import DNSLookup
+
+    return ds.map_batches(
+        DNSLookup, fn_constructor_kwargs=dict(db_path=db_path,
+                                              host_col=host_col, out=out),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 2), num_cpus=0.5,
+    )
+
+
+@register_stage("tail_sample")
+def _tail_sample(ds, group_key: str, policies: list[dict]):
+    """Declarative policy set: [{type: any_match|min_count|latency|
+    status_code|ottl_condition|..., ...args}], combined with all_of."""
+    from ..stages import policy as P
+
+    built = []
+    for spec in policies:
+        t = spec["type"]
+        if t == "any_match":
+            built.append(P.policy_any_match(spec["column"], set(spec["values"])))
+        elif t == "min_count":
+            built.append(P.policy_min_count(spec["n"]))
+        elif t == "numeric_range":
+            built.append(P.policy_numeric_range(spec["column"], spec["lo"], spec["hi"]))
+        elif t == "latency":
+            built.append(P.policy_latency(spec["start_col"], spec["end_col"],
+                                          spec["threshold_ms"],
+                                          spec.get("upper_threshold_ms", 0)))
+        elif t == "status_code":
+            built.append(P.policy_status_code(spec["column"], spec["codes"]))
+        elif t == "ottl_condition":
+            built.append(P.policy_ottl_condition(spec["condition"]))
+        elif t == "probabilistic":
+            built.append(P.policy_hash_probabilistic(spec["key_col"], spec["percentage"]))
+        else:
+            raise ValueError(f"unknown tail-sampling policy type {t!r}")
+    return P.tail_sample(ds, group_key, P.all_of(*built))
+
+
+@register_stage("dedup")
+def _dedup(ds, key_cols: list[str], order_col: str,
+           count_name: str = "log_count", salt: int | None = None):
+    from ..stages.dedup import exact_dedup
+
+    return exact_dedup(ds, key_cols=key_cols, order_col=order_col,
+                       count_name=count_name, salt=salt)
+
+
 def _build_source(spec: dict) -> ray.data.Dataset:
     typ = spec["type"]
     if typ == "parquet":
@@ -172,6 +249,12 @@ def _build_terminal(ds, spec: dict | None):
 
         return multi_agg(ds, keys=spec["keys"], col=spec["col"], ops=spec["ops"],
                          prefix=spec.get("prefix"))
+    if typ == "exp_histogram":
+        from ..stages.expohist import exp_histogram
+
+        return exp_histogram(ds, value_col=spec["value_col"],
+                             keys=spec["keys"], scale=spec.get("scale", 2),
+                             idx_lo=spec["idx_lo"], idx_hi=spec["idx_hi"])
     if typ == "write_parquet":
         ds.write_parquet(spec["path"], partition_cols=spec.get("partition_cols"))
         return ds

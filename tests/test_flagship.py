@@ -87,3 +87,57 @@ def test_enrich_unknown_sources_null_passthrough():
     assert unknown["env"].isna().all()
     known = df[~df["source"].isin(["src18", "src19"])]
     assert known["team"].notna().all()
+
+
+def test_builder_round2_stages():
+    """Config-driven DAG covering the round-2 stage registrations:
+    severity_parse, tail_sample (declarative policy set), exp_histogram
+    terminal, geoip/dns actor stages (§2.10 registry surface)."""
+    from opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_and_run,
+        build_pipeline,
+    )
+    from opentelemetry_collector_contrib_ray.stages.geo import (
+        build_demo_dnsdb,
+        build_demo_geodb,
+    )
+
+    cfg = {
+        "source": {"type": "parquet",
+                   "path": f"{SF_SMOKE}/events.parquet",
+                   "columns": ["event_id", "user_id", "event_type", "value"]},
+        "stages": [
+            {"type": "severity_parse", "parse_from": "event_type",
+             "mapping": {"error": "error"}, "text_out": None},
+            {"type": "tail_sample", "group_key": "user_id",
+             "policies": [{"type": "ottl_condition",
+                           "condition": 'event_type == "error"'}]},
+        ],
+        "aggregate": {"type": "exp_histogram", "value_col": "value",
+                      "keys": ["event_type"], "scale": 0,
+                      "idx_lo": -8, "idx_hi": 10},
+    }
+    out = build_and_run(cfg).to_pandas()
+    assert {"event_type", "bucket", "row_count"} <= set(out.columns)
+    assert out["row_count"].sum() > 0
+
+    import numpy as np
+
+    build_demo_geodb("/tmp/t_geo.parquet")
+    build_demo_dnsdb("/tmp/t_dns.parquet")
+    cfg2 = {
+        "source": {"type": "parquet",
+                   "path": f"{SF_SMOKE}/events.parquet",
+                   "columns": ["event_id"]},
+        "stages": [
+            {"type": "transform", "statements": [
+                {"editor": "set", "target": "ip", "value": "10.0.0.7"},
+                {"editor": "set", "target": "host", "value": "host-3"},
+            ]},
+            {"type": "geoip", "db_path": "/tmp/t_geo.parquet"},
+            {"type": "dns_lookup", "db_path": "/tmp/t_dns.parquet"},
+        ],
+    }
+    df = build_pipeline(cfg2).limit(5).to_pandas()
+    assert (df["geo_country"] == "C00").all()
+    assert (df["resolved_ip"] == "10.0.0.3").all()

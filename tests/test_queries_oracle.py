@@ -41,3 +41,13 @@ def test_no_oracle_queries_run(name):
         assert set(df["lang_pred"]).issubset({"en", "de", "fr", "es", "und"})
     if name == "media_features":
         assert (df["n_bytes"] > 0).all()
+
+
+def test_approx_distinct_within_error_bound():
+    """HLL(p=12) estimate vs exact COUNT(DISTINCT): relative error well
+    inside the ~1.04/sqrt(2^12)≈1.6% theoretical bound per group."""
+    approx = to_pandas(QUERIES["approx_distinct_users"](SF_SMOKE))
+    exact = to_pandas(QUERIES["distinct_users"](SF_SMOKE))
+    m = approx.merge(exact, on="event_type")
+    rel = (m["n_users_est"] - m["n_users"]).abs() / m["n_users"]
+    assert (rel < 0.05).all(), m.to_string()
