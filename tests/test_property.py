@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the vectorized kernels whose
+correctness rests on index arithmetic — each checked against a simple
+per-row reference implementation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+WORD = st.text(alphabet="abcdefg", min_size=1, max_size=5)
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_minhash_batch_matches_per_doc(texts):
+    from opentelemetry_collector_contrib_ray.stages.neardup import MinHashSketch
+
+    sk = MinHashSketch()
+    batch = sk.signatures_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert np.array_equal(batch[i], sk.signature(t)), (i, t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=20))
+def test_simhash_batch_matches_scalar(texts):
+    from opentelemetry_collector_contrib_ray.stages.neardup import SimHashSketch
+
+    sk = SimHashSketch()
+    batch = sk.simhash_batch(pa.array(texts, pa.string()))
+    for i, t in enumerate(texts):
+        assert int(batch[i]) == sk.simhash(t), (i, t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=64))
+def test_popcount64_matches_bin(vals):
+    from opentelemetry_collector_contrib_ray.stages.neardup import popcount64
+
+    arr = np.array(vals, dtype=np.uint64)
+    assert popcount64(arr).tolist() == [bin(v).count("1") for v in vals]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.one_of(st.none(),
+                       st.lists(st.integers(-50, 50), max_size=4)),
+             min_size=1, max_size=10),
+    st.lists(st.integers(-9, 9), min_size=1, max_size=3),
+)
+def test_append_editor_matches_reference(lists, appended):
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Statement,
+        Transform,
+    )
+
+    t = pa.table({"l": pa.array(lists, pa.list_(pa.int64()))})
+    out = Transform([Statement("append", ("l", tuple(appended)))])(t)
+    expect = [(x or []) + appended for x in lists]
+    assert out.column("l").to_pylist() == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet="abc XYZ012", max_size=14), min_size=1,
+                max_size=12))
+def test_stop_count_matches_split_semantics(texts):
+    from opentelemetry_collector_contrib_ray.stages.textstats import (
+        STOPWORDS,
+        _count_token_occurrences,
+        _space_padded_tokens,
+    )
+
+    col = pa.array(texts, pa.string())
+    got = _count_token_occurrences(_space_padded_tokens(col),
+                                   sorted(STOPWORDS)).tolist()
+    expect = [sum(1 for w in t.split(" ") if w in STOPWORDS) for t in texts]
+    assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=30),
+       st.integers(1, 9), st.integers(0, 4))
+def test_expr_math_matches_python(nums, mul, add):
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        compile_condition,
+    )
+
+    t = pa.table({"a": pa.array(nums, pa.int64())})
+    cond = compile_condition(f"a * {mul} + {add} > 500000")
+    expect = [n * mul + add > 500000 for n in nums]
+    assert cond(t).to_pylist() == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["trace", "DEBUG3", "warning", "err4", "17", "24", "bogus", "", "403"]),
+    min_size=1, max_size=15))
+def test_severity_parser_matches_dict(vals):
+    from opentelemetry_collector_contrib_ray.stages.parsers import (
+        SeverityParser,
+        _builtin_severity_mapping,
+    )
+
+    table = _builtin_severity_mapping("default")
+    p = SeverityParser("s", text_out=None)
+    got = p(pa.table({"s": pa.array(vals, pa.string())}))[
+        "severity_number"].to_pylist()
+    assert got == [table.get(v.lower(), 0) for v in vals]
