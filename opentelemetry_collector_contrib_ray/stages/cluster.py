@@ -54,7 +54,8 @@ def connected_components_driver(pairs: pa.Table) -> pa.Table:
 
 
 def connected_components(pairs_ds, driver_threshold: int = 1_000_000,
-                         max_rounds: int = 50, join_partitions: int = 8):
+                         max_rounds: int = 50,
+                         join_partitions: int | None = None):
     """Cluster ids for every node appearing in a pairs Dataset.
 
     Returns a Dataset/Table (id, cluster) where cluster = min node id of the
@@ -76,6 +77,10 @@ def connected_components(pairs_ds, driver_threshold: int = 1_000_000,
                              "cluster": pa.array([], pa.int64())})
         pairs = pa.concat_tables(pairs_tables)
         return connected_components_driver(pairs.select(["id_a", "id_b"]))
+
+    if join_partitions is None:
+        # ~200k directed edges per join partition (2 rows per pair)
+        join_partitions = int(min(64, max(2, total // 100_000)))
 
     # distributed min-label propagation
     def explode(batch: pa.Table) -> pa.Table:

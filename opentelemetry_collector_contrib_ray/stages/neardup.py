@@ -308,7 +308,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 500,
-    join_partitions: int = 8,
+    join_partitions: int | None = None,
 ):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -357,6 +357,11 @@ def minhash_lsh_pairs(
 
         return fn
 
+    if join_partitions is None:
+        # ~100k signature rows per join partition: a small corpus pays for
+        # 2 aggregator actors, a billion-doc corpus gets wide fan-out
+        # (measured: each extra partition costs ~0.2 s fixed at small scale)
+        join_partitions = int(min(64, max(2, sigs.count() // 100_000)))
     sig_a = sigs.map_batches(pack("id_a", "sig_a"), batch_format="pyarrow",
                              zero_copy_batch=True)
     sig_b = sigs.map_batches(pack("id_b", "sig_b"), batch_format="pyarrow",
