@@ -551,6 +551,19 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.5)
 
 
+def q_jaccard_verify(sf_dir: str):
+    """MinHash candidates upgraded to EXACT trigram Jaccard via a
+    distributed pairs⋈texts join (no broadcast; stages/neardup.py
+    exact_jaccard_verify) — the precise final dedup gate."""
+    from ..stages.neardup import exact_jaccard_verify
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs, threshold=0.5)
+    out = exact_jaccard_verify(cands.drop_columns(["jaccard_est"]), docs,
+                               threshold=0.5)
+    return out.select_columns(["id_a", "id_b"])
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming-≤3 near-dup pairs (no SQL oracle: sketch-based)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -935,6 +948,7 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "jaccard_verify": q_jaccard_verify,
     "lang_id": q_lang_id,
     "media_features": q_media_features,
     "metrics_label_agg": q_metrics_label_agg,
@@ -960,7 +974,8 @@ QUERIES = {
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
-             "anomaly_scores", "lsh_neardup", "approx_distinct_users"}
+             "anomaly_scores", "lsh_neardup", "approx_distinct_users",
+             "jaccard_verify"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

@@ -104,3 +104,108 @@ def documents_as_media(ds):
         )
 
     return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class MediaResize:
+    """Actor-pool stage: payload -> resized payload + updated meta.
+
+    The codec call is injected (``resize_fn(payload, media_type, w, h) ->
+    bytes``) and loaded once per actor; without one, ``fake_resize``
+    deterministically truncates/pads the byte payload proportionally —
+    the Ray-side plumbing (meta rewrite, binary output layout, small-batch
+    sizing) is the real production shape.
+    """
+
+    def __init__(self, width: int, height: int, resize_fn=None):
+        import json as _json
+
+        self.width = width
+        self.height = height
+        self.resize_fn = resize_fn or fake_resize
+        self._json = _json
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        types = batch.column("media_type").to_pylist()
+        out_payload = [self.resize_fn(p, t, self.width, self.height)
+                       for p, t in zip(payloads, types)]
+        metas = []
+        for m in batch.column("meta_json").to_pylist():
+            try:
+                d = self._json.loads(m or "{}")
+            except ValueError:
+                d = {}
+            d["width"], d["height"] = self.width, self.height
+            metas.append(self._json.dumps(d, separators=(",", ":"),
+                                          sort_keys=True))
+        i = batch.column_names.index("payload")
+        batch = batch.set_column(
+            i, "payload", pa.array(out_payload, pa.large_binary())
+        )
+        j = batch.column_names.index("meta_json")
+        return batch.set_column(j, "meta_json", pa.array(metas, pa.string()))
+
+
+def fake_resize(payload: bytes, media_type: str, w: int, h: int) -> bytes:
+    """Deterministic stand-in: scale the byte length to w*h, truncating or
+    repeating — preserves determinism for tests without codec libs."""
+    target = max(1, (w * h) // 64)
+    data = payload or b"\0"
+    reps = target // len(data) + 1
+    return (data * reps)[:target]
+
+
+class FrameSample:
+    """Actor-pool stage: video payload -> k sampled frame rows (flat-map
+    shape: ONE input row fans out to ``k`` frame rows with frame_idx).
+
+    Frame extraction is injected (``extract_fn(payload, media_type, idx) ->
+    bytes``); the deterministic fake slices the payload into k equal spans.
+    """
+
+    def __init__(self, k: int, extract_fn=None):
+        self.k = k
+        self.extract_fn = extract_fn or fake_frame_extract
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.num_rows
+        idx = np.repeat(np.arange(n), self.k)
+        frames = np.tile(np.arange(self.k, dtype=np.int32), n)
+        rep = batch.take(pa.array(idx, pa.int32()))
+        payloads = rep.column("payload").to_pylist()
+        types = rep.column("media_type").to_pylist()
+        out = [self.extract_fn(p, t, int(f))
+               for p, t, f in zip(payloads, types, frames)]
+        i = rep.column_names.index("payload")
+        rep = rep.set_column(i, "payload", pa.array(out, pa.large_binary()))
+        return rep.append_column("frame_idx", pa.array(frames, pa.int32()))
+
+
+def fake_frame_extract(payload: bytes, media_type: str, idx: int) -> bytes:
+    """Deterministic stand-in: the idx-th of k=8 equal payload spans."""
+    data = payload or b"\0"
+    span = max(1, len(data) // 8)
+    return data[idx * span:(idx + 1) * span] or data[-span:]
+
+
+def media_resize(ds, width: int, height: int, resize_fn=None,
+                 batch_size: int = 32, concurrency=(1, 4)):
+    return ds.map_batches(
+        MediaResize,
+        fn_constructor_kwargs=dict(width=width, height=height,
+                                   resize_fn=resize_fn),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def frame_sample(ds, k: int, extract_fn=None, batch_size: int = 16,
+                 concurrency=(1, 4)):
+    return ds.map_batches(
+        FrameSample,
+        fn_constructor_kwargs=dict(k=k, extract_fn=extract_fn),
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency,
+    )

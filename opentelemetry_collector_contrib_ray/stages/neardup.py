@@ -626,3 +626,50 @@ def verify_pairs_exact(pairs_table: pa.Table, texts_by_id: dict, n: int = 3,
         rows,
         schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]),
     )
+
+
+def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.5,
+                         shingle_n: int = 3,
+                         join_partitions: int | None = None):
+    """Upgrade candidate pairs to EXACT n-gram Jaccard, fully distributed:
+    two native hash joins attach both documents' texts to each pair (texts
+    move once per join through a hash exchange — never broadcast), then a
+    map_batches computes exact shingle-set Jaccard and filters.
+
+    The candidate set bounds all joined row counts, so this composes after
+    minhash_lsh_pairs as the exact final gate at any scale."""
+    slim = docs_ds.select_columns([id_col, text_col]).materialize()
+    if join_partitions is None:
+        join_partitions = int(min(64, max(2, slim.count() // 100_000)))
+
+    def pack(name_id: str, name_text: str):
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table({name_id: t.column(id_col),
+                             name_text: t.column(text_col)})
+
+        return fn
+
+    ta = slim.map_batches(pack("id_a", "text_a"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    tb = slim.map_batches(pack("id_b", "text_b"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined = pairs_ds.join(ta, join_type="inner",
+                           num_partitions=join_partitions, on=("id_a",))
+    joined = joined.join(tb, join_type="inner",
+                         num_partitions=join_partitions, on=("id_b",))
+
+    def score(t: pa.Table) -> pa.Table:
+        a = t.column("text_a").to_pylist()
+        b = t.column("text_b").to_pylist()
+        j = np.array([exact_jaccard(x or "", y or "", shingle_n)
+                      for x, y in zip(a, b)])
+        keep = pa.array(j >= threshold)
+        return pa.table({
+            "id_a": t.column("id_a").filter(keep),
+            "id_b": t.column("id_b").filter(keep),
+            "jaccard": pa.array(j[j >= threshold], pa.float64()),
+        })
+
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -24,3 +24,13 @@ def test_minhash_pairs_golden():
     assert got == GOLDEN_MINHASH_PAIRS
     # estimates are signature-match fractions in (0, 1]
     assert (df["jaccard_est"] > 0.5).all() and (df["jaccard_est"] <= 1.0).all()
+
+
+def test_jaccard_verify_golden():
+    """Exact-Jaccard gate over minhash candidates (distributed text join):
+    at sf0.001 every candidate is a true >=0.5 Jaccard pair, so the exact
+    gate reproduces the candidate set exactly — and proves estimates were
+    not inflating."""
+    df = QUERIES["jaccard_verify"](SF_SMOKE).to_pandas()
+    got = sorted(zip(df["id_a"], df["id_b"]))
+    assert got == GOLDEN_MINHASH_PAIRS

@@ -55,3 +55,32 @@ def test_round_robin_split_preserves_rows():
         assert len(rows) == 25  # equal split
         ids.extend(rows)
     assert sorted(ids) == list(range(100))
+
+
+def test_media_resize_and_frame_sample():
+    """Multimodal plumbing: resize rewrites payload+meta per actor-injected
+    codec (deterministic fake here); frame sampling fans one row out to k
+    frame rows with frame_idx — the schema/batch shape is the production
+    path, only the codec is stubbed."""
+    import json
+
+    import ray as _ray
+
+    from opentelemetry_collector_contrib_ray.stages.multimodal import (
+        documents_as_media,
+        frame_sample,
+        media_resize,
+    )
+
+    docs = _ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                  columns=["doc_id", "text"]).limit(8)
+    media = documents_as_media(docs)
+    resized = media_resize(media, width=16, height=16).to_pandas()
+    assert (resized["payload"].str.len() == (16 * 16) // 64).all()
+    metas = [json.loads(m) for m in resized["meta_json"]]
+    assert all(m["width"] == 16 and m["height"] == 16 for m in metas)
+
+    frames = frame_sample(media, k=4).to_pandas()
+    assert len(frames) == 8 * 4
+    assert sorted(frames["frame_idx"].unique()) == [0, 1, 2, 3]
+    assert (frames.groupby("media_id")["frame_idx"].count() == 4).all()
