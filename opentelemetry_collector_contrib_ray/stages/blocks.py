@@ -15,8 +15,10 @@ import ray
 
 
 @ray.remote
-def _block_rows(t: pa.Table) -> int:
-    return t.num_rows
+def _block_rows(t) -> int:
+    # blocks may arrive as pa.Table OR pandas.DataFrame (to_arrow_refs can
+    # hand back the raw block for pandas-format datasets); len() covers both
+    return len(t)
 
 
 def nonempty_blocks(ds) -> "ray.data.Dataset":

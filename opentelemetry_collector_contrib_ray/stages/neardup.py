@@ -347,6 +347,11 @@ def minhash_lsh_pairs(
     )
     uniq = cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
     uniq = uniq.drop_columns(["_nb"])
+    # scrub 0-row schema-degraded blocks before the native joins (acero
+    # rejects them; empty candidate sets would otherwise crash the join)
+    from .blocks import nonempty_blocks
+
+    uniq = nonempty_blocks(uniq)
 
     def pack(name_id: str, name_sig: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -639,6 +644,18 @@ def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
 
     The candidate set bounds all joined row counts, so this composes after
     minhash_lsh_pairs as the exact final gate at any scale."""
+    import ray.data as _rd
+
+    pairs_mat = pairs_ds.materialize()
+    if pairs_mat.count() == 0:
+        # Ray's hash join cannot finalize partitions with no schema from an
+        # all-empty side — short-circuit instead
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }))
+    pairs_ds = pairs_mat
     slim = docs_ds.select_columns([id_col, text_col]).materialize()
     if join_partitions is None:
         join_partitions = int(min(64, max(2, slim.count() // 100_000)))
@@ -654,8 +671,10 @@ def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
                           zero_copy_batch=True)
     tb = slim.map_batches(pack("id_b", "text_b"), batch_format="pyarrow",
                           zero_copy_batch=True)
-    joined = pairs_ds.join(ta, join_type="inner",
-                           num_partitions=join_partitions, on=("id_a",))
+    from .blocks import nonempty_blocks
+
+    joined = nonempty_blocks(pairs_ds).join(
+        ta, join_type="inner", num_partitions=join_partitions, on=("id_a",))
     joined = joined.join(tb, join_type="inner",
                          num_partitions=join_partitions, on=("id_b",))
 
