@@ -491,10 +491,11 @@ def nanosecond_field(col):
 
 
 def is_map(col):
+    """IsMap — type predicate; columnar model: a column is map-like for
+    every row or none (struct/map dtype)."""
     arr = _as_array(col)
     ok = pa.types.is_struct(arr.type) or pa.types.is_map(arr.type)
-    return pa.array([ok if v else ok for v in [True] * len(arr)], pa.bool_()) \
-        if len(arr) else pa.array([], pa.bool_())
+    return pa.array([ok] * len(arr), pa.bool_())
 
 
 def parse_simplified_xml(col):

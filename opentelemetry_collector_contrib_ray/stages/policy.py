@@ -185,9 +185,13 @@ class RateBudget:
         self.sps = spans_per_second
         self.used: dict[int, int] = {}
 
-    def try_admit(self, second: int, n_spans: int) -> bool:
+    def try_admit(self, second: int, n_spans: int,
+                  limit: int | None = None) -> bool:
+        """Admit if the lane's usage stays under ``limit`` (default: the
+        actor-wide sps) — composite passes each sub-policy's allocation."""
+        cap = self.sps if limit is None else limit
         used = self.used.get(second, 0)
-        if used + n_spans < self.sps:
+        if used + n_spans < cap:
             self.used[second] = used + n_spans
             return True
         return False
@@ -216,30 +220,26 @@ def composite(max_total_sps: int, subpolicy_params: list, budget_handle=None):
     sub-policy draws from its pct share (tracked per second)."""
     import ray as _ray
 
-    def decide_factory():
-        def decide(group: pd.DataFrame) -> bool:
-            for i, (pol, pct) in enumerate(subpolicy_params):
-                if not pol(group):
-                    continue
-                if max_total_sps == 0 or budget_handle is None:
-                    return True
-                sub_sps = max(1, int(max_total_sps * pct / 100))
-                ts = group.iloc[0].get("ts")
-                second = int(ts.timestamp() if hasattr(ts, "timestamp")
-                             else 0)
-                key = second * 1000 + i  # per-sub budget lane
-                admitted = _ray.get(
-                    budget_handle.try_admit.remote(key, len(group))
-                )
-                if admitted:
-                    return True
-                _ = sub_sps  # share bookkeeping folded into lane budget
-                return False
-            return False
+    def decide(group: pd.DataFrame) -> bool:
+        for i, (pol, pct) in enumerate(subpolicy_params):
+            if not pol(group):
+                continue
+            if max_total_sps == 0 or budget_handle is None:
+                return True
+            # per-sub lane keyed (second, sub index); each lane capped at
+            # its percentage share of the total budget (composite.go's
+            # rateAllocation), drawn from the shared actor
+            sub_sps = max(1, int(max_total_sps * pct / 100))
+            ts = group.iloc[0].get("ts")
+            second = int(ts.timestamp() if hasattr(ts, "timestamp") else 0)
+            lane = second * 1000 + i
+            return _ray.get(
+                budget_handle.try_admit.remote(lane, len(group),
+                                               limit=sub_sps)
+            )
+        return False
 
-        return decide
-
-    return decide_factory()
+    return decide
 
 
 def tail_sample(ds, group_key: str, policy):

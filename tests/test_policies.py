@@ -112,3 +112,22 @@ def test_ottl_condition_policy():
     assert not policy_ottl_condition('status == "UNSET"')(g)
     # unknown columns evaluate to no-match, not an error (ignore mode)
     assert not policy_ottl_condition("missing_col > 5")(g)
+
+
+def test_composite_rate_allocation_lanes():
+    """composite.go rateAllocation: each sub-policy draws from ITS pct
+    share of max_total_sps, lanes tracked per (second, sub)."""
+    from opentelemetry_collector_contrib_ray.stages.policy import (
+        policy_status_code,
+    )
+
+    budget = ray.remote(RateBudget).remote(spans_per_second=10**9)
+    first = policy_status_code("status", ["ERROR"])
+    comp = composite(20, [(first, 50)], budget_handle=budget)  # 50% of 20 = 10
+    admitted = 0
+    for k in range(5):  # 4-span traces, same second
+        g = _trace(status=["ERROR"] * 4,
+                   ts=pd.to_datetime(["2024-01-01 00:00:00"] * 4))
+        if comp(g):
+            admitted += 4
+    assert admitted == 8  # two 4-span traces fit under the 10-sps lane
