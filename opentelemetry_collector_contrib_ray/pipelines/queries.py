@@ -570,6 +570,18 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(ds, max_hamming=3)
 
 
+def q_token_frequency(sf_dir: str):
+    """global vocabulary frequency over the tokens payload — distributed
+    bincount partials + groupby sum (stages/tokenstats.py; no SQL oracle:
+    token ids are fnv-derived; the companion test compares against a
+    Python Counter reference)."""
+    from ..functions.hashing import VOCAB_SIZE
+    from ..stages.tokenstats import token_frequency
+
+    ds = corpus.corpus_dataset(sf_dir, with_raw=False)
+    return token_frequency(ds, vocab_size=VOCAB_SIZE, top_k=20)
+
+
 def q_lang_id(sf_dir: str):
     """language-ID heuristic counts per predicted language (no SQL oracle)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -950,6 +962,7 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "jaccard_verify": q_jaccard_verify,
     "lang_id": q_lang_id,
+    "token_frequency": q_token_frequency,
     "media_features": q_media_features,
     "metrics_label_agg": q_metrics_label_agg,
     "join_orders": q_join_orders,
@@ -975,7 +988,7 @@ QUERIES = {
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
              "anomaly_scores", "lsh_neardup", "approx_distinct_users",
-             "jaccard_verify"}
+             "jaccard_verify", "token_frequency"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

@@ -51,3 +51,19 @@ def test_approx_distinct_within_error_bound():
     m = approx.merge(exact, on="event_type")
     rel = (m["n_users_est"] - m["n_users"]).abs() / m["n_users"]
     assert (rel < 0.05).all(), m.to_string()
+
+
+def test_token_frequency_matches_counter():
+    """Distributed bincount vs a Python Counter over the same corpus."""
+    from collections import Counter
+
+    from opentelemetry_collector_contrib_ray.sources.corpus import (
+        corpus_dataset,
+    )
+
+    got = to_pandas(QUERIES["token_frequency"](SF_SMOKE))
+    ref = Counter()
+    for toks in corpus_dataset(SF_SMOKE, with_raw=False).to_pandas()["tokens"]:
+        ref.update(toks.tolist() if hasattr(toks, "tolist") else toks)
+    top = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["token"], got["n"])) == top
