@@ -582,6 +582,46 @@ def q_token_frequency(sf_dir: str):
     return token_frequency(ds, vocab_size=VOCAB_SIZE, top_k=20)
 
 
+def q_pack_conservation(sf_dir: str):
+    """sequence packing (stages/tokenstats.py SequencePack): corpus token
+    lists packed into <=512-token training examples; the oracle checks the
+    block-invariant conservation law — total tokens survive packing
+    exactly (example structure itself is block-local by design)."""
+    from ..stages.tokenstats import pack_sequences
+
+    ds = corpus.corpus_dataset(sf_dir, with_raw=False)
+    packed = pack_sequences(ds, max_len=512)
+
+    def total(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("n_tok").to_numpy(zero_copy_only=False).sum()
+        return pa.table({"total_tokens": pa.array([int(s)], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = packed.map_batches(total, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = agg.aggregate(Sum("total_tokens", alias_name="total_tokens"))
+    return pa.table({"total_tokens": pa.array([int(out["total_tokens"])],
+                                              pa.int64())})
+
+
+def q_quality_filter(sf_dir: str):
+    """quality-score document filter: TextStats integer counters gate the
+    corpus (the training-data quality-filter composition) — keep docs with
+    sane token counts and punctuation density."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(TextStats(), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    from ..stages.transform import filter_dataset
+
+    kept = filter_dataset(
+        ds, "n_ws_tok >= 20 and n_ws_tok <= 200 and n_punct * 10 < n_chars_"
+    )
+    return kept.select_columns(["doc_id", "n_ws_tok", "n_punct"])
+
+
 def q_lang_id(sf_dir: str):
     """language-ID heuristic counts per predicted language (no SQL oracle)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -963,6 +1003,8 @@ QUERIES = {
     "jaccard_verify": q_jaccard_verify,
     "lang_id": q_lang_id,
     "token_frequency": q_token_frequency,
+    "pack_conservation": q_pack_conservation,
+    "quality_filter": q_quality_filter,
     "media_features": q_media_features,
     "metrics_label_agg": q_metrics_label_agg,
     "join_orders": q_join_orders,
@@ -1171,6 +1213,19 @@ ORACLE_SQL = {
                CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS ws_tok_sum,
                CAST(sum(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS BIGINT)) AS BIGINT) AS bpe_tok_sum
         FROM documents GROUP BY source
+    """,
+    "pack_conservation": f"""
+        WITH {corpus.RAW_SQL_CTE.strip()}
+        SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM corpus
+    """,
+    "quality_filter": r"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tok,
+               CAST(len(regexp_extract_all(text, '[^\w\s]')) AS BIGINT)
+                   AS n_punct
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200
+          AND len(regexp_extract_all(text, '[^\w\s]')) * 10 < length(text)
     """,
     "quality_stats": r"""
         SELECT doc_id,

@@ -84,3 +84,29 @@ def test_media_resize_and_frame_sample():
     assert len(frames) == 8 * 4
     assert sorted(frames["frame_idx"].unique()) == [0, 1, 2, 3]
     assert (frames.groupby("media_id")["frame_idx"].count() == 4).all()
+
+
+def test_sequence_pack_invariants():
+    """Greedy packing: token order + totals conserved, examples bounded by
+    max_len, over-long docs chunked, doc count attributed where each doc
+    ENDS (sums to input doc count)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.tokenstats import (
+        SequencePack,
+    )
+
+    rng = np.random.default_rng(11)
+    docs = [rng.integers(0, 1000, rng.integers(1, 40)).tolist()
+            for _ in range(200)]
+    t = pa.table({"tokens": pa.array(docs, pa.list_(pa.int32()))})
+    out = SequencePack(max_len=64)(t)
+    n_tok = out.column("n_tok").to_pylist()
+    assert max(n_tok) <= 64
+    assert sum(n_tok) == sum(len(d) for d in docs)
+    flat = [x for l in out.column("tokens").to_pylist() for x in l]
+    assert flat == [x for d in docs for x in d]  # order preserved exactly
+    assert sum(out.column("n_docs").to_pylist()) == len(docs)
+    # all but the last example are exactly full (greedy first-fit in order)
+    assert all(v == 64 for v in n_tok[:-1])
