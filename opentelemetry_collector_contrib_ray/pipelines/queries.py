@@ -533,6 +533,24 @@ def q_embed_neardup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """near-dup cluster assignment: exact embedding pairs -> connected
+    components (id, cluster=min component member). Oracle = a recursive-CTE
+    transitive closure over the same pair set, so the clustering operator
+    itself is value-checked (small inputs take the driver union-find;
+    the distributed label-propagation path is equivalence-tested in
+    tests/test_cluster.py and scripts/cluster_scale_check.py)."""
+    from ..stages.cluster import connected_components
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                                threshold=0.30)
+    out = connected_components(pairs.select_columns(["id_a", "id_b"]))
+    if isinstance(out, pa.Table):
+        return out
+    return out.select_columns(["id", "cluster"])
+
+
 def q_lsh_neardup(sf_dir: str):
     """hyperplane-LSH near-dup pairs — the approximate 100-TB path (no SQL
     oracle: recall < 1 by construction at this threshold; the companion
@@ -1026,6 +1044,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "lsh_neardup": q_lsh_neardup,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
@@ -1257,6 +1276,24 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+    """,
+    "dedup_clusters": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.30),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        )
+        SELECT id, min(r) AS cluster FROM reach GROUP BY id
     """,
     "metrics_label_agg": """
         SELECT l_returnflag, l_linestatus,
