@@ -1420,3 +1420,39 @@ ORACLE_SQL["exp_histogram"] = f"""
            count(*) AS row_count
     FROM events GROUP BY event_type, bucket
 """
+
+# lang_id oracle: the stopword-profile heuristic is fully SQL-expressible —
+# distinct-marker presence over the same space-padded text, argmax with the
+# lexicographically-greatest tie-break (generated from LANG_MARKERS so the
+# two sides can never drift).
+from ..stages.textstats import LANG_MARKERS as _LM  # noqa: E402
+
+
+def _lang_id_oracle() -> str:
+    langs = sorted(_LM)
+    score_cols = []
+    for lang in langs:
+        terms = " + ".join(
+            f"CASE WHEN contains(pad, ' {m} ') THEN 1 ELSE 0 END"
+            for m in sorted(_LM[lang])
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    greatest = ", ".join(f"s_{lang}" for lang in langs)
+    # tie-break: lexicographically GREATEST language wins -> test descending
+    arms = " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in reversed(langs)
+    )
+    return f"""
+        WITH p AS (
+            SELECT ' ' || replace(lower(text), ' ', '  ') || ' ' AS pad
+            FROM documents),
+        s AS (SELECT {', '.join(score_cols)} FROM p),
+        g AS (SELECT *, greatest({greatest}) AS m FROM s)
+        SELECT CASE WHEN m = 0 THEN 'und' {arms} END AS lang_pred,
+               count(*) AS row_count
+        FROM g GROUP BY 1
+    """
+
+
+ORACLE_SQL["lang_id"] = _lang_id_oracle()
+NO_ORACLE.discard("lang_id")
