@@ -648,7 +648,9 @@ def q_lang_id(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    """multimodal plumbing: binary payload -> deterministic fake features."""
+    """multimodal plumbing: binary payload -> deterministic fake features.
+    The fake decoder's features are md5-derived, so the whole actor-pool
+    decode path is value-checked by SQL (md5_number_upper arithmetic)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     media = documents_as_media(ds)
     feats = media_features(media)  # fake_decode stand-in
@@ -661,6 +663,9 @@ def q_media_features(sf_dir: str):
         return pa.table({
             "media_id": batch.column("media_id"),
             "n_bytes": pa.array(flat[:, 0].astype(np.int64)),
+            "d0": pa.array(flat[:, 1].astype(np.int64)),
+            "d1": pa.array(flat[:, 2].astype(np.int64)),
+            "d16": pa.array(flat[:, 3].astype(np.int64)),
         })
 
     return feats.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
@@ -1047,7 +1052,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
 }
 
-NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "media_features",
+NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id",
              "anomaly_scores", "lsh_neardup", "approx_distinct_users",
              "jaccard_verify", "token_frequency"}
 
@@ -1294,6 +1299,15 @@ ORACLE_SQL = {
             FROM reach JOIN edges ON reach.r = edges.a
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id
+    """,
+    "media_features": """
+        SELECT CAST(doc_id AS VARCHAR) AS media_id,
+               CAST(strlen(text) AS BIGINT) AS n_bytes,
+               CAST(md5_number_upper(text) % 256 AS BIGINT) AS d0,
+               CAST((md5_number_upper(text) // 256) % 256 AS BIGINT) AS d1,
+               CAST((md5_number_upper(text) // 65536) % 65536 AS BIGINT)
+                   AS d16
+        FROM documents
     """,
     "metrics_label_agg": """
         SELECT l_returnflag, l_linestatus,
