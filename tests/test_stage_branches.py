@@ -110,3 +110,28 @@ def test_sequence_pack_invariants():
     assert sum(out.column("n_docs").to_pylist()) == len(docs)
     # all but the last example are exactly full (greedy first-fit in order)
     assert all(v == 64 for v in n_tok[:-1])
+
+
+def test_bucketed_cumsum_equals_plain_across_bucket_counts():
+    """Skew-safe bucketed cumsum must be bit-identical to the plain path
+    for any bucket count (boundary rows land deterministically)."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import window
+
+    ds = read_table("/root/testdata/sf0.001", "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    plain = window.delta_to_cumulative(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="cum_cents",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    for buckets in (3, 20):
+        b = window.delta_to_cumulative_bucketed(
+            ds, key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", out_col="cum_cents", time_buckets=buckets,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            plain["cum_cents"].astype("int64"),
+            b["cum_cents"].astype("int64"),
+        )
