@@ -360,6 +360,16 @@ def q_sampled_events(sf_dir: str):
     return sample_dataset(ds, key="event_id", percentage=25.0)
 
 
+def q_sample_fixed_n(sf_dir: str):
+    """exactly-N deterministic uniform sample: hash-order top-N via
+    per-block partials (stages/sample.py sample_fixed_n) — the fixed-size
+    subsample every training-data pipeline needs, no RNG, no global sort."""
+    from ..stages.sample import sample_fixed_n
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return sample_fixed_n(ds, key="event_id", n=200)
+
+
 def q_dedup_docs(sf_dir: str):
     """logdedup: one row per distinct content key + count + first/last (§2.7)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1008,6 +1018,7 @@ QUERIES = {
     "exp_histogram": q_exp_histogram,
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
+    "sample_fixed_n": q_sample_fixed_n,
     "group_by_attrs": q_group_by_attrs,
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
@@ -1174,6 +1185,11 @@ ORACLE_SQL = {
     "sampled_events": f"""
         SELECT event_id, event_type, value FROM events
         WHERE {sampler_oracle_predicate('event_id', 25.0)}
+    """,
+    "sample_fixed_n": """
+        SELECT event_id, event_type FROM events
+        ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+        LIMIT 200
     """,
     "dedup_docs": """
         SELECT CAST(md5_number_upper(text) % 4611686018427387904 AS BIGINT) AS doc_fp,

@@ -14,6 +14,7 @@ the reference's 0.01% threshold granularity).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import md5_u64_many
@@ -45,3 +46,47 @@ def sampler_oracle_predicate(key_sql: str, percentage: float) -> str:
     """DuckDB predicate matching HashSampler's decision exactly."""
     bp = int(round(percentage * 100))
     return f"md5_number_upper(CAST({key_sql} AS VARCHAR)) % 10000 < {bp}"
+
+
+class _HashTopNPartial:
+    """Per-block partial: the n smallest (md5(key), key) pairs of the block
+    — the fixed-size-sample analog of the k-NN per-block top-k."""
+
+    def __init__(self, key: str, n: int):
+        self.key = key
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key).cast(pa.string()).to_pylist()
+        h = md5_u64_many(keys)
+        n = min(self.n, len(h))
+        # deterministic under hash ties: order by (hash, key)
+        order = np.lexsort((batch.column(self.key).to_numpy(
+            zero_copy_only=False), h))[:n]
+        idx = pa.array(order.astype(np.int64))
+        out = batch.take(idx)
+        # keep the hash UNSIGNED: int64 view would rank values >= 2^63 first
+        return out.append_column("_h", pa.array(h[order], pa.uint64()))
+
+
+def sample_fixed_n(ds, key: str, n: int):
+    """EXACTLY-n deterministic uniform sample: the n rows with the smallest
+    md5(key) (hash-order top-N). Per-block partials keep blocks×n candidate
+    rows; the driver merge touches only those — no global sort, no RNG;
+    reruns and the SQL oracle (ORDER BY md5 LIMIT n) reproduce the exact
+    row set at any scale."""
+    import ray
+
+    partials = ds.map_batches(
+        _HashTopNPartial(key, n), batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    tables = [t for t in ray.get(partials.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return partials.drop_columns(["_h"])
+    merged = pa.concat_tables(tables, promote_options="default")
+    order = np.lexsort((
+        merged.column(key).to_numpy(zero_copy_only=False),
+        merged.column("_h").to_numpy(zero_copy_only=False),
+    ))[:n]
+    return merged.take(pa.array(order.astype(np.int64))).drop_columns(["_h"])
