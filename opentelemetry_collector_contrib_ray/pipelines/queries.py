@@ -370,6 +370,29 @@ def q_sample_fixed_n(sf_dir: str):
     return sample_fixed_n(ds, key="event_id", n=200)
 
 
+MIXTURE_RATES = {"click": 80.0, "view": 10.0, "error": 100.0}
+
+
+def q_sample_stratified(sf_dir: str):
+    """exactly-n-per-group stratified sample (hash-order top-N per group) —
+    the balanced-subset op for training-data curation."""
+    from ..stages.sample import sample_stratified_n
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return sample_stratified_n(ds, group_col="event_type", key="event_id",
+                               n=40)
+
+
+def q_sample_mixture(sf_dir: str):
+    """domain-mixture sampling: per-group keep rates (LLM data-mixing
+    weights), deterministic md5 thresholds, zero shuffle."""
+    from ..stages.sample import sample_mixture
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return sample_mixture(ds, group_col="event_type", key="event_id",
+                          rates=MIXTURE_RATES, default_rate=25.0)
+
+
 def q_dedup_docs(sf_dir: str):
     """logdedup: one row per distinct content key + count + first/last (§2.7)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1019,6 +1042,8 @@ QUERIES = {
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
     "sample_fixed_n": q_sample_fixed_n,
+    "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
     "group_by_attrs": q_group_by_attrs,
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
@@ -1190,6 +1215,19 @@ ORACLE_SQL = {
         SELECT event_id, event_type FROM events
         ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
         LIMIT 200
+    """,
+    "sample_stratified": """
+        SELECT event_id, event_type FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
+        ) <= 40
+    """,
+    "sample_mixture": """
+        SELECT event_id, event_type FROM events
+        WHERE md5_number_upper(CAST(event_id AS VARCHAR)) % 10000 <
+              CASE event_type WHEN 'click' THEN 8000 WHEN 'view' THEN 1000
+                              WHEN 'error' THEN 10000 ELSE 2500 END
     """,
     "dedup_docs": """
         SELECT CAST(md5_number_upper(text) % 4611686018427387904 AS BIGINT) AS doc_fp,

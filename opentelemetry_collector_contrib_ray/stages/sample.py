@@ -90,3 +90,57 @@ def sample_fixed_n(ds, key: str, n: int):
         merged.column("_h").to_numpy(zero_copy_only=False),
     ))[:n]
     return merged.take(pa.array(order.astype(np.int64))).drop_columns(["_h"])
+
+
+def sample_stratified_n(ds, group_col: str, key: str, n: int):
+    """Exactly-n-per-group deterministic sample (stratified hash-order
+    top-N): per-block partials keep n candidates per group present in the
+    block, then a small groupby finishes each group's top-n — candidate
+    volume is blocks×groups×n, never the input size."""
+    import pandas as pd
+
+    class _Partial:
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column(key).cast(pa.string()).to_pylist()
+            h = md5_u64_many(keys)
+            df = pd.DataFrame({
+                "_h": h,
+                "_k": batch.column(key).to_numpy(zero_copy_only=False),
+                "_i": np.arange(len(h)),
+                "_g": batch.column(group_col).to_pylist(),
+            })
+            top = (df.sort_values(["_h", "_k"])
+                     .groupby("_g", sort=False).head(n))
+            out = batch.take(pa.array(top["_i"].to_numpy()))
+            return out.append_column("_h", pa.array(top["_h"].to_numpy(),
+                                                    pa.uint64()))
+
+    def finish(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(["_h", key], kind="mergesort")
+                     .head(n).drop(columns=["_h"]))
+
+    partials = ds.map_batches(_Partial(), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(group_col).map_groups(finish,
+                                                  batch_format="pandas")
+
+
+def sample_mixture(ds, group_col: str, key: str, rates: dict[str, float],
+                   default_rate: float = 0.0):
+    """Domain-mixture sampling: each group kept at its own rate (the LLM
+    data-mixing weights op) — deterministic md5 threshold per row, rate
+    looked up per group, one vectorized pass, no shuffle."""
+    bp = {g: int(round(r * 100)) for g, r in rates.items()}
+    default_bp = int(round(default_rate * 100))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).cast(pa.string()).to_pylist()
+        h = md5_u64_many(keys) % np.uint64(10_000)
+        groups = batch.column(group_col).to_pylist()
+        thresholds = np.fromiter(
+            (bp.get(g, default_bp) for g in groups), dtype=np.uint64,
+            count=len(groups),
+        )
+        return batch.filter(pa.array(h < thresholds))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
