@@ -393,6 +393,34 @@ def q_sample_mixture(sf_dir: str):
                           rates=MIXTURE_RATES, default_rate=25.0)
 
 
+def q_decontaminate(sf_dir: str):
+    """benchmark decontamination: docs sharing >= 3 distinct trigrams with
+    the 'benchmark' slice (doc_id < 20) are flagged — the broadcast
+    small-side membership op every pre-training pipeline runs
+    (stages/decontaminate.py; string n-grams keep SQL parity exact)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decontaminate import decontaminate
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"],
+                          filters=[("doc_id", "<", 20)]).column("text")
+    if isinstance(bench, pa.ChunkedArray):
+        bench = bench.combine_chunks()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decontaminate(ds, bench, n=3, min_overlap=3)
+    flagged = out.map_batches(
+        lambda t: t.filter(pa.compute.and_(
+            t.column("contaminated").combine_chunks()
+            if isinstance(t.column("contaminated"), pa.ChunkedArray)
+            else t.column("contaminated"),
+            pa.compute.greater_equal(t.column("doc_id"), 20),
+        )),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return flagged.select_columns(["doc_id", "overlap"])
+
+
 def q_dedup_docs(sf_dir: str):
     """logdedup: one row per distinct content key + count + first/last (§2.7)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1044,6 +1072,7 @@ QUERIES = {
     "sample_fixed_n": q_sample_fixed_n,
     "sample_stratified": q_sample_stratified,
     "sample_mixture": q_sample_mixture,
+    "decontaminate": q_decontaminate,
     "group_by_attrs": q_group_by_attrs,
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
@@ -1215,6 +1244,22 @@ ORACLE_SQL = {
         SELECT event_id, event_type FROM events
         ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)), event_id
         LIMIT 200
+    """,
+    "decontaminate": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        tri AS (SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                       )) AS tg
+                FROM w),
+        bench AS (SELECT DISTINCT tg FROM tri WHERE doc_id < 20)
+        SELECT t.doc_id, CAST(count(DISTINCT t.tg) AS BIGINT) AS overlap
+        FROM tri t JOIN bench b USING (tg)
+        WHERE t.doc_id >= 20
+        GROUP BY t.doc_id
+        HAVING count(DISTINCT t.tg) >= 3
     """,
     "sample_stratified": """
         SELECT event_id, event_type FROM events
