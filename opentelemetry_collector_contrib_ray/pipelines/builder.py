@@ -214,6 +214,43 @@ def _tail_sample(ds, group_key: str, policies: list[dict]):
     return P.tail_sample(ds, group_key, P.all_of(*built))
 
 
+@register_stage("sample_mixture")
+def _sample_mixture(ds, group_col: str, key: str, rates: dict,
+                    default_rate: float = 0.0):
+    from ..stages.sample import sample_mixture
+
+    return sample_mixture(ds, group_col=group_col, key=key,
+                          rates={k: float(v) for k, v in rates.items()},
+                          default_rate=default_rate)
+
+
+@register_stage("pack_sequences")
+def _pack_sequences(ds, max_len: int = 2048, tokens_col: str = "tokens"):
+    from ..stages.tokenstats import pack_sequences
+
+    return pack_sequences(ds, tokens_col=tokens_col, max_len=max_len)
+
+
+@register_stage("decontaminate")
+def _decontaminate(ds, bench_parquet: str, bench_text_col: str = "text",
+                   n: int = 3, min_overlap: int = 3,
+                   text_col: str = "text", bench_filter: list | None = None):
+    import pyarrow.parquet as pq
+
+    from ..stages.decontaminate import decontaminate
+
+    bench = pq.read_table(
+        bench_parquet, columns=[bench_text_col],
+        filters=[tuple(f) for f in bench_filter] if bench_filter else None,
+    ).column(bench_text_col)
+    import pyarrow as pa_
+
+    if isinstance(bench, pa_.ChunkedArray):
+        bench = bench.combine_chunks()
+    return decontaminate(ds, bench, n=n, min_overlap=min_overlap,
+                         text_col=text_col)
+
+
 @register_stage("dedup")
 def _dedup(ds, key_cols: list[str], order_col: str,
            count_name: str = "log_count", salt: int | None = None):

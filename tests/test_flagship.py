@@ -141,3 +141,39 @@ def test_builder_round2_stages():
     df = build_pipeline(cfg2).limit(5).to_pandas()
     assert (df["geo_country"] == "C00").all()
     assert (df["resolved_ip"] == "10.0.0.3").all()
+
+
+def test_builder_training_data_stages():
+    """Config-driven training-data curation chain: decontaminate ->
+    mixture-sample -> pack (the §2.10 registry covering the LLM ops)."""
+    from opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_pipeline,
+    )
+
+    cfg = {
+        "source": {"type": "corpus", "sf_dir": SF_SMOKE, "with_raw": False},
+        "stages": [
+            {"type": "sample_mixture", "group_col": "source",
+             "key": "doc_id", "rates": {"src0": 100.0},
+             "default_rate": 50.0},
+            {"type": "pack_sequences", "max_len": 256},
+        ],
+    }
+    out = build_pipeline(cfg).to_pandas()
+    assert (out["n_tok"] <= 256).all()
+    assert out["n_tok"].sum() > 0
+
+    cfg2 = {
+        "source": {"type": "parquet",
+                   "path": f"{SF_SMOKE}/documents.parquet",
+                   "columns": ["doc_id", "text"]},
+        "stages": [
+            {"type": "decontaminate",
+             "bench_parquet": f"{SF_SMOKE}/documents.parquet",
+             "bench_filter": [["doc_id", "<", 20]]},
+        ],
+    }
+    out2 = build_pipeline(cfg2).to_pandas()
+    assert {"overlap", "contaminated"} <= set(out2.columns)
+    # the benchmark docs themselves are fully contaminated
+    assert out2[out2["doc_id"] < 20]["contaminated"].all()
