@@ -951,8 +951,10 @@ def parse_time_layout(col, layout: str, layout_type: str = "strptime"):
     import numpy as np
 
     if layout in ("s", "ms", "us", "ns"):
-        ints = arr.cast(pa.float64()).cast(pa.int64()) if pa.types.is_string(arr.type) \
-            else arr.cast(pa.int64())
+        # string -> int64 DIRECTLY: a float64 detour loses precision above
+        # 2^53 (a string 'ns' epoch like '1709288430123456789' would round;
+        # the stanza reference parses the integer exactly — ADVICE r2)
+        ints = arr.cast(pa.int64())
         v = ints.to_numpy(zero_copy_only=False)
         if layout == "s":
             return pa.array(v * 1_000_000, pa.timestamp("us"))

@@ -119,6 +119,7 @@ def connected_components(pairs_ds, driver_threshold: int = 1_000_000,
     def project_prop(t: pa.Table) -> pa.Table:
         return pa.table({"id": t.column("dst"), "label": t.column("label")})
 
+    converged = False
     for _ in range(max_rounds):
         # neighbor inherits src's current label: edges ⋈ labels on src=id,
         # then re-keyed to the neighbor — a hash-partitioned exchange, the
@@ -136,8 +137,17 @@ def connected_components(pairs_ds, driver_threshold: int = 1_000_000,
         )
         new_sum = labels.sum("label")
         if new_sum == old_sum:  # fixed point: no label decreased
+            converged = True
             break
         old_sum = new_sum
+    if not converged:
+        # a component with diameter > max_rounds would get WRONG labels
+        # silently (ADVICE r2) — near-dup graphs are shallow, so treat this
+        # as an error the caller must see rather than bad clusters
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            "(component diameter exceeds max_rounds); raise max_rounds"
+        )
     return labels.map_batches(
         lambda t: t.rename_columns(["id", "cluster"]), batch_format="pyarrow"
     )

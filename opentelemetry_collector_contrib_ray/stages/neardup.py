@@ -213,8 +213,11 @@ class MinHashSketch:
         if isinstance(sig_col, pa.ChunkedArray):
             sig_col = sig_col.combine_chunks()
         n = len(ids)
+        # flatten() (NOT .values) — offset-aware on zero-copy sliced batches;
+        # .values would return the full child array of a sliced ListArray and
+        # silently pair rows with wrong signatures (ADVICE r2)
         sigs = (
-            sig_col.values.to_numpy(zero_copy_only=False)
+            sig_col.flatten().to_numpy(zero_copy_only=False)
             .view(np.uint64)
             .reshape(n, self.num_perm)
         )
@@ -256,7 +259,8 @@ def _sig_list_to_binary(col, num_perm: int) -> pa.Array:
         col = col.combine_chunks()
     n = len(col)
     width = num_perm * 8
-    flat = col.values.to_numpy(zero_copy_only=False).astype("<i8", copy=False)
+    # flatten() is offset-aware for sliced ListArrays (.values is not)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype("<i8", copy=False)
     offsets = pa.array(np.arange(0, (n + 1) * width, width, dtype=np.int32))
     return pa.Array.from_buffers(
         pa.binary(), n,
@@ -340,7 +344,23 @@ def minhash_lsh_pairs(
             + t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
         )
 
+    def _id_type():
+        sch = sigs.schema()
+        return dict(zip(sch.names, sch.types))[id_col]
+
+    def _empty_pairs():
+        import ray.data as _rd
+
+        t = _id_type()
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], t),
+            "id_b": pa.array([], t),
+            "jaccard_est": pa.array([], pa.float64()),
+        }))
+
     survivors = prefilter_hot_groups(band_rows, ["band", "bucket"], combine)
+    if survivors is None:  # no bucket has >=2 members: zero candidates
+        return _empty_pairs()
     cands = survivors.groupby(["band", "bucket"]).map_groups(
         lambda g: _candidate_pairs(g, id_col, max_bucket),
         batch_format="pandas",
@@ -352,6 +372,8 @@ def minhash_lsh_pairs(
     from .blocks import nonempty_blocks
 
     uniq = nonempty_blocks(uniq)
+    if uniq.count() == 0:  # all colliding buckets exceeded max_bucket
+        return _empty_pairs()
 
     def pack(name_id: str, name_sig: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -549,34 +571,72 @@ def _simhash_pairs(group: pd.DataFrame, id_col: str, max_hamming: int,
 
 
 def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
-                         min_size: int = 2):
+                         min_size: int = 2,
+                         broadcast_threshold: int = 2_000_000,
+                         join_partitions: int | None = None):
     """Semi-join prefilter: keep only rows whose group has ≥ min_size members.
 
-    ``combine_fn(table) -> np.int64 array`` encodes the group key columns to
-    one int64 per row (collisions only re-admit rows — never lose groups).
-    Group counts travel as tiny per-block partials; the surviving key set is
-    broadcast once.
+    Fully distributed (VERDICT r2 #2 — the r2 version funneled per-block
+    count partials for the high-cardinality (band, bucket) key through a
+    driver concat ≈ the whole band-row table at 1 B docs):
+
+    1. group counts via ``count_sum(final="shuffle")`` — a hash-shuffle
+       groupby of lean fixed-width key rows, never on the driver;
+    2. filter to the ≥ min_size survivors IN the cluster — the survivor set
+       is bounded by the number of colliding groups, not corpus size;
+    3. semi-join survivors back: if the survivor set is small
+       (≤ ``broadcast_threshold``) it is collected + ``ray.put`` broadcast
+       once and probed with a vectorized ``np.isin`` (combine_fn encodes the
+       key columns to one int64 per row; collisions only re-admit rows —
+       never lose groups); otherwise a native hash join does the semi-join
+       with no driver traffic at all.
+
+    Returns ``None`` when NO group reaches min_size (zero candidate pairs) —
+    callers short-circuit instead of feeding an all-empty side to acero,
+    which cannot finalize schema-less empty join inputs (ADVICE r2).
     """
     import ray
 
+    import pyarrow.compute as pc
+
     from .aggregate import count_sum
+    from .blocks import nonempty_blocks
 
-    counts = count_sum(band_rows, keys=key_cols).materialize()
-    hot = pa.concat_tables([t for t in ray.get(counts.to_arrow_refs()) if t.num_rows])
-    hot = hot.filter(
-        pa.array(hot.column("row_count").to_numpy(zero_copy_only=False) >= min_size)
+    counts = count_sum(band_rows, keys=key_cols, final="shuffle")
+
+    def survivors_only(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("row_count"), min_size)
+        return t.filter(keep).select(key_cols)
+
+    hot = nonempty_blocks(
+        counts.map_batches(survivors_only, batch_format="pyarrow")
     )
-    keys_ref = ray.put(np.unique(combine_fn(hot)))
+    n_hot = hot.count()
+    if n_hot == 0:
+        return None
 
-    # task-based (no actor pool): the broadcast key set is read zero-copy
-    # from the object store per task — actor startup cost isn't worth it for
-    # a sorted-array membership probe (CLAUDE.md round-1 perf note)
-    def keep(batch: pa.Table) -> pa.Table:
-        keys = ray.get(keys_ref)
-        return batch.filter(pa.array(np.isin(combine_fn(batch), keys)))
+    if n_hot <= broadcast_threshold:
+        hot_tbl = pa.concat_tables(
+            [t for t in ray.get(hot.to_arrow_refs()) if t.num_rows]
+        )
+        keys_ref = ray.put(np.unique(combine_fn(hot_tbl)))
 
-    return band_rows.map_batches(
-        keep, batch_format="pyarrow", zero_copy_batch=True,
+        # task-based (no actor pool): the broadcast key set is read zero-copy
+        # from the object store per task — actor startup cost isn't worth it
+        # for a sorted-array membership probe (CLAUDE.md round-1 perf note)
+        def keep(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            return batch.filter(pa.array(np.isin(combine_fn(batch), keys)))
+
+        return band_rows.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True,
+        )
+
+    if join_partitions is None:
+        join_partitions = int(min(64, max(2, n_hot // 100_000)))
+    return band_rows.join(
+        hot, join_type="inner", num_partitions=join_partitions,
+        on=tuple(key_cols),
     )
 
 
@@ -598,6 +658,16 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     survivors = prefilter_hot_groups(sketched, ["chunk", "chunk_val"], combine)
+    if survivors is None:  # no chunk value shared by >=2 docs: no candidates
+        import ray.data as _rd
+
+        sch = sketched.schema()
+        t = dict(zip(sch.names, sch.types))[id_col]
+        return _rd.from_arrow(pa.table({
+            "id_a": pa.array([], t),
+            "id_b": pa.array([], t),
+            "hamming": pa.array([], pa.int64()),
+        }))
     pairs = survivors.groupby(["chunk", "chunk_val"]).map_groups(
         lambda g: _simhash_pairs(g, id_col, max_hamming, max_bucket),
         batch_format="pandas",

@@ -191,7 +191,9 @@ class RateBudget:
         actor-wide sps) — composite passes each sub-policy's allocation."""
         cap = self.sps if limit is None else limit
         used = self.used.get(second, 0)
-        if used + n_spans < cap:
+        # reference rejects only when used + n > cap (strict greater), so an
+        # exact-fit trace IS admitted (rate_limiting.go; ADVICE r2)
+        if used + n_spans <= cap:
             self.used[second] = used + n_spans
             return True
         return False
