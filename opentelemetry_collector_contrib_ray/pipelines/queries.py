@@ -594,6 +594,21 @@ def q_embed_neardup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def q_embed_neardup_ivf(sf_dir: str):
+    """embedding-cosine near-dup pairs (threshold 0.30) — EXACT via the
+    IVF-cell-partitioned block-pair join (stages/similarity.py
+    embedding_near_dups_ivf): O(P²/cells) tasks when the similarity
+    structure is clusterable, recall = 1 by the cell-radius triangle
+    inequality. Same oracle as embed_neardup — the prune must never
+    change the answer."""
+    from ..stages.similarity import embedding_near_dups_ivf
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pairs = embedding_near_dups_ivf(ds, id_col="vec_id", vec_col="embedding",
+                                    threshold=0.30, n_cells=8)
+    return pairs.select_columns(["id_a", "id_b"])
+
+
 def q_dedup_clusters(sf_dir: str):
     """near-dup cluster assignment: exact embedding pairs -> connected
     components (id, cluster=min component member). Oracle = a recursive-CTE
@@ -1050,7 +1065,31 @@ def q_flagship_from_config(sf_dir: str):
     return build_and_run(cfg)
 
 
+# ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
+# entries only.  Entries with the least driver-side evidence go first
+# (VERDICT r2 #1: 14 queries sat outside the window in r2, three of them
+# never driver-checked in any round); entries rotated past position 50 are
+# r1+r2-driver-green AND re-verified locally by scripts/mirror_gate.py at
+# sf0.01 every round.
 QUERIES = {
+    # --- never / r1-only driver evidence: keep inside the window ---------
+    "approx_distinct_users": q_approx_distinct_users,
+    "lsh_neardup": q_lsh_neardup,
+    "dedup_clusters": q_dedup_clusters,
+    "dedup_docs_salted": q_dedup_docs_salted,
+    "hash_partition_counts": q_hash_partition_counts,
+    "delta_rate": q_delta_rate,
+    "topk_per_source": q_topk_per_source,
+    "anomaly_scores": q_anomaly_scores,
+    "filter_drop_ratio": q_filter_drop_ratio,
+    "grok_parse": q_grok_parse,
+    "distinct_users": q_distinct_users,
+    "error_rate": q_error_rate,
+    "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
+    # --- new in round 3: first driver check this round -------------------
+    "embed_neardup_ivf": q_embed_neardup_ivf,
+    # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
     "parse_extract": q_parse_extract,
@@ -1058,29 +1097,15 @@ QUERIES = {
     "enrich_join": q_enrich_join,
     "filter_errors": q_filter_errors,
     "transform_statements": q_transform_statements,
-    "editor_tail": q_editor_tail,
-    "attributes_hash": q_attributes_hash,
-    "severity_map": q_severity_map,
-    "severity_full": q_severity_full,
-    "time_layouts": q_time_layouts,
-    "jsonarray_parse": q_jsonarray_parse,
     "tail_sampling_composite": q_tail_sampling_composite,
-    "geoip_dns": q_geoip_dns,
-    "exp_histogram": q_exp_histogram,
     "sampled_events": q_sampled_events,
     "dedup_docs": q_dedup_docs,
-    "sample_fixed_n": q_sample_fixed_n,
-    "sample_stratified": q_sample_stratified,
-    "sample_mixture": q_sample_mixture,
     "decontaminate": q_decontaminate,
     "group_by_attrs": q_group_by_attrs,
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
-    "interval_last": q_interval_last,
-    "histogram_buckets": q_histogram_buckets,
     "routing_events": q_routing_events,
     "topk_sources": q_topk_sources,
-    "broadcast_join": q_broadcast_join,
     "token_counts": q_token_counts,
     "quality_stats": q_quality_stats,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1094,27 +1119,28 @@ QUERIES = {
     "pack_conservation": q_pack_conservation,
     "quality_filter": q_quality_filter,
     "media_features": q_media_features,
-    "metrics_label_agg": q_metrics_label_agg,
     "join_orders": q_join_orders,
     "tail_sampling": q_tail_sampling,
+    # --- rotated past the window: r1+r2 driver-green, mirror-gated -------
+    "severity_map": q_severity_map,
+    "severity_full": q_severity_full,
+    "time_layouts": q_time_layouts,
+    "jsonarray_parse": q_jsonarray_parse,
     "kv_parse": q_kv_parse,
     "csv_parse": q_csv_parse,
     "redact": q_redact,
     "recombine": q_recombine,
-    "dedup_docs_salted": q_dedup_docs_salted,
-    "hash_partition_counts": q_hash_partition_counts,
-    "delta_rate": q_delta_rate,
-    "topk_per_source": q_topk_per_source,
-    "anomaly_scores": q_anomaly_scores,
-    "filter_drop_ratio": q_filter_drop_ratio,
-    "grok_parse": q_grok_parse,
-    "distinct_users": q_distinct_users,
-    "approx_distinct_users": q_approx_distinct_users,
-    "error_rate": q_error_rate,
-    "asof_join": q_asof_join,
-    "session_windows": q_session_windows,
-    "lsh_neardup": q_lsh_neardup,
-    "dedup_clusters": q_dedup_clusters,
+    "editor_tail": q_editor_tail,
+    "attributes_hash": q_attributes_hash,
+    "geoip_dns": q_geoip_dns,
+    "exp_histogram": q_exp_histogram,
+    "sample_fixed_n": q_sample_fixed_n,
+    "sample_stratified": q_sample_stratified,
+    "sample_mixture": q_sample_mixture,
+    "interval_last": q_interval_last,
+    "histogram_buckets": q_histogram_buckets,
+    "broadcast_join": q_broadcast_join,
+    "metrics_label_agg": q_metrics_label_agg,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id",
@@ -1376,6 +1402,12 @@ ORACLE_SQL = {
         ORDER BY rank LIMIT 10
     """,
     "embed_neardup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+    """,
+    "embed_neardup_ivf": """
         WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id

@@ -144,7 +144,10 @@ class _BlockPairScorer:
         if hit is None:
             t = ray.get(self.refs[i])
             ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
-            hit = (ids, _normalize(_matrix(t, self.vec_col)))
+            if t.num_rows == 0:  # materialized datasets can carry 0-row blocks
+                hit = (ids, np.empty((0, 0), dtype=np.float64))
+            else:
+                hit = (ids, _normalize(_matrix(t, self.vec_col)))
             while len(self._cache) >= self.cache_blocks:
                 self._cache.pop(next(iter(self._cache)))
         self._cache[i] = hit  # re-insert = most recently used
@@ -205,6 +208,143 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
     return pair_ds.map_batches(
         _BlockPairScorer,
         fn_constructor_kwargs=dict(block_refs=refs, id_col=id_col,
+                                   vec_col=vec_col, threshold=threshold),
+        batch_format="pyarrow",
+        batch_size=8,  # consecutive pairs share block i -> LRU hits
+        concurrency=concurrency,
+    )
+
+
+@ray.remote
+def _block_min_cos(tbl, centroid, vec_col: str) -> float:
+    """Min cosine of a block's members to their cell centroid (computed next
+    to the data; one float returns to the driver)."""
+    if not tbl.num_rows:
+        return 1.0
+    m = _normalize(_matrix(tbl, vec_col))
+    return float(np.min(m @ centroid))
+
+
+def embedding_near_dups_ivf(
+    ds,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_cells: int = 16,
+    fit_sample: int = 2048,
+    index_dir: str | None = None,
+    seed: int = 42,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """EXACT all (id_a < id_b) pairs with cosine ≥ threshold — the
+    cell-partitioned scale path (VERDICT r2 #3).
+
+    The plain :func:`embedding_near_dups` block-pair join is O(P²) tasks
+    over ALL block pairs; at 100 TB (P≈10⁶ blocks) that is 10¹² tasks.
+    This variant prunes block pairs by IVF cell geometry while staying
+    exact:
+
+    1. fit ``n_cells`` spherical centroids on a seeded bounded sample;
+    2. assign each row a cell and write a cell-partitioned Parquet copy
+       (the same on-disk layout :func:`ivf_build` produces — resumable,
+       and each cell's blocks are single-cell so pruning is block-exact);
+    3. per-cell angular radius r_c = max angle(member, centroid), computed
+       next to the data (one float per block to the driver);
+    4. candidate cell pairs: keep (a, b) iff
+       ``angle(c_a, c_b) ≤ θ + r_a + r_b`` — by the spherical triangle
+       inequality any pair x∈a, y∈b with angle(x, y) ≤ θ satisfies this,
+       so **recall is exactly 1**; pruning only removes cell pairs that
+       provably contain no qualifying pair;
+    5. block-pair tasks run only across candidate cell pairs — task count
+       O(P²/cells) when the similarity structure is clusterable, falling
+       back to all pairs (still exact, never wrong) when cell radii are
+       wide relative to θ (e.g. near-uniform directions, the regime the
+       module docstring documents for θ≈72°).
+
+    The pruned/total cell-pair ratio is logged (no silent caps).
+    """
+    import logging
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    if index_dir is None:
+        index_dir = tempfile.mkdtemp(prefix="ivf_neardup_", dir="/tmp")
+
+    slim = ds.select_columns([id_col, vec_col])
+    sample = slim.limit(fit_sample).to_pandas()
+    index = IVFIndex(n_cells=n_cells, seed=seed).fit(
+        np.stack(sample[vec_col].to_numpy())
+    )
+    C = index.centroids  # (n_cells, dim), unit-norm
+    assigned = slim.map_batches(
+        index.assign_stage(vec_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    assigned.write_parquet(index_dir, partition_cols=["cell"])
+
+    # per-cell block refs + radii (block mins computed remotely)
+    all_refs: list = []
+    cell_block_idx: dict[int, list[int]] = {}
+    radius_futs: dict[int, list] = {}
+    for c in range(len(C)):
+        d = os.path.join(index_dir, f"cell={c}")
+        if not os.path.isdir(d):
+            continue
+        from .blocks import nonempty_blocks
+
+        refs = nonempty_blocks(
+            rd.read_parquet(d, columns=[id_col, vec_col])
+        ).to_arrow_refs()
+        if not refs:
+            continue
+        cell_block_idx[c] = list(range(len(all_refs), len(all_refs) + len(refs)))
+        radius_futs[c] = [_block_min_cos.remote(r, C[c], vec_col) for r in refs]
+        all_refs.extend(refs)
+
+    theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+    radius = {c: float(np.arccos(np.clip(min(ray.get(futs)), -1.0, 1.0)))
+              for c, futs in radius_futs.items()}
+    cells = sorted(cell_block_idx)
+    cc_angle = np.arccos(np.clip(C @ C.T, -1.0, 1.0))
+
+    block_pairs: list[dict] = []
+    kept = total = 0
+    for ai, a in enumerate(cells):
+        for b in cells[ai:]:
+            total += 1
+            if a != b and cc_angle[a, b] > theta + radius[a] + radius[b]:
+                continue  # provably no qualifying pair spans these cells
+            kept += 1
+            if a == b:
+                ba = cell_block_idx[a]
+                block_pairs.extend(
+                    {"i": ba[x], "j": ba[y]}
+                    for x in range(len(ba)) for y in range(x, len(ba))
+                )
+            else:
+                block_pairs.extend(
+                    {"i": i, "j": j}
+                    for i in cell_block_idx[a] for j in cell_block_idx[b]
+                )
+    logging.getLogger(__name__).info(
+        "ivf near-dup: %d/%d cell pairs survive the radius prune "
+        "(θ=%.3f rad; block-pair tasks: %d of %d unpruned)",
+        kept, total, theta, len(block_pairs),
+        len(all_refs) * (len(all_refs) + 1) // 2,
+    )
+    if not block_pairs:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }))
+
+    pair_ds = rd.from_items(block_pairs)
+    return pair_ds.map_batches(
+        _BlockPairScorer,
+        fn_constructor_kwargs=dict(block_refs=all_refs, id_col=id_col,
                                    vec_col=vec_col, threshold=threshold),
         batch_format="pyarrow",
         batch_size=8,  # consecutive pairs share block i -> LRU hits

@@ -104,6 +104,53 @@ def test_lsh_near_dups_subset_of_exact():
     assert len(a) / len(e) >= 0.15  # deterministic seed; measured 0.289
 
 
+def test_ivf_neardup_matches_exact_block_pair_join(tmp_path):
+    """embedding_near_dups_ivf is EXACT: the cell-radius prune may only drop
+    cell pairs that provably contain no qualifying pair, so its pair set
+    equals the plain all-block-pairs join bit-for-bit."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_ivf,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    exact = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                                threshold=0.30).to_pandas()
+    ivf = embedding_near_dups_ivf(ds, id_col="vec_id", vec_col="embedding",
+                                  threshold=0.30, n_cells=8,
+                                  index_dir=str(tmp_path / "nd")).to_pandas()
+    e = set(zip(exact["id_a"], exact["id_b"]))
+    v = set(zip(ivf["id_a"], ivf["id_b"]))
+    assert v == e
+    assert len(ivf) == len(v)  # each pair emitted exactly once
+
+
+def test_ivf_neardup_prunes_separated_clusters(tmp_path):
+    """With tight clusters far apart the radius prune must actually remove
+    cross-cluster cell pairs (task count O(P²/cells)) while keeping the
+    within-cluster pairs exact."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        embedding_near_dups_ivf,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(8, 64) * 10.0  # 8 orthogonal, well-separated centers
+    vecs, ids = [], []
+    for c in range(8):
+        for m in range(20):
+            vecs.append(centers[c] + 0.05 * rng.standard_normal(64))
+            ids.append(c * 100 + m)
+    ds = ray.data.from_arrow(_table(np.asarray(vecs), ids))
+    pairs = embedding_near_dups_ivf(
+        ds, id_col="vec_id", vec_col="embedding", threshold=0.95,
+        n_cells=8, fit_sample=160, index_dir=str(tmp_path / "sep"),
+    ).to_pandas()
+    # every within-cluster pair qualifies (cosine ~0.99995), none across
+    assert len(pairs) == 8 * (20 * 19) // 2
+    assert ((pairs["id_a"] // 100) == (pairs["id_b"] // 100)).all()
+
+
 def test_ivf_partitioned_build_and_search(tmp_path):
     """ivf_build writes one partition per cell; ivf_search reads ONLY the
     probed partitions (pruning at the read) and agrees with the in-stream
