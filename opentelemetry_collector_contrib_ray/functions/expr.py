@@ -17,8 +17,25 @@ Supported grammar (the subset our corpus + routing tables exercise):
     compare  := sum (OP sum | "in" "(" lit ("," lit)* ")")?
     sum      := product (("+" | "-") product)*
     product  := operand (("*" | "/") operand)*
-    operand  := IDENT | literal | converter "(" args ")"
+    operand  := path | literal | list_lit | converter "(" args ")" | ENUM
+    path     := IDENT ("[" (STR | INT) "]")*
+    list_lit := "[" lit ("," lit)* "]"
     literal  := "str" | 'str' | int | float | true | false | nil
+
+Round-3 additions (pkg/ottl/grammar.go:236 `Path`/`Keys`, LANGUAGE.md
+"Paths" / "Enums" / "Lists"):
+
+- **Path indexing** — ``attributes["k"]`` looks a string key up in a
+  map- or struct-typed column (vectorized ``pc.map_lookup`` /
+  ``pc.struct_field``); ``body[0]`` indexes a list-typed column
+  (``pc.list_element``). Missing keys / columns read as nil, matching
+  OTTL's nil-path semantics. Indexes chain: ``attrs["a"][0]``.
+- **Enums** — uppercase symbols (``SEVERITY_NUMBER_WARN``,
+  ``STATUS_CODE_ERROR``, ``SPAN_KIND_SERVER``) resolve to their int64
+  value at compile time, exactly the sets the reference's log/trace
+  contexts register.
+- **List literals** — ``["a", "b"]`` as a comparison RHS or converter
+  argument.
 
 Math follows pkg/ottl/LANGUAGE.md "Math Expressions" / pkg/ottl/math.go:
 int and float NEVER mix (a type error, like the reference), int division
@@ -48,12 +65,30 @@ _TOKEN_RE = re.compile(
       | (?P<op>==|!=|<=|>=|<|>)
       | (?P<arith>[+\-*/])
       | (?P<lpar>\() | (?P<rpar>\)) | (?P<comma>,)
+      | (?P<lbrack>\[) | (?P<rbrack>\])
       | (?P<ident>[A-Za-z_][A-Za-z0-9_.]*)
     )""",
     re.VERBOSE,
 )
 
 _KEYWORDS = {"and", "or", "not", "in", "true", "false", "nil", "null"}
+
+# Enum symbol -> int64, the sets the reference's contexts register
+# (pkg/ottl/contexts/internal/logging + plog/ptrace enum tables;
+# LANGUAGE.md "Enums": uppercase symbols replaced by their int64 value).
+_SEV_BASE = {"TRACE": 1, "DEBUG": 5, "INFO": 9, "WARN": 13, "ERROR": 17,
+             "FATAL": 21}
+ENUMS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _name, _base in _SEV_BASE.items():
+    ENUMS[f"SEVERITY_NUMBER_{_name}"] = _base
+    for _i in (2, 3, 4):
+        ENUMS[f"SEVERITY_NUMBER_{_name}{_i}"] = _base + _i - 1
+ENUMS.update({
+    "STATUS_CODE_UNSET": 0, "STATUS_CODE_OK": 1, "STATUS_CODE_ERROR": 2,
+    "SPAN_KIND_UNSPECIFIED": 0, "SPAN_KIND_INTERNAL": 1,
+    "SPAN_KIND_SERVER": 2, "SPAN_KIND_CLIENT": 3, "SPAN_KIND_PRODUCER": 4,
+    "SPAN_KIND_CONSUMER": 5,
+})
 
 
 @dataclass
@@ -160,12 +195,14 @@ class _Parser:
             return ("cmp", op, lhs, rhs)
         if t.kind == "in":
             self.next()
-            self.expect("lpar")
+            # both spellings: in ("a", "b") and in ["a", "b"] (list literal)
+            close = "rbrack" if self.peek().kind == "lbrack" else "rpar"
+            self.next() if close == "rbrack" else self.expect("lpar")
             lits = [self.literal()]
             while self.peek().kind == "comma":
                 self.next()
                 lits.append(self.literal())
-            self.expect("rpar")
+            self.expect(close)
             return ("in", lhs, lits)
         # bare truthy operand (e.g. a boolean column)
         return ("truthy", lhs)
@@ -188,8 +225,20 @@ class _Parser:
         t = self.peek()
         if t.kind in ("num", "str") or t.kind in ("true", "false", "nil", "null"):
             return ("lit", self.literal())
+        if t.kind == "lbrack":  # list literal: ["a", "b", ...]
+            self.next()
+            items = []
+            if self.peek().kind != "rbrack":
+                items.append(self.literal())
+                while self.peek().kind == "comma":
+                    self.next()
+                    items.append(self.literal())
+            self.expect("rbrack")
+            return ("lit", items)
         if t.kind == "ident":
             name = self.next().value
+            if name in ENUMS:  # uppercase enum symbol -> int64 literal
+                return ("lit", ENUMS[name])
             if self.peek().kind == "lpar":  # converter call
                 self.next()
                 args = []
@@ -199,9 +248,22 @@ class _Parser:
                         self.next()
                         args.append(self.sum())
                 self.expect("rpar")
-                return ("call", name, args)
-            return ("col", name)
+                return self._postfix(("call", name, args))
+            return self._postfix(("col", name))
         raise ValueError(f"unexpected token {t.kind} in {self.text!r}")
+
+    def _postfix(self, node):
+        """Chained path indexes: attributes["k"], body[0], attrs["a"][0]."""
+        while self.peek().kind == "lbrack":
+            self.next()
+            key = self.literal()
+            if not isinstance(key, (str, int)) or isinstance(key, bool):
+                raise ValueError(
+                    f"path index must be a string or int literal in {self.text!r}"
+                )
+            self.expect("rbrack")
+            node = ("index", node, key)
+        return node
 
     def literal(self):
         t = self.next()
@@ -239,11 +301,57 @@ def _eval_operand(node, table: pa.Table):
         name, args = node[1], node[2]
         vals = [_eval_operand(a, table) for a in args]
         return _call_converter(name, vals)
+    if kind == "index":
+        base = _eval_operand(node[1], table)
+        if base is None:
+            return None  # nil base indexes to nil (LANGUAGE.md "Paths")
+        return _index_into(base, node[2])
     if kind == "arith":
         _, op, l, r = node
         return _eval_arith(op, _eval_operand(l, table),
                            _eval_operand(r, table))
     raise ValueError(f"bad operand {node}")
+
+
+def _index_into(base, key):
+    """Vectorized path index: map["k"] / struct["k"] / list[0] -> value
+    array; a missing key or field reads as nil per OTTL path semantics."""
+    if not isinstance(base, (pa.Array, pa.ChunkedArray)):
+        raise ValueError(f"cannot index a scalar with [{key!r}]")
+    t = base.type
+    if pa.types.is_map(t):
+        if not isinstance(key, str):
+            raise ValueError("map columns index with a string key")
+        return pc.map_lookup(base, query_key=key, occurrence="first")
+    if pa.types.is_struct(t):
+        if not isinstance(key, str):
+            raise ValueError("struct columns index with a string key")
+        if t.get_field_index(key) < 0:
+            return None  # unknown field -> nil, not an error
+        return pc.struct_field(base, key)
+    if pa.types.is_list(t) or pa.types.is_large_list(t) \
+            or pa.types.is_fixed_size_list(t):
+        if not isinstance(key, int):
+            raise ValueError("list columns index with an int")
+        # pc.list_element errors on out-of-range; OTTL reads it as nil.
+        # Mask short rows to null first, then gather.
+        if isinstance(base, pa.ChunkedArray):
+            base = base.combine_chunks()
+        lens = pc.list_value_length(base)
+        ok = pc.greater(pc.fill_null(lens, 0), key)
+        safe = base.filter(ok)
+        vals = pc.list_element(safe, key) if len(safe) else \
+            pa.array([], t.value_type)
+        # scatter back: null where the row was too short (null index -> null)
+        import numpy as np
+
+        ok_np = ok.to_numpy(zero_copy_only=False)
+        idx = np.full(len(base), -1, dtype=np.int64)
+        idx[ok_np] = np.arange(len(safe))
+        short = idx < 0
+        take_idx = pa.array(np.where(short, 0, idx), pa.int64(), mask=short)
+        return vals.take(take_idx)
+    raise ValueError(f"type {t} does not support [{key!r}] indexing")
 
 
 def _is_floatish(v) -> bool:
@@ -334,7 +442,10 @@ def _eval_bool(node, table: pa.Table):
             eq = (lv is None) == (rv is None)
             val = eq if op == "==" else (not eq)
             return pa.array([val] * n, pa.bool_())
-        return _CMP[op](lv, rv)
+        res = _CMP[op](lv, rv)
+        if isinstance(res, pa.Scalar):  # lit-vs-lit: broadcast to a mask
+            return pa.array([res.as_py()] * n, pa.bool_())
+        return res
     if kind == "in":
         _, lhs, lits = node
         lv = _eval_operand(lhs, table)
@@ -370,3 +481,32 @@ class CompiledCondition:
 
 def compile_condition(text: str) -> CompiledCondition:
     return CompiledCondition(text)
+
+
+class CompiledValue:
+    """A compiled OTTL-subset VALUE expression (the operand grammar —
+    paths with indexing, converters, math, enums); call with a Table to get
+    the value column. Missing paths evaluate to nil (returned as an
+    all-null array), mirroring OTTL getter semantics."""
+
+    def __init__(self, text: str):
+        self.text = text
+        p = _Parser(text)
+        self._ast = p.sum()
+        p.expect("eof")
+
+    def __call__(self, table: pa.Table):
+        v = _eval_operand(self._ast, table)
+        if v is None:
+            return pa.nulls(table.num_rows)
+        if not isinstance(v, (pa.Array, pa.ChunkedArray)):
+            n = table.num_rows
+            return pa.array([v] * n)
+        return v
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CompiledValue({self.text!r})"
+
+
+def compile_value(text: str) -> CompiledValue:
+    return CompiledValue(text)

@@ -594,6 +594,71 @@ def q_embed_neardup(sf_dir: str):
     return pairs.select_columns(["id_a", "id_b"])
 
 
+def q_ottl_path_index(sf_dir: str):
+    """OTTL path indexing + enums over a REAL map-typed column
+    (pkg/ottl/grammar.go:236 Path+Keys; pkg/ottl/LANGUAGE.md
+    "Paths"/"Enums"; e2e cases pkg/ottl/e2e/e2e_test.go): the fixture
+    stage builds ``attributes`` (map<string,string>) and ``tags``
+    (list<string>) columns vectorized, then the REGULAR Filter stage
+    evaluates a compiled condition mixing a map lookup, a list literal and
+    an enum symbol, and compiled VALUE expressions project the indexed
+    fields back out."""
+    from ..functions.expr import compile_value
+    from ..stages.transform import Filter
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+    _ETYPES = ["click", "view", "signup", "purchase", "error"]
+    _SEV = pa.array([5, 9, 10, 13, 17], pa.int64())
+
+    def fixture(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        uid = t.column("user_id").cast(pa.string())
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        # interleave [et0, uid0, et1, uid1, ...] with one take
+        perm = np.empty(2 * n, dtype=np.int64)
+        perm[0::2] = np.arange(n)
+        perm[1::2] = np.arange(n) + n
+        items = pa.concat_arrays([et, uid]).take(pa.array(perm))
+        offs = pa.array(np.arange(0, 2 * n + 2, 2, dtype=np.int32))
+        attrs = pa.MapArray.from_arrays(
+            offs, pa.array(["et", "uid"] * n, pa.string()), items)
+        tag_items = pa.concat_arrays(
+            [et, pa.array(["t1"] * n, pa.string())]).take(pa.array(perm))
+        tags = pa.ListArray.from_arrays(offs, tag_items)
+        sev = _SEV.take(pc.index_in(et, value_set=pa.array(_ETYPES)))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "attributes": attrs,
+            "tags": tags,
+            "severity_number": sev,
+        })
+
+    mapped = ds.map_batches(fixture, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    kept = mapped.map_batches(
+        Filter('attributes["et"] in ["purchase", "error"] '
+               'and severity_number >= SEVERITY_NUMBER_WARN'),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    v_uid = compile_value('attributes["uid"]')
+    v_et0 = compile_value('tags[0]')
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "uid": v_uid(t),
+            "etype0": v_et0(t),
+        })
+
+    return kept.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_embed_neardup_ivf(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.30) — EXACT via the
     IVF-cell-partitioned block-pair join (stages/similarity.py
@@ -1089,6 +1154,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     # --- new in round 3: first driver check this round -------------------
     "embed_neardup_ivf": q_embed_neardup_ivf,
+    "ottl_path_index": q_ottl_path_index,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1412,6 +1478,11 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.v, b.v) >= 0.30
+    """,
+    "ottl_path_index": """
+        SELECT event_id, CAST(user_id AS VARCHAR) AS uid,
+               event_type AS etype0
+        FROM events WHERE event_type IN ('purchase', 'error')
     """,
     "dedup_clusters": """
         WITH RECURSIVE

@@ -710,3 +710,69 @@ def test_transform_error_modes():
     assert out2.column_names == ["z"]
     with pytest.raises(ValueError, match="error_mode"):
         Transform([], error_mode="loud")
+
+
+def test_path_indexing_map_struct_list():
+    """OTTL path indexing (pkg/ottl/grammar.go:236 Path+Keys,
+    LANGUAGE.md "Paths"): attributes["k"] over map and struct columns,
+    body[i] over list columns, nil for missing keys/out-of-range."""
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        compile_condition as cc,
+        compile_value as cv,
+    )
+
+    t = pa.table({
+        "attributes": pa.array(
+            [[("et", "error"), ("uid", "u1")], [("et", "click")],
+             [("uid", "u3")], None],
+            pa.map_(pa.string(), pa.string())),
+        "body": pa.array([[1, 2, 3], [4], [], None], pa.list_(pa.int64())),
+        "st": pa.array([{"a": 1, "b": "x"}] * 4,
+                       pa.struct([("a", pa.int64()), ("b", pa.string())])),
+    })
+    assert cc('attributes["et"] == "error"')(t).to_pylist() == \
+        [True, False, False, False]
+    assert cc('body[1] == 2')(t).to_pylist() == [True, False, False, False]
+    assert cc('st["b"] == "x"')(t).to_pylist() == [True] * 4
+    # missing map key / struct field / short list read as nil, not error
+    assert cc('attributes["zz"] == nil')(t).to_pylist() == [True] * 4
+    assert cc('st["zz"] == nil')(t).to_pylist() == [True] * 4
+    assert cv('body[2]')(t).to_pylist() == [3, None, None, None]
+    assert cv('attributes["uid"]')(t).to_pylist() == ["u1", None, "u3", None]
+    # unknown COLUMN with an index still reads nil (nil-path semantics)
+    assert cc('nope["k"] == nil')(t).to_pylist() == [True] * 4
+
+
+def test_enum_symbols_and_list_literals():
+    """LANGUAGE.md "Enums": uppercase symbols replaced by int64; the
+    severity / status-code / span-kind sets the reference contexts
+    register. "Lists": ["a", "b"] literals, usable with in."""
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        ENUMS,
+        compile_condition as cc,
+    )
+
+    assert ENUMS["SEVERITY_NUMBER_WARN"] == 13
+    assert ENUMS["SEVERITY_NUMBER_FATAL4"] == 24
+    assert ENUMS["SEVERITY_NUMBER_TRACE"] == 1
+    assert ENUMS["STATUS_CODE_ERROR"] == 2
+    assert ENUMS["SPAN_KIND_CONSUMER"] == 5
+    t = pa.table({"sev": pa.array([9, 13, 21, None], pa.int64()),
+                  "kind": pa.array(["a", "b", "c", "d"])})
+    assert cc("sev >= SEVERITY_NUMBER_WARN")(t).to_pylist() == \
+        [False, True, True, False]
+    assert cc('kind in ["a", "c"]')(t).to_pylist() == \
+        [True, False, True, False]
+    assert cc('kind in ["a", "c"] and sev == SEVERITY_NUMBER_FATAL')(
+        t).to_pylist() == [False, False, True, False]
+
+
+def test_compile_value_math_and_missing():
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        compile_value as cv,
+    )
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64())})
+    assert cv("a * 2 + 1")(t).to_pylist() == [3, 5, 7]
+    assert cv("missing")(t).to_pylist() == [None] * 3
+    assert cv('"k"')(t).to_pylist() == ["k"] * 3
