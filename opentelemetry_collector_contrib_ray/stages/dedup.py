@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..functions.hashing import md5_u64_many
+from ..functions.hashing import md5_u64_col, md5_u64_many
 
 
 def exact_dedup(
@@ -78,9 +78,13 @@ class AddKeyHash:
         self.sep = sep
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = [batch.column(c).cast(pa.string()).to_pylist() for c in self.key_cols]
-        joined = (self.sep.join("" if v is None else v for v in row) for row in zip(*cols))
-        h = md5_u64_many(joined).view("int64")
+        import pyarrow.compute as pc
+
+        cols = [pc.fill_null(batch.column(c).cast(pa.string()), "")
+                for c in self.key_cols]
+        joined = cols[0] if len(cols) == 1 else \
+            pc.binary_join_element_wise(*cols, self.sep)
+        h = md5_u64_col(joined).view("int64")
         return batch.append_column(self.out, pa.array(h, pa.int64()))
 
 

@@ -75,11 +75,11 @@ class HashPartitioner:
         self.out = out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import md5_u64_many
+        from ..functions.hashing import md5_u64_col
         import numpy as np
 
-        keys = batch.column(self.key).cast(pa.string()).to_pylist()
-        part = md5_u64_many(keys) % np.uint64(self.num_partitions)
+        # unique-gather md5: routing keys repeat heavily (md5_u64_col)
+        part = md5_u64_col(batch.column(self.key)) % np.uint64(self.num_partitions)
         return batch.append_column(
             self.out, pa.array(part.astype(np.int32), pa.int32())
         )

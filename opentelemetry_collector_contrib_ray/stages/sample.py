@@ -17,7 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import md5_u64_many
+from ..functions.hashing import md5_u64_col, md5_u64_many
 
 
 class HashSampler:
@@ -30,8 +30,7 @@ class HashSampler:
         self.threshold_bp = int(round(percentage * 100))  # basis points
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).cast(pa.string()).to_pylist()
-        h = md5_u64_many(keys)
+        h = md5_u64_col(batch.column(self.key))
         mask = pa.array((h % 10_000) < self.threshold_bp)
         return batch.filter(mask)
 
@@ -57,8 +56,7 @@ class _HashTopNPartial:
         self.n = n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch.column(self.key).cast(pa.string()).to_pylist()
-        h = md5_u64_many(keys)
+        h = md5_u64_col(batch.column(self.key))
         n = min(self.n, len(h))
         # deterministic under hash ties: order by (hash, key)
         order = np.lexsort((batch.column(self.key).to_numpy(
@@ -101,8 +99,7 @@ def sample_stratified_n(ds, group_col: str, key: str, n: int):
 
     class _Partial:
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column(key).cast(pa.string()).to_pylist()
-            h = md5_u64_many(keys)
+            h = md5_u64_col(batch.column(key))
             df = pd.DataFrame({
                 "_h": h,
                 "_k": batch.column(key).to_numpy(zero_copy_only=False),
@@ -134,8 +131,7 @@ def sample_mixture(ds, group_col: str, key: str, rates: dict[str, float],
     default_bp = int(round(default_rate * 100))
 
     def keep(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key).cast(pa.string()).to_pylist()
-        h = md5_u64_many(keys) % np.uint64(10_000)
+        h = md5_u64_col(batch.column(key)) % np.uint64(10_000)
         groups = batch.column(group_col).to_pylist()
         thresholds = np.fromiter(
             (bp.get(g, default_bp) for g in groups), dtype=np.uint64,

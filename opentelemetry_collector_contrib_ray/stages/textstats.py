@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.hashing import md5_u64_many
+from ..functions.hashing import md5_u64_col, md5_u64_many
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
 # language identifier (fasttext-style scoring without the model: count hits
@@ -143,7 +143,5 @@ class Fingerprint:
         self.out = out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        h = md5_u64_many(
-            "" if t is None else t for t in batch.column(self.text_col).to_pylist()
-        ) % np.uint64(self.MOD)
+        h = md5_u64_col(batch.column(self.text_col)) % np.uint64(self.MOD)
         return batch.append_column(self.out, pa.array(h.astype(np.int64), pa.int64()))

@@ -515,12 +515,12 @@ class Filter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mask = self.condition(batch)  # True = match
         if self.drop_ratio_bp < 10_000:
-            from ..functions.hashing import md5_u64_many
+            from ..functions.hashing import md5_u64_col
             import numpy as np
 
-            keys = batch.column(self.ratio_key).cast(pa.string()).to_pylist()
             drawn = pa.array(
-                (md5_u64_many(keys) % np.uint64(10_000)) < self.drop_ratio_bp
+                (md5_u64_col(batch.column(self.ratio_key))
+                 % np.uint64(10_000)) < self.drop_ratio_bp
             )
             mask = pc.and_(mask, drawn)  # match "sticks" only for drawn rows
         if self.drop_matches:
