@@ -463,6 +463,31 @@ def q_delta_cumsum_bucketed(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "cum_cents"])
 
 
+def q_cum_to_delta(sf_dir: str):
+    """cumulativetodelta: per-stream first difference in time order
+    (processor/cumulativetodeltaprocessor internal/tracking/tracker.go;
+    §2.7) — integer cents so the value hash is float-order-proof. Runs the
+    BUCKETED skew-safe path (time-range pre-split + previous-bucket seed
+    join) so the driver oracle-checks the scale variant."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return t.drop_columns(["value"]).append_column(
+            "cents", pa.array(cents, pa.int64()))
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = window.cumulative_to_delta_bucketed(
+        cents_ds, key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="cents", out_col="delta_cents", time_buckets=8,
+    )
+    return out.select_columns(["event_id", "user_id", "delta_cents"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -1155,6 +1180,7 @@ QUERIES = {
     # --- new in round 3: first driver check this round -------------------
     "embed_neardup_ivf": q_embed_neardup_ivf,
     "ottl_path_index": q_ottl_path_index,
+    "cum_to_delta": q_cum_to_delta,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1388,6 +1414,17 @@ ORACLE_SQL = {
                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
         FROM events
+    """,
+    "cum_to_delta": """
+        WITH c AS (SELECT event_id, ts, user_id,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_id, user_id,
+               CAST(coalesce(
+                   cents - lag(cents) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                   cents) AS BIGINT) AS delta_cents
+        FROM c
     """,
     "interval_last": """
         SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value

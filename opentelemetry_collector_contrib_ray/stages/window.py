@@ -34,13 +34,24 @@ def delta_to_cumulative(
     value_col: str,
     out_col: str = "cum_value",
     as_cents: bool = True,
+    auto_bucket_threshold: int | None = 2_000_000,
 ):
     """Running per-key cumulative sum in time order.
 
     ``as_cents`` converts the value to integer cents (round-half-even at 2
     decimals) before summing — exact integer arithmetic, reproducible by
     ``SUM(CAST(round(v*100, 0) AS BIGINT)) OVER (PARTITION BY k ORDER BY t)``.
+
+    Above ``auto_bucket_threshold`` total rows (single key, cents path) the
+    skew-safe bucketed variant is selected automatically (VERDICT r2 #6):
+    a pathological key no longer lands in one giant task, and the result is
+    bit-identical (see test_property bucketed≡plain).  Pass ``None`` to
+    always use the plain single-task-per-key path.
     """
+    if (auto_bucket_threshold is not None and len(key_cols) == 1
+            and as_cents and ds.count() > auto_bucket_threshold):
+        return delta_to_cumulative_bucketed(
+            ds, key_cols[0], order_cols, value_col, out_col=out_col)
 
     def cumsum(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort")
@@ -53,6 +64,35 @@ def delta_to_cumulative(
         return group
 
     return ds.groupby(key_cols).map_groups(cumsum, batch_format="pandas")
+
+
+def _time_bucketed(ds, t_col: str, time_buckets: int):
+    """Append ``_tb`` (int64 coarse time bucket over the global [min, max]
+    range of ``t_col``) — the shared pre-split of every skew-safe windowed
+    variant: a pathological key spreads over ``time_buckets`` bounded
+    tasks instead of one giant one."""
+    from ray.data.aggregate import Max as AMax
+    from ray.data.aggregate import Min as AMin
+
+    bounds = ds.aggregate(AMin(t_col, alias_name="lo"),
+                          AMax(t_col, alias_name="hi"))
+    lo, hi = bounds["lo"], bounds["hi"]
+    lo_us = int(pd.Timestamp(lo).value // 1000) if hasattr(lo, "isoformat") \
+        or isinstance(lo, pd.Timestamp) else int(lo)
+    hi_us = int(pd.Timestamp(hi).value // 1000) if hasattr(hi, "isoformat") \
+        or isinstance(hi, pd.Timestamp) else int(hi)
+    width = max(1, (hi_us - lo_us) // time_buckets + 1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        col = t.column(t_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        tb = np.clip((us - lo_us) // width, 0, time_buckets - 1)
+        return t.append_column("_tb", pa.array(tb.astype(np.int64)))
+
+    return ds.map_batches(bucketize, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def delta_to_cumulative_bucketed(
@@ -77,32 +117,9 @@ def delta_to_cumulative_bucketed(
 
     Results are bit-identical to the plain path / the SQL window sum.
     """
-    from ray.data.aggregate import Max as AMax
-    from ray.data.aggregate import Min as AMin
     from ray.data.aggregate import Sum as ASum
 
-    t_col = order_cols[0]
-    bounds = ds.aggregate(AMin(t_col, alias_name="lo"),
-                          AMax(t_col, alias_name="hi"))
-    lo, hi = bounds["lo"], bounds["hi"]
-    lo_us = int(pd.Timestamp(lo).value // 1000) if hasattr(lo, "isoformat") \
-        or isinstance(lo, pd.Timestamp) else int(lo)
-    hi_us = int(pd.Timestamp(hi).value // 1000) if hasattr(hi, "isoformat") \
-        or isinstance(hi, pd.Timestamp) else int(hi)
-    width = max(1, (hi_us - lo_us) // time_buckets + 1)
-
-    def bucketize(t: pa.Table) -> pa.Table:
-        col = t.column(t_col)
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False) \
-            if pa.types.is_timestamp(col.type) \
-            else col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        tb = np.clip((us - lo_us) // width, 0, time_buckets - 1)
-        return t.append_column("_tb", pa.array(tb.astype(np.int64)))
-
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    bucketed = _time_bucketed(ds, order_cols[0], time_buckets)
 
     def local_cumsum(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort")
@@ -164,9 +181,18 @@ def cumulative_to_delta(
     order_cols: list[str],
     value_col: str,
     out_col: str = "delta_value",
+    auto_bucket_threshold: int | None = 2_000_000,
 ):
     """Per-key first difference in time order; first row keeps its value
-    (reference emits the first cumulative point as-is)."""
+    (reference emits the first cumulative point as-is).
+
+    Above ``auto_bucket_threshold`` total rows (single key col) the
+    skew-safe bucketed variant is selected automatically (VERDICT r2 #6);
+    results are identical (property-tested)."""
+    if (auto_bucket_threshold is not None and len(key_cols) == 1
+            and ds.count() > auto_bucket_threshold):
+        return cumulative_to_delta_bucketed(
+            ds, key_cols[0], order_cols, value_col, out_col=out_col)
 
     def diff(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort")
@@ -180,6 +206,77 @@ def cumulative_to_delta(
     return ds.groupby(key_cols).map_groups(diff, batch_format="pandas")
 
 
+def cumulative_to_delta_bucketed(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "delta_value",
+    time_buckets: int = 8,
+    join_partitions: int = 8,
+):
+    """Skew-safe per-key first difference — the time-range pre-split for
+    cumulativetodeltaprocessor (VERDICT r2 #6: the plain path puts one
+    pathological key in one task).
+
+    1. bucket rows by coarse time range (:func:`_time_bucketed`);
+    2. per-BLOCK partials keep each (key, bucket)'s time-ordered LAST row
+       (order cols + value) — a tiny associative arg-max, merged by a
+       small groupby over |keys|×|buckets| partial rows;
+    3. per key, each bucket learns the PREVIOUS present bucket's last
+       value (a shift over the merged partials);
+    4. previous-last joins back on (key, bucket); the local sorted diff
+       seeds its first row with ``value − prev_last`` (the globally first
+       bucket keeps its value, like the reference).
+
+    Bit-identical to the plain path (property-tested on random keys).
+    """
+    bucketed = _time_bucketed(ds, order_cols[0], time_buckets)
+
+    def last_partial(t: pa.Table) -> pa.Table:
+        df = t.select([key_col, "_tb", *order_cols, value_col]).to_pandas()
+        top = (df.sort_values(order_cols, kind="mergesort")
+                 .groupby([key_col, "_tb"], sort=False).tail(1))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = bucketed.map_batches(last_partial, batch_format="pyarrow")
+
+    def merge_last(group: pd.DataFrame) -> pd.DataFrame:
+        return (group.sort_values(order_cols, kind="mergesort").tail(1)
+                [[key_col, "_tb", value_col]])
+
+    lasts = partials.groupby([key_col, "_tb"]).map_groups(
+        merge_last, batch_format="pandas")
+
+    def offsets(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("_tb", kind="mergesort")
+        group["_prev"] = group[value_col].shift(1)
+        group["_tb"] = group["_tb"].astype(np.int64)
+        return group[[key_col, "_tb", "_prev"]]
+
+    off = lasts.groupby(key_col).map_groups(offsets, batch_format="pandas")
+
+    from .blocks import nonempty_blocks
+
+    joined = nonempty_blocks(bucketed).join(
+        nonempty_blocks(off), join_type="inner",
+        num_partitions=join_partitions, on=(key_col, "_tb"),
+    )
+
+    def local_diff(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_cols, kind="mergesort")
+        vals = group[value_col].to_numpy()
+        out = np.empty_like(vals)
+        prev = group["_prev"].iloc[0]
+        out[0] = vals[0] if pd.isna(prev) else vals[0] - vals.dtype.type(prev)
+        out[1:] = vals[1:] - vals[:-1]
+        group[out_col] = out
+        return group.drop(columns=["_prev", "_tb"])
+
+    return joined.groupby([key_col, "_tb"]).map_groups(
+        local_diff, batch_format="pandas")
+
+
 def sessionize(
     ds,
     key_cols: list[str],
@@ -187,6 +284,7 @@ def sessionize(
     ts_col: str,
     gap_seconds: float,
     agg: str = "summary",
+    auto_bucket_threshold: int | None = 2_000_000,
 ):
     """Session windows: per key, a new session starts when the gap between
     consecutive rows exceeds ``gap_seconds`` (the classic event-time session
@@ -196,7 +294,16 @@ def sessionize(
     ``agg="summary"`` emits one row per session: key_cols + session index +
     n_events + first/last of order_cols[;1]; ``agg="tag"`` keeps every row,
     adding a ``session_id`` column.
+
+    Above ``auto_bucket_threshold`` total rows the summary form selects the
+    skew-safe bucketed variant automatically (VERDICT r2 #6); identical
+    results (property-tested). The tag form stays per-key (it must relabel
+    every row anyway).
     """
+    if (agg == "summary" and auto_bucket_threshold is not None
+            and ds.count() > auto_bucket_threshold):
+        return sessionize_bucketed(ds, key_cols, order_cols, ts_col,
+                                   gap_seconds)
 
     def windows(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
@@ -216,6 +323,63 @@ def sessionize(
         return out[key_cols + ["session_id", "n_events", "first_ts", "last_ts"]]
 
     return ds.groupby(key_cols).map_groups(windows, batch_format="pandas")
+
+
+def sessionize_bucketed(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    gap_seconds: float,
+    time_buckets: int = 8,
+):
+    """Skew-safe session windows (summary form) — VERDICT r2 #6.
+
+    Raw rows are processed in bounded (key, time-bucket) tasks that emit
+    LOCAL session summaries; the per-key task then merges only SUMMARIES
+    (bounded by session count, not row count): consecutive local sessions
+    merge when the boundary gap ≤ ``gap_seconds`` — exactly the split the
+    plain per-key scan would not have made. Assumes ``order_cols[0] ==
+    ts_col`` (session order is event time). Identical results to
+    :func:`sessionize` (property-tested).
+    """
+    bucketed = _time_bucketed(ds, ts_col, time_buckets)
+
+    def local_windows(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_cols, kind="mergesort").reset_index(
+            drop=True)
+        ts = group[ts_col]
+        gaps = ts.diff().dt.total_seconds().fillna(0.0)
+        session = (gaps > gap_seconds).cumsum()
+        out = group.groupby(session).agg(
+            n_events=(order_cols[-1], "size"),
+            first_ts=(ts_col, "min"),
+            last_ts=(ts_col, "max"),
+        ).reset_index(drop=True)
+        for k in key_cols:
+            out[k] = group[k].iloc[0]
+        return out[key_cols + ["n_events", "first_ts", "last_ts"]]
+
+    locals_ = bucketed.groupby(key_cols + ["_tb"]).map_groups(
+        local_windows, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["first_ts", "last_ts"],
+                                  kind="mergesort").reset_index(drop=True)
+        prev_last = group["last_ts"].shift(1)
+        gaps = (group["first_ts"] - prev_last).dt.total_seconds().fillna(0.0)
+        sid = (gaps > gap_seconds).cumsum()
+        out = group.groupby(sid).agg(
+            n_events=("n_events", "sum"),
+            first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"),
+        ).reset_index(names="session_id")
+        for k in key_cols:
+            out[k] = group[k].iloc[0]
+        return out[key_cols + ["session_id", "n_events", "first_ts",
+                               "last_ts"]]
+
+    return locals_.groupby(key_cols).map_groups(merge, batch_format="pandas")
 
 
 def last_per_interval(

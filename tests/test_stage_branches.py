@@ -135,3 +135,73 @@ def test_bucketed_cumsum_equals_plain_across_bucket_counts():
             plain["cum_cents"].astype("int64"),
             b["cum_cents"].astype("int64"),
         )
+
+
+def test_bucketed_c2d_equals_plain_across_bucket_counts():
+    """cumulative_to_delta_bucketed ≡ plain for any bucket count: the
+    previous-present-bucket seeding must reproduce the per-key first
+    difference exactly, including the first-row-keeps-value rule."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import window
+
+    ds = read_table("/root/testdata/sf0.001", "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    plain = window.cumulative_to_delta(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="dv", auto_bucket_threshold=None,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    for buckets in (3, 20):
+        b = window.cumulative_to_delta_bucketed(
+            ds, key_col="user_id", order_cols=["ts", "event_id"],
+            value_col="value", out_col="dv", time_buckets=buckets,
+        ).to_pandas().sort_values("event_id").reset_index(drop=True)
+        pd.testing.assert_series_equal(plain["dv"], b["dv"],
+                                       check_exact=True)
+
+
+def test_bucketed_sessionize_equals_plain():
+    """sessionize_bucketed ≡ plain sessionize: local sessions split at
+    bucket boundaries must re-merge whenever the boundary gap ≤ gap."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import window
+
+    ds = read_table("/root/testdata/sf0.001", "events",
+                    columns=["event_id", "ts", "user_id"])
+    cols = ["user_id", "session_id", "n_events", "first_ts", "last_ts"]
+    plain = window.sessionize(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        ts_col="ts", gap_seconds=3600.0, auto_bucket_threshold=None,
+    ).to_pandas()[cols].sort_values(["user_id", "session_id"]).reset_index(
+        drop=True)
+    for buckets in (3, 17):
+        b = window.sessionize_bucketed(
+            ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+            ts_col="ts", gap_seconds=3600.0, time_buckets=buckets,
+        ).to_pandas()[cols].sort_values(["user_id", "session_id"]
+                                        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(plain, b, check_dtype=False)
+
+
+def test_round_robin_split_conserves_and_balances():
+    """roundrobinconnector analog (connector/roundrobinconnector): rows
+    conserved across the n splits, sizes near-uniform."""
+    import ray as _ray
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        round_robin_split,
+    )
+
+    ds = ray.data.range(1000)
+    parts = round_robin_split(ds, 4)
+    assert len(parts) == 4
+    sizes = [p.count() for p in parts]
+    assert sum(sizes) == 1000
+    assert max(sizes) - min(sizes) <= 1  # equal=True split
+    # no row lost or duplicated
+    seen = sorted(x["id"] for p in parts for x in p.take_all())
+    assert seen == list(range(1000))
