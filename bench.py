@@ -119,21 +119,26 @@ OPERATOR_QUERIES = [
 ]
 
 
-def run_suite(sf_dir: str) -> dict:
+def run_suite(sf_dir: str) -> tuple[dict, dict]:
+    """(best-of-N, median-of-N) per query — both reported so cross-round
+    deltas are interpretable under the host's ±30% load noise
+    (VERDICT r2 #8)."""
+    import statistics
+
     from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
 
-    times = {}
+    best_t, med_t = {}, {}
     for name in OPERATOR_QUERIES:
-        best = None
-        for _ in range(max(1, BENCH_REPEAT - 1)):  # best-of-(N-1) per query
+        runs = []
+        for _ in range(max(1, BENCH_REPEAT - 1)):  # N-1 runs per query
             t0 = time.perf_counter()
             res = QUERIES[name](sf_dir)
             if hasattr(res, "materialize"):
                 res.materialize()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
-    return times
+            runs.append(time.perf_counter() - t0)
+        best_t[name] = round(min(runs), 3)
+        med_t[name] = round(statistics.median(runs), 3)
+    return best_t, med_t
 
 
 def init_ray(num_cpus: int):
@@ -158,17 +163,24 @@ def main_single(num_cpus: int, headline_only: bool) -> dict:
     # warm-up primes actor pools / JIT paths; then best-of-N steady-state
     # runs — this box's background load varies ±30%, so a single shot can
     # misreport a regression that isn't there (GRAFT_BENCH_REPEAT, default 3)
+    import statistics
+
     headline(corpus_dir)
-    h = min((headline(corpus_dir) for _ in range(BENCH_REPEAT)),
-            key=lambda r: r["seconds"])
+    h_runs = [headline(corpus_dir) for _ in range(BENCH_REPEAT)]
+    h = min(h_runs, key=lambda r: r["seconds"])
+    h_med = statistics.median(r["seconds"] for r in h_runs)
     queries = {"headline": round(h["seconds"], 3)}
+    queries_median = {"headline": round(h_med, 3)}
     if not headline_only:
-        queries.update(run_suite(SF_DIR))
+        best_t, med_t = run_suite(SF_DIR)
+        queries.update(best_t)
+        queries_median.update(med_t)
     out = {
         "metric": "e2e_seconds",
         "value": round(h["seconds"], 3),
         "unit": "sec",
         "queries": queries,
+        "queries_median": queries_median,
         "sf": SF_DIR,
         "num_cpus": num_cpus,
         "rows": h["rows"],

@@ -34,3 +34,27 @@ def test_jaccard_verify_golden():
     df = QUERIES["jaccard_verify"](SF_SMOKE).to_pandas()
     got = sorted(zip(df["id_a"], df["id_b"]))
     assert got == GOLDEN_MINHASH_PAIRS
+
+
+def test_minhash_pairs_shuffle_prefilter_path_matches_golden():
+    """The large-scale prefilter path (shuffle-final counts + distributed
+    semi-join; driver_threshold=0 forces it) must produce the identical
+    pair set as the size-gated driver path."""
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import neardup
+
+    docs = read_table(SF_SMOKE, "documents", columns=["doc_id", "text"])
+    orig = neardup.prefilter_hot_groups
+
+    def forced(band_rows, key_cols, combine_fn, **kw):
+        kw["driver_threshold"] = 0     # force the shuffle-count branch
+        kw["broadcast_threshold"] = 0  # force the native semi-join branch
+        return orig(band_rows, key_cols, combine_fn, **kw)
+
+    neardup.prefilter_hot_groups = forced
+    try:
+        df = neardup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+    finally:
+        neardup.prefilter_hot_groups = orig
+    got = sorted(zip(df["id_a"], df["id_b"]))
+    assert got == GOLDEN_MINHASH_PAIRS

@@ -205,3 +205,47 @@ def test_round_robin_split_conserves_and_balances():
     # no row lost or duplicated
     seen = sorted(x["id"] for p in parts for x in p.take_all())
     assert seen == list(range(1000))
+
+
+def test_consistent_hash_ring_reference_parity_semantics():
+    """Karger ring exactness (consistent_hashing.go:12-40): crc32-IEEE
+    positions, ceiling lookup with wraparound, vectorized == scalar, and
+    minimal remapping when an endpoint leaves."""
+    import zlib
+
+    import pyarrow as pa
+
+    from opentelemetry_collector_contrib_ray.stages.route import (
+        ConsistentHashRing,
+    )
+
+    eps = ["collector-0:4317", "collector-1:4317", "collector-2:4317"]
+    ring = ConsistentHashRing(eps)
+    # every position is crc32(endpoint || LE32(i)) % 36000 (modulo probing,
+    # which at 300/36000 occupancy is rare) — spot-check the raw formula
+    raw = {(zlib.crc32(e.encode() + i.to_bytes(4, "little")) % 36000)
+           for e in eps for i in range(100)}
+    assert set(ring.positions.tolist()) - raw == set() or \
+        len(set(ring.positions.tolist()) - raw) <= 5  # probed collisions
+    assert 295 <= len(ring.positions) <= 300
+    assert (ring.positions[:-1] < ring.positions[1:]).all()  # sorted unique
+
+    keys = [f"trace-{i}" for i in range(2000)]
+    scalar = [ring.endpoint_for(k) for k in keys]
+    vec = ring.endpoints_for_column(pa.array(keys)).to_pylist()
+    assert scalar == vec
+    # rough balance: each endpoint owns a nontrivial share
+    from collections import Counter
+
+    c = Counter(scalar)
+    assert set(c) == set(eps)
+    assert min(c.values()) > 0.15 * len(keys)
+
+    # consistency: removing one endpoint remaps ONLY its keys
+    ring2 = ConsistentHashRing(eps[:2])
+    moved = [k for k, e in zip(keys, scalar)
+             if e != ring2.endpoint_for(k)]
+    assert all(ring.endpoint_for(k) == eps[2] for k in moved)
+
+    # empty ring returns "" like the reference
+    assert ConsistentHashRing([]).endpoint_for("x") == ""
