@@ -776,3 +776,31 @@ def test_compile_value_math_and_missing():
     assert cv("a * 2 + 1")(t).to_pylist() == [3, 5, 7]
     assert cv("missing")(t).to_pylist() == [None] * 3
     assert cv('"k"')(t).to_pylist() == ["k"] * 3
+
+
+def test_set_statement_with_compiled_value_and_indexed_where():
+    """OTTL statements compose with the round-3 grammar: compile_value
+    (a callable) drops into set_'s value position, and the where condition
+    can index map columns — `set(uid, attributes["uid"]) where
+    attributes["et"] == "error"`."""
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        compile_value,
+    )
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Transform,
+        set_,
+    )
+
+    t = pa.table({
+        "attributes": pa.array(
+            [[("et", "error"), ("uid", "u1")], [("et", "click"),
+                                                ("uid", "u2")]],
+            pa.map_(pa.string(), pa.string())),
+    })
+    out = Transform([
+        set_("uid", compile_value('attributes["uid"]'),
+             where='attributes["et"] == "error"'),
+    ])(t)
+    assert out.column("uid").to_pylist() == ["u1", None]  # where-masked
+    out2 = Transform([set_("uid", compile_value('attributes["uid"]'))])(t)
+    assert out2.column("uid").to_pylist() == ["u1", "u2"]
