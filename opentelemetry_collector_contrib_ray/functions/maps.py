@@ -1,0 +1,142 @@
+"""Vectorized operations over map<k,v>-typed columns.
+
+The flat-column corpus maps OTTL's ``attributes`` map to top-level columns
+(so the §2.5 editors operate on column names); real OTLP payloads carry
+map-typed attribute columns too. These helpers give the same editors over
+an actual Arrow MapArray, fully vectorized over the flattened entry
+children — no per-row Python:
+
+- :func:`map_from_columns` — build a map column from flat columns (one
+  ``concat + take`` interleave, no row loop);
+- :func:`map_delete_matching_keys` / :func:`map_keep_matching_keys` —
+  OTTL func_delete_matching_keys.go:36-51 over the entry keys;
+- :func:`map_limit` — OTTL func_limit.go:36-47: at most ``n`` entries per
+  row, priority keys first, then original entry order.
+
+All rebuilds share one shape: an entry-level keep mask → per-row kept
+counts via ``np.add.reduceat`` → new offsets → ``MapArray.from_arrays``
+on the filtered children. Null rows round-trip as null (offset-mask
+encoding). Offset-aware: children are read through ``flatten()``-style
+slices, so zero-copy sliced batches are safe (ADVICE r2 hazard class).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _map_parts(col):
+    """(normalized MapArray, per-row entry counts int64, flat keys, flat
+    items, null-row mask). Handles ChunkedArray and sliced arrays."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not pa.types.is_map(col.type):
+        raise ValueError(f"expected a map column, got {col.type}")
+    if col.offset != 0:
+        # normalize a sliced array: .keys/.items of a slice can expose the
+        # full child; a take() rebuilds compact offsets
+        col = col.take(pa.array(np.arange(len(col), dtype=np.int64)))
+    # list_value_length has no map kernel in this pyarrow; diff the offsets
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lens = np.diff(off)
+    nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+    return col, lens, col.keys, col.items, nulls
+
+
+def _rebuild(lens: np.ndarray, keep: np.ndarray, keys, items,
+             nulls: np.ndarray, map_type: pa.DataType) -> pa.MapArray:
+    """Filtered MapArray from an entry-level keep mask (null rows stay
+    null via the offsets validity-mask encoding)."""
+    row_off = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
+    if len(keep):
+        # clip trailing-empty-segment offsets (== len) for reduceat, then
+        # zero every empty segment (reduceat duplicates on them)
+        new_cnt = np.add.reduceat(
+            keep.astype(np.int64), np.minimum(row_off, len(keep) - 1))
+        new_cnt[lens == 0] = 0
+    else:
+        new_cnt = np.zeros(len(lens), dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(new_cnt))).astype(np.int32)
+    mask_arr = pa.array(
+        np.concatenate((nulls, [False])))  # last offset never null
+    off_arr = pa.array(offsets, pa.int32(), mask=np.asarray(
+        mask_arr.to_numpy(zero_copy_only=False)))
+    keep_pa = pa.array(keep)
+    return pa.MapArray.from_arrays(
+        off_arr, keys.filter(keep_pa), items.filter(keep_pa),
+        type=map_type)
+
+
+def map_from_columns(batch: pa.Table, fields: dict[str, str]) -> pa.MapArray:
+    """map<string, string> column from flat columns: ``fields`` maps entry
+    key -> source column name. One interleave ``take`` builds the child;
+    source nulls become absent entries (OTTL maps have no null values)."""
+    n = batch.num_rows
+    k = len(fields)
+    cols = []
+    for name in fields.values():
+        c = batch.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols.append(c.cast(pa.string()))
+    perm = np.empty(n * k, dtype=np.int64)
+    for j in range(k):
+        perm[j::k] = np.arange(n) + j * n
+    items = pa.concat_arrays(cols).take(pa.array(perm))
+    keys = pa.array(list(fields.keys()) * n, pa.string())
+    present = pc.is_valid(items).to_numpy(zero_copy_only=False)
+    lens = np.full(n, k, dtype=np.int64)
+    return _rebuild(lens, present, keys, items,
+                    np.zeros(n, dtype=bool),
+                    pa.map_(pa.string(), pa.string()))
+
+
+def map_delete_matching_keys(col, pattern: str) -> pa.MapArray:
+    """Drop entries whose KEY matches the regex (func_delete_matching_keys
+    semantics, applied to a map column)."""
+    col, lens, keys, items, nulls = _map_parts(col)
+    hit = pc.match_substring_regex(keys, pattern).to_numpy(
+        zero_copy_only=False)
+    return _rebuild(lens, ~hit, keys, items, nulls, col.type)
+
+
+def map_keep_matching_keys(col, pattern: str) -> pa.MapArray:
+    """Keep only entries whose KEY matches the regex."""
+    col, lens, keys, items, nulls = _map_parts(col)
+    hit = pc.match_substring_regex(keys, pattern).to_numpy(
+        zero_copy_only=False)
+    return _rebuild(lens, hit, keys, items, nulls, col.type)
+
+
+def map_limit(col, n: int, priority_keys: tuple = ()) -> pa.MapArray:
+    """At most ``n`` entries per row: priority keys survive first, then
+    first-seen order; kept entries keep their ORIGINAL order
+    (func_limit.go:36-47)."""
+    if n < 0:
+        raise ValueError(f"limit cannot be negative, got {n}")
+    if n < len(priority_keys):
+        raise ValueError(
+            f"limit {n} cannot be less than the number of priority keys "
+            f"{len(priority_keys)}"
+        )
+    col, lens, keys, items, nulls = _map_parts(col)
+    total = int(lens.sum())
+    if total == 0:
+        return col
+    row_idx = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(total) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    prio = np.full(total, len(priority_keys), dtype=np.int64)
+    for rank, pk in enumerate(priority_keys):
+        m = pc.equal(keys, pk).to_numpy(zero_copy_only=False)
+        prio[m] = rank
+    # within-row rank under (priority, original position)
+    order = np.lexsort((pos, prio, row_idx))
+    row_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    within = np.arange(total) - np.repeat(row_off, lens)
+    rank_sorted = within  # after the stable lexsort, rows are contiguous
+    keep = np.zeros(total, dtype=bool)
+    keep[order] = rank_sorted < n
+    return _rebuild(lens, keep, keys, items, nulls, col.type)

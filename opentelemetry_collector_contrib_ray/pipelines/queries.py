@@ -684,6 +684,52 @@ def q_ottl_path_index(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_map_editors(sf_dir: str):
+    """OTTL key editors over a REAL map-typed attributes column
+    (func_delete_matching_keys.go:36-51, func_limit.go:36-47 — the
+    map-entry form, not the flat-column analog): build
+    attributes = map{et, uid, sev, vx}, delete_matching_keys '^s'
+    (drops sev), limit 2 with priority uid (keeps uid + first-seen et,
+    drops vx), then read the surviving entries back via path indexing."""
+    from ..functions.expr import compile_value
+    from ..functions.maps import map_from_columns
+    from ..stages.transform import Transform, map_delete_keys, map_limit_keys
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id", "value"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        attrs = map_from_columns(t, {
+            "et": "event_type", "uid": "user_id",
+            "sev": "value", "vx": "value",
+        })
+        return pa.table({"event_id": t.column("event_id"),
+                         "attributes": attrs})
+
+    edited = ds.map_batches(fixture, batch_format="pyarrow",
+                            zero_copy_batch=True).map_batches(
+        Transform([
+            map_delete_keys("attributes", "^s"),
+            map_limit_keys("attributes", 2, ("uid",)),
+        ]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    v_et = compile_value('attributes["et"]')
+    v_uid = compile_value('attributes["uid"]')
+    v_vx = compile_value('attributes["vx"]')
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "et_val": v_et(t),
+            "uid_val": v_uid(t),
+            "vx_val": v_vx(t),
+        })
+
+    return edited.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_embed_neardup_ivf(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.30) — EXACT via the
     IVF-cell-partitioned block-pair join (stages/similarity.py
@@ -1201,6 +1247,7 @@ QUERIES = {
     "ottl_path_index": q_ottl_path_index,
     "cum_to_delta": q_cum_to_delta,
     "lang_id_model": q_lang_id_model,
+    "map_editors": q_map_editors,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1540,6 +1587,12 @@ ORACLE_SQL = {
         SELECT event_id, CAST(user_id AS VARCHAR) AS uid,
                event_type AS etype0
         FROM events WHERE event_type IN ('purchase', 'error')
+    """,
+    "map_editors": """
+        SELECT event_id, event_type AS et_val,
+               CAST(user_id AS VARCHAR) AS uid_val,
+               CAST(NULL AS VARCHAR) AS vx_val
+        FROM events
     """,
     "dedup_clusters": """
         WITH RECURSIVE

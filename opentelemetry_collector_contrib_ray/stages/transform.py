@@ -175,6 +175,38 @@ def keep_matching_keys(pattern: str) -> Statement:
     return Statement("keep_matching_keys", (pattern,))
 
 
+def map_delete_keys(target: str, pattern: str) -> Statement:
+    """OTTL delete_matching_keys over a MAP-TYPED column
+    (func_delete_matching_keys.go:36-51): drop map ENTRIES whose key
+    matches the regex (the flat-column variant above drops columns)."""
+    import re
+
+    re.compile(pattern)
+    return Statement("map_delete_keys", (target, pattern))
+
+
+def map_keep_keys(target: str, pattern: str) -> Statement:
+    """OTTL keep_matching_keys over a map-typed column."""
+    import re
+
+    re.compile(pattern)
+    return Statement("map_keep_keys", (target, pattern))
+
+
+def map_limit_keys(target: str, limit: int,
+                   priority_keys: tuple = ()) -> Statement:
+    """OTTL limit over a map-typed column (func_limit.go:36-47): at most
+    ``limit`` entries, priority keys first, original order preserved."""
+    if limit < 0:
+        raise ValueError(f"limit cannot be negative, got {limit}")
+    if limit < len(priority_keys):
+        raise ValueError(
+            f"limit {limit} cannot be less than the number of priority "
+            f"keys {len(priority_keys)}"
+        )
+    return Statement("map_limit_keys", (target, limit, tuple(priority_keys)))
+
+
 def append_to(target: str, value=None, values: tuple = ()) -> Statement:
     """OTTL append (func_append.go:36-41): target becomes a list with the
     given value(s) appended per row; a scalar target contributes its value
@@ -334,6 +366,20 @@ class Transform:
             old, new = st.args
             names = [new if n == old else n for n in batch.column_names]
             return batch.rename_columns(names)
+
+        if ed in ("map_delete_keys", "map_keep_keys", "map_limit_keys"):
+            from ..functions import maps as _maps
+
+            target = st.args[0]
+            i = batch.column_names.index(target)
+            col = batch.column(target)
+            if ed == "map_delete_keys":
+                new = _maps.map_delete_matching_keys(col, st.args[1])
+            elif ed == "map_keep_keys":
+                new = _maps.map_keep_matching_keys(col, st.args[1])
+            else:
+                new = _maps.map_limit(col, st.args[1], st.args[2])
+            return batch.set_column(i, target, new)
 
         if ed == "truncate_all":
             limit, columns = st.args

@@ -804,3 +804,34 @@ def test_set_statement_with_compiled_value_and_indexed_where():
     assert out.column("uid").to_pylist() == ["u1", None]  # where-masked
     out2 = Transform([set_("uid", compile_value('attributes["uid"]'))])(t)
     assert out2.column("uid").to_pylist() == ["u1", "u2"]
+
+
+def test_map_column_key_editors():
+    """OTTL key editors over map-typed columns (the map-entry form of
+    delete/keep_matching_keys and limit): vectorized rebuild, null and
+    empty rows round-trip, sliced/chunked batches safe."""
+    from opentelemetry_collector_contrib_ray.functions.maps import (
+        map_delete_matching_keys,
+        map_keep_matching_keys,
+        map_limit,
+    )
+
+    col = pa.array(
+        [[("et", "error"), ("sev", "17"), ("uid", "u1")], [("sx", "1")],
+         [], None],
+        pa.map_(pa.string(), pa.string()))
+    assert map_delete_matching_keys(col, "^s").to_pylist() == \
+        [[("et", "error"), ("uid", "u1")], [], [], None]
+    assert map_keep_matching_keys(col, "^s").to_pylist() == \
+        [[("sev", "17")], [("sx", "1")], [], None]
+    # limit keeps priority key + first-seen, ORIGINAL order preserved
+    assert map_limit(col, 2, ("uid",)).to_pylist() == \
+        [[("et", "error"), ("uid", "u1")], [("sx", "1")], [], None]
+    # sliced (zero-copy re-slicing hazard) and chunked inputs
+    assert map_delete_matching_keys(col.slice(1, 3), "^s").to_pylist() == \
+        [[], [], None]
+    ch = pa.chunked_array([col.slice(0, 2), col.slice(2, 2)])
+    assert map_keep_matching_keys(ch, "e").to_pylist() == \
+        [[("et", "error"), ("sev", "17")], [], [], None]
+    with pytest.raises(ValueError, match="cannot be less"):
+        map_limit(col, 1, ("uid", "et"))
