@@ -684,6 +684,27 @@ def q_ottl_path_index(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_value_quantiles(sf_dir: str):
+    """exact per-group p50/p90/p99 (stages/quantile.py group_quantiles) —
+    the spanmetrics latency-percentile analog, distinct-value-bounded
+    shuffle, DuckDB quantile_disc parity (integer cents)."""
+    from ..stages.quantile import group_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"event_type": t.column("event_type"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return group_quantiles(cents_ds, keys=["event_type"], value_col="cents",
+                           qs=[0.5, 0.9, 0.99])
+
+
 def q_map_editors(sf_dir: str):
     """OTTL key editors over a REAL map-typed attributes column
     (func_delete_matching_keys.go:36-51, func_limit.go:36-47 — the
@@ -1248,6 +1269,7 @@ QUERIES = {
     "cum_to_delta": q_cum_to_delta,
     "lang_id_model": q_lang_id_model,
     "map_editors": q_map_editors,
+    "value_quantiles": q_value_quantiles,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1593,6 +1615,16 @@ ORACLE_SQL = {
                CAST(user_id AS VARCHAR) AS uid_val,
                CAST(NULL AS VARCHAR) AS vx_val
         FROM events
+    """,
+    "value_quantiles": """
+        WITH c AS (SELECT event_type,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS q50,
+               CAST(quantile_disc(cents, 0.9) AS BIGINT) AS q90,
+               CAST(quantile_disc(cents, 0.99) AS BIGINT) AS q99
+        FROM c GROUP BY event_type
     """,
     "dedup_clusters": """
         WITH RECURSIVE

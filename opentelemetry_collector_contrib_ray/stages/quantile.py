@@ -1,0 +1,76 @@
+"""Exact distributed per-group quantiles — the spanmetrics latency
+percentile analog (p50/p90/p99 over R.E.D. streams).
+
+The reference exports explicit/exponential histogram buckets and leaves
+percentile math to the backend (connector/spanmetricsconnector README
+"Exemplars"/bucket config); a training-data/telemetry engine also wants the
+percentile itself. Shape (SURVEY.md §4 partial-then-merge):
+
+1. per-block combiner: ``(keys, value) -> count`` via pyarrow group_by —
+   the shuffle then moves one row per DISTINCT (key, value) pair, bounded
+   by value cardinality, never input rows;
+2. hash-shuffle groupby merges pair counts;
+3. per-key ``map_groups`` finish: sort the key's distinct values, cumsum
+   counts, select ``rank = max(ceil(q·n) - 1, 0)`` — DuckDB
+   ``quantile_disc`` parity (verified empirically: n=4 q=.5 -> idx 1,
+   q=.25 -> idx 0, q=0 -> idx 0, q=1 -> idx n-1), so the whole operator
+   is value-hash-checkable by SQL.
+
+Partitioning assumption: one key's DISTINCT values fit one task (integer
+cents over bounded-range metrics; for unbounded high-precision doubles,
+pre-round to the precision the percentile needs — the discrete quantile of
+the rounded multiset is the rounded quantile — or fall back to a mergeable
+sketch, which trades the exact oracle for fixed memory).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+class _PairCounts:
+    """Per-block combiner: (keys..., value) -> partial count."""
+
+    def __init__(self, keys: list[str], value_col: str):
+        self.keys = keys
+        self.value_col = value_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = batch.select(self.keys + [self.value_col]).group_by(
+            self.keys + [self.value_col], use_threads=False
+        ).aggregate([([], "count_all")])
+        return g.rename_columns(
+            ["_cnt" if n == "count_all" else n for n in g.column_names]
+        )
+
+
+def group_quantiles(ds, keys: list[str], value_col: str,
+                    qs: list[float], prefix: str = "q"):
+    """One row per key group with columns ``{prefix}{int(q*100)}`` holding
+    the exact discrete quantiles of ``value_col``."""
+    from ray.data.aggregate import Sum
+
+    pairs = ds.map_batches(
+        _PairCounts(keys, value_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = pairs.groupby(keys + [value_col]).aggregate(
+        Sum("_cnt", alias_name="_cnt"))
+    names = [f"{prefix}{int(round(q * 100))}" for q in qs]
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col, kind="mergesort")
+        vals = g[value_col].to_numpy()
+        cum = g["_cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        out = {k: [g[k].iloc[0]] for k in keys}
+        for q, name in zip(qs, names):
+            rank = max(math.ceil(q * n) - 1, 0)  # quantile_disc parity
+            out[name] = [vals[np.searchsorted(cum, rank, side="right")]]
+        return pd.DataFrame(out)
+
+    return merged.groupby(keys).map_groups(finish, batch_format="pandas")

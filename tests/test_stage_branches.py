@@ -282,3 +282,32 @@ def test_nb_lang_model_fit_inference_and_actor_pool():
     out = QUERIES["lang_id_model"]("/root/testdata/sf0.001").to_pandas()
     assert out["row_count"].sum() == 500  # every doc classified exactly once
     assert set(out["lang_model"]) <= set(m.langs) | {"und"}
+
+
+def test_group_quantiles_duckdb_rank_parity():
+    """group_quantiles must reproduce DuckDB quantile_disc exactly —
+    rank = max(ceil(q*n)-1, 0) over the sorted multiset — including
+    skewed counts and q=0/1 edges."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.quantile import (
+        group_quantiles,
+    )
+
+    vals = [1] * 7 + [5] * 2 + [9] * 1 + [100] * 3
+    t = pa.table({"k": ["a"] * len(vals) + ["b"] * 4,
+                  "v": pa.array(vals + [2, 4, 6, 8], pa.int64())})
+    out = group_quantiles(ray.data.from_arrow(t), keys=["k"], value_col="v",
+                          qs=[0.0, 0.5, 0.9, 1.0], prefix="q"
+                          ).to_pandas().sort_values("k").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute(
+        "SELECT k, quantile_disc(v, 0.0) AS q0, quantile_disc(v, 0.5) AS q50,"
+        " quantile_disc(v, 0.9) AS q90, quantile_disc(v, 1.0) AS q100"
+        " FROM t GROUP BY k ORDER BY k").df()
+    for c in ("q0", "q50", "q90", "q100"):
+        assert out[c].astype("int64").tolist() == \
+            exp[c].astype("int64").tolist(), c
