@@ -684,6 +684,21 @@ def q_ottl_path_index(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_repeated_ngrams(sf_dir: str):
+    """cross-document duplicated-span primitive (Lee et al. 2021 public):
+    per doc, how many of its word 8-gram occurrences belong to a gram
+    appearing in ≥2 distinct documents (stages/tokenstats.py
+    repeated_word_ngram_counts — per-block pair dedup, size-gated hot-gram
+    semi-join, one groupby(doc) sum). The token-id variant
+    (repeated_ngram_counts, exact packed-binary gram keys) is the scale
+    payload path; this word-key face carries the DuckDB oracle."""
+    from ..stages.tokenstats import repeated_word_ngram_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return repeated_word_ngram_counts(ds, id_col="doc_id", text_col="text",
+                                      k=8, min_docs=2)
+
+
 def q_value_quantiles(sf_dir: str):
     """exact per-group p50/p90/p99 (stages/quantile.py group_quantiles) —
     the spanmetrics latency-percentile analog, distinct-value-bounded
@@ -1270,6 +1285,7 @@ QUERIES = {
     "lang_id_model": q_lang_id_model,
     "map_editors": q_map_editors,
     "value_quantiles": q_value_quantiles,
+    "repeated_ngrams": q_repeated_ngrams,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1615,6 +1631,20 @@ ORACLE_SQL = {
                CAST(user_id AS VARCHAR) AS uid_val,
                CAST(NULL AS VARCHAR) AS vx_val
         FROM events
+    """,
+    "repeated_ngrams": """
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+        grams AS (
+            SELECT doc_id, array_to_string(ws[i:i+7], chr(31)) AS g
+            FROM (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws) - 7)) AS i
+                  FROM w)
+        ),
+        hot AS (SELECT g FROM grams GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2)
+        SELECT doc_id, count(*) AS shared_grams
+        FROM grams JOIN hot USING (g) GROUP BY doc_id
     """,
     "value_quantiles": """
         WITH c AS (SELECT event_type,

@@ -132,3 +132,211 @@ def pack_sequences(ds, tokens_col: str = "tokens", max_len: int = 2048,
         SequencePack(tokens_col=tokens_col, max_len=max_len),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     )
+
+
+class _GramDocPairs:
+    """Per-block combiner for repeated-n-gram detection: unique
+    (doc, packed k-gram bytes) pairs with occurrence counts.
+
+    One offset-aware flatten of the tokens column, one sliding window
+    (zero-copy stride view), doc-boundary masking, and one structured
+    ``np.unique`` — no per-row Python. The gram key is the EXACT packed
+    little-endian int32 bytes (k×4 wide), not a hash, so the result is
+    oracle-exact (no collision caveat); the k× byte inflation is paid only
+    on the deduped pair rows, never the raw token stream.
+    """
+
+    def __init__(self, id_col: str, tokens_col: str, k: int):
+        self.id_col = id_col
+        self.tokens_col = tokens_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = self.k
+        col = batch.column(self.tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = np.ascontiguousarray(
+            col.flatten().to_numpy(zero_copy_only=False).astype("<i4"))
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        n_docs = len(lens)
+        total = len(flat)
+        m = total - k + 1
+        empty = pa.table({
+            self.id_col: batch.column(self.id_col).slice(0, 0),
+            "gram": pa.array([], pa.binary()),
+            "occ": pa.array([], pa.int64()),
+        })
+        if m <= 0 or n_docs == 0:
+            return empty
+        win = np.lib.stride_tricks.sliding_window_view(flat, k)  # (m, k)
+        doc_of = np.repeat(np.arange(n_docs), lens)
+        valid = doc_of[:m] == doc_of[k - 1:]
+        if not valid.any():
+            return empty
+        vwin = np.ascontiguousarray(win[valid])
+        vdoc = doc_of[:m][valid]
+        rec = np.empty(len(vdoc), dtype=[("d", np.int64),
+                                         ("g", np.void, k * 4)])
+        rec["d"] = vdoc
+        rec["g"] = vwin.view(np.dtype((np.void, k * 4))).reshape(-1)
+        uniq, counts = np.unique(rec, return_counts=True)
+        gram_bytes = uniq["g"].tobytes()
+        width = k * 4
+        offs = pa.array(np.arange(0, (len(uniq) + 1) * width, width,
+                                  dtype=np.int32))
+        grams = pa.Array.from_buffers(
+            pa.binary(), len(uniq),
+            [None, offs.buffers()[1], pa.py_buffer(gram_bytes)])
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table({
+            self.id_col: ids.take(pa.array(uniq["d"], pa.int64())),
+            "gram": grams,
+            "occ": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+
+def repeated_ngram_counts(ds, id_col: str = "doc_id",
+                          tokens_col: str = "tokens", k: int = 8,
+                          min_docs: int = 2):
+    """Cross-document repeated token k-grams — the duplicated-span
+    primitive of training-data dedup (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", public): for every doc,
+    how many of its k-gram occurrences belong to a gram seen in
+    ≥ ``min_docs`` DISTINCT documents.
+
+    Shape: per-block unique (doc, gram) pairs (docs never straddle rows,
+    so pairs are globally unique without a merge) → the shared
+    :func:`~..stages.neardup.prefilter_hot_groups` machinery finds grams
+    with ≥ min_docs members (size-gated driver/shuffle count + semi-join)
+    → one groupby(doc) sums the surviving occurrence counts. The shuffle
+    carries deduped (doc, gram, occ) rows — bounded by unique pairs, with
+    exact fixed-width binary gram keys.
+
+    Returns (id_col, shared_grams) for docs with ≥1 shared-gram
+    occurrence.
+    """
+    from ray.data.aggregate import Sum
+
+    from .neardup import prefilter_hot_groups
+
+    pairs = ds.map_batches(
+        _GramDocPairs(id_col, tokens_col, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    if k % 2:
+        raise ValueError("k must be even (gram bytes must be 8-aligned)")
+    n_words = (k * 4) // 8
+
+    def combine(t: pa.Table):
+        from ..functions.hashing import FNV64_PRIME
+        from .neardup import _binary_sig_matrix
+
+        # offset-aware equal-width binary -> (n, n_words) int64, then an
+        # FNV-style column fold (semi-join key encoding only; collisions
+        # merely re-admit rows, the final groupby keys on doc)
+        mat = _binary_sig_matrix(t.column("gram"), n_words).view(np.uint64)
+        folded = np.zeros(len(mat), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for w in range(n_words):
+                folded = folded * np.uint64(FNV64_PRIME) ^ mat[:, w]
+        return folded.view(np.int64)
+
+    hot = prefilter_hot_groups(pairs, ["gram"], combine, min_size=min_docs)
+    if hot is None:
+        import ray.data as _rd
+
+        sch = pairs.schema()
+        t = dict(zip(sch.names, sch.types))[id_col]
+        return _rd.from_arrow(pa.table({
+            id_col: pa.array([], t),
+            "shared_grams": pa.array([], pa.int64()),
+        }))
+    return hot.groupby(id_col).aggregate(
+        Sum("occ", alias_name="shared_grams"))
+
+
+class _WordGramDocPairs:
+    """Word-k-gram sibling of :class:`_GramDocPairs` over a TEXT column —
+    gram key = k words joined by US (0x1f). Everything is arrow/numpy:
+    split_pattern, k shifted slices joined by ONE binary_join_element_wise
+    pass, a doc-boundary mask, and a pyarrow group_by for per-pair
+    occurrence counts. SQL-expressible (string_split + list slicing +
+    array_to_string), so this variant carries the DuckDB oracle."""
+
+    def __init__(self, id_col: str, text_col: str, k: int):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = self.k
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        split = pc.split_pattern(pc.fill_null(text, ""), " ")
+        lens = pc.list_value_length(split).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        words = split.flatten()
+        total = len(words)
+        m = total - k + 1
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if m <= 0:
+            return pa.table({
+                self.id_col: ids.slice(0, 0),
+                "gram": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+            })
+        slices = [words.slice(j, m) for j in range(k)]
+        grams_all = pc.binary_join_element_wise(*slices, "\x1f")
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        valid = doc_of[:m] == doc_of[k - 1:]
+        tbl = pa.table({
+            self.id_col: ids.take(pa.array(doc_of[:m][valid], pa.int64())),
+            "gram": grams_all.filter(pa.array(valid)),
+        })
+        g = tbl.group_by([self.id_col, "gram"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(
+            ["occ" if n == "count_all" else n for n in g.column_names])
+
+
+def repeated_word_ngram_counts(ds, id_col: str = "doc_id",
+                               text_col: str = "text", k: int = 8,
+                               min_docs: int = 2):
+    """Word-gram variant of :func:`repeated_ngram_counts` (same shape,
+    string gram keys, md5 unique-gather semi-join encoding) — the
+    oracle-checkable face of the duplicated-span primitive."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_u64_col
+    from .neardup import prefilter_hot_groups
+
+    pairs = ds.map_batches(
+        _WordGramDocPairs(id_col, text_col, k),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).materialize()
+
+    def combine(t: pa.Table):
+        return md5_u64_col(t.column("gram")).view(np.int64)
+
+    hot = prefilter_hot_groups(pairs, ["gram"], combine, min_size=min_docs)
+    if hot is None:
+        import ray.data as _rd
+
+        sch = pairs.schema()
+        t = dict(zip(sch.names, sch.types))[id_col]
+        return _rd.from_arrow(pa.table({
+            id_col: pa.array([], t),
+            "shared_grams": pa.array([], pa.int64()),
+        }))
+    return hot.groupby(id_col).aggregate(
+        Sum("occ", alias_name="shared_grams"))

@@ -311,3 +311,52 @@ def test_group_quantiles_duckdb_rank_parity():
     for c in ("q0", "q50", "q90", "q100"):
         assert out[c].astype("int64").tolist() == \
             exp[c].astype("int64").tolist(), c
+
+
+def test_repeated_ngram_counts_token_and_word_variants():
+    """Duplicated-span primitive: token-gram (packed binary keys) and
+    word-gram (string keys) variants agree on shared-span counts,
+    including within-doc repeats, boundary grams, and short docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.tokenstats import (
+        repeated_ngram_counts,
+        repeated_word_ngram_counts,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tokens": pa.array(
+            [[1, 2, 3, 4, 5, 6, 7, 8, 9],      # shares [1..8] with doc 2
+             [0, 1, 2, 3, 4, 5, 6, 7, 8],      # shares [1..8] with doc 1
+             [7, 7, 7, 7, 7, 7, 7, 7, 7, 7],   # self-repeats only
+             [1, 2, 3]],                       # too short for any 8-gram
+            pa.list_(pa.int32())),
+    })
+    out = repeated_ngram_counts(
+        ray.data.from_arrow(docs), k=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["shared_grams"]))
+    assert got == {1: 1, 2: 1}  # self-repeats within ONE doc don't count
+
+    words = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["t1 t2 t3 t4 t5 t6 t7 t8 t9",
+                 "t0 t1 t2 t3 t4 t5 t6 t7 t8",
+                 "x x x x x x x x x x",
+                 "a b c"],
+    })
+    out2 = repeated_word_ngram_counts(
+        ray.data.from_arrow(words), k=8).to_pandas()
+    got2 = dict(zip(out2["doc_id"], out2["shared_grams"]))
+    assert got2 == {1: 1, 2: 1}
+
+    # occurrence counting: a hot gram occurring twice in one doc counts 2
+    twice = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["p q p q", "p q x"],
+    })
+    out3 = repeated_word_ngram_counts(
+        ray.data.from_arrow(twice), k=2).to_pandas()
+    got3 = dict(zip(out3["doc_id"], out3["shared_grams"]))
+    assert got3 == {1: 2, 2: 1}  # "p q" twice in doc 1, once in doc 2
