@@ -116,6 +116,10 @@ OPERATOR_QUERIES = [
     "knn_vec0",
     "minhash_pairs",
     "simhash_pairs",
+    # round-3 additions
+    "value_quantiles",
+    "repeated_ngrams",
+    "lang_id_model",
 ]
 
 

@@ -55,15 +55,23 @@ class _BatchTopK:
     """Per-batch partial: top-k cosine rows against the broadcast queries."""
 
     def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
-        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, dim)
+        self._ref = queries_ref
+        self.q = None  # resolved lazily IN the worker (zero-copy get), so
+        # a driver-built instance ships only the ref, never the matrix
         self.id_col = id_col
         self.vec_col = vec_col
         self.k = k
 
+    def _queries(self) -> np.ndarray:
+        if self.q is None:
+            q = ray.get(self._ref) if isinstance(self._ref, ray.ObjectRef) \
+                else self._ref
+            self.q = _normalize(np.asarray(q, dtype=np.float64))  # (nq, dim)
+        return self.q
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_matrix(batch, self.vec_col))  # (n, dim)
-        sims = m @ self.q.T  # (n, nq)
+        sims = m @ self._queries().T  # (n, nq)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         out_q, out_id, out_sim = [], [], []
         for qi in range(sims.shape[1]):
@@ -93,13 +101,15 @@ def knn_brute_force(ds, queries: np.ndarray, id_col: str, vec_col: str, k: int,
 
     Driver-side work is only the merge of per-block partials (blocks×k rows).
     """
+    # task-based (no actor pool): the scorer's only state is the normalized
+    # query matrix — for big query sets it stays an object-store ref read
+    # zero-copy per task; actor startup isn't worth it for a matmul
+    # (CLAUDE.md round-2: consecutive actor pools starve small sessions)
     ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs=dict(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        _BatchTopK(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).take_all()  # small: num_blocks * k * nq rows
 
     by_query: dict[int, list] = {}
