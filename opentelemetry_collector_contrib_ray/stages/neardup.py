@@ -313,19 +313,30 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     max_bucket: int = 500,
     join_partitions: int | None = None,
+    broadcast_verify_pairs: int = 250_000,
 ):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     Shape: signatures once per doc (actor pool) → lean (id, band, bucket)
     rows through the LSH shuffle → within-bucket candidate pairs → pair
-    dedup → DISTRIBUTED verification: two hash joins of the pair table
-    against the signature table on id (Ray Data native join), then a
-    vectorized signature compare. No driver-side signature concat, no
-    broadcast — signatures move once per join through a hash-partitioned
-    exchange (the round-1 broadcast was ~500 GB at 1 B docs; gone).
+    dedup → verification. Two verification paths, size-gated on the
+    CANDIDATE pair count (never the corpus):
+
+    - **small** (≤ ``broadcast_verify_pairs``): only the candidate docs'
+      signatures are semi-joined out, packed into one matrix, ``ray.put``
+      broadcast, and pairs score via two ``index_in`` gathers — the
+      broadcast is bounded by 2×pairs signatures, NOT the corpus (the
+      round-1 whole-corpus broadcast was ~500 GB at 1 B docs; this one at
+      the default gate is ≤ 256 MB), and it skips two hash joins' fixed
+      overhead (~2-3 s at bench scale);
+    - **large**: two DISTRIBUTED hash joins of the pair table against the
+      signature table on id (Ray native join), then the same vectorized
+      signature compare — no driver-side signature traffic at all.
+
     Pathological buckets larger than ``max_bucket`` are skipped (their pair
     count is quadratic; dedup-by-fingerprint handles exact boilerplate);
-    the skip count is logged.
+    the skip count is logged. Golden tests pin both verify paths to the
+    same pair set.
     """
     sketch = MinHashSketch(id_col=id_col, text_col=text_col, num_perm=num_perm,
                            bands=bands, shingle_n=shingle_n)
@@ -372,8 +383,59 @@ def minhash_lsh_pairs(
     from .blocks import nonempty_blocks
 
     uniq = nonempty_blocks(uniq)
-    if uniq.count() == 0:  # all colliding buckets exceeded max_bucket
+    n_pairs = uniq.count()
+    if n_pairs == 0:  # all colliding buckets exceeded max_bucket
         return _empty_pairs()
+
+    if n_pairs <= broadcast_verify_pairs:
+        import ray
+        import pyarrow.compute as pc
+
+        # candidate ids (≤ 2×pairs) -> semi-join their signatures out
+        pair_tbl = pa.concat_tables(
+            [t for t in ray.get(uniq.to_arrow_refs()) if t.num_rows])
+        cand_ids = pc.unique(pa.concat_arrays([
+            pair_tbl.column("id_a").combine_chunks(),
+            pair_tbl.column("id_b").combine_chunks(),
+        ]))
+        ids_ref = ray.put(cand_ids)
+
+        def keep_sigs(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column(id_col), value_set=ray.get(ids_ref))
+            return t.filter(mask)
+
+        cand_sigs = pa.concat_tables([
+            t for t in ray.get(
+                sigs.map_batches(keep_sigs, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+            if t.num_rows
+        ])
+        sig_ids = cand_sigs.column(id_col).combine_chunks()
+        sig_mat = (
+            cand_sigs.column("sig").combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False).view(np.uint64)
+            .reshape(len(cand_sigs), num_perm)
+        )
+        lut_ref = ray.put((sig_ids, sig_mat))
+
+        def score(t: pa.Table) -> pa.Table:
+            ids_set, mat = ray.get(lut_ref)
+            ia = pc.index_in(t.column("id_a"), value_set=ids_set).to_numpy(
+                zero_copy_only=False)
+            ib = pc.index_in(t.column("id_b"), value_set=ids_set).to_numpy(
+                zero_copy_only=False)
+            est = (mat[ia] == mat[ib]).mean(axis=1)
+            keep = est >= threshold
+            mask = pa.array(keep)
+            return pa.table({
+                "id_a": t.column("id_a").filter(mask),
+                "id_b": t.column("id_b").filter(mask),
+                "jaccard_est": pa.array(est[keep], pa.float64()),
+            })
+
+        return uniq.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
 
     def pack(name_id: str, name_sig: str):
         def fn(t: pa.Table) -> pa.Table:
@@ -723,15 +785,24 @@ def verify_pairs_exact(pairs_table: pa.Table, texts_by_id: dict, n: int = 3,
 def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.5,
                          shingle_n: int = 3,
-                         join_partitions: int | None = None):
-    """Upgrade candidate pairs to EXACT n-gram Jaccard, fully distributed:
-    two native hash joins attach both documents' texts to each pair (texts
-    move once per join through a hash exchange — never broadcast), then a
-    map_batches computes exact shingle-set Jaccard and filters.
+                         join_partitions: int | None = None,
+                         broadcast_verify_pairs: int = 100_000):
+    """Upgrade candidate pairs to EXACT n-gram Jaccard.
 
-    The candidate set bounds all joined row counts, so this composes after
-    minhash_lsh_pairs as the exact final gate at any scale."""
+    Size-gated like :func:`minhash_lsh_pairs` verification: at or below
+    ``broadcast_verify_pairs`` candidate pairs, only the candidate docs'
+    texts are semi-joined out and broadcast once (bounded by 2×pairs
+    texts, never the corpus) — skipping two hash joins' fixed overhead;
+    above the gate, two native hash joins attach both documents' texts to
+    each pair (texts move once per join through a hash exchange — never
+    broadcast), then a map_batches computes exact shingle-set Jaccard and
+    filters. The candidate set bounds all joined row counts, so this
+    composes after minhash_lsh_pairs as the exact final gate at any
+    scale."""
+    import ray
     import ray.data as _rd
+
+    import pyarrow.compute as pc
 
     pairs_mat = pairs_ds.materialize()
     if pairs_mat.count() == 0:
@@ -743,6 +814,51 @@ def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
             "jaccard": pa.array([], pa.float64()),
         }))
     pairs_ds = pairs_mat
+
+    if pairs_mat.count() <= broadcast_verify_pairs:
+        pair_tbl = pa.concat_tables(
+            [t for t in ray.get(pairs_mat.to_arrow_refs()) if t.num_rows])
+        cand_ids = pc.unique(pa.concat_arrays([
+            pair_tbl.column("id_a").combine_chunks(),
+            pair_tbl.column("id_b").combine_chunks(),
+        ]))
+        ids_ref = ray.put(cand_ids)
+
+        def keep_docs(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t.column(id_col), value_set=ray.get(ids_ref))
+            return t.select([id_col, text_col]).filter(mask)
+
+        cand_docs = pa.concat_tables([
+            t for t in ray.get(
+                docs_ds.map_batches(keep_docs, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                .materialize().to_arrow_refs())
+            if t.num_rows
+        ])
+        doc_ids = cand_docs.column(id_col).combine_chunks()
+        texts = cand_docs.column(text_col).combine_chunks()
+        lut_ref = ray.put((doc_ids, texts))
+
+        def score_b(t: pa.Table) -> pa.Table:
+            ids_set, txt = ray.get(lut_ref)
+            ia = pc.index_in(t.column("id_a"), value_set=ids_set).to_numpy(
+                zero_copy_only=False)
+            ib = pc.index_in(t.column("id_b"), value_set=ids_set).to_numpy(
+                zero_copy_only=False)
+            a = txt.take(pa.array(ia, pa.int64())).to_pylist()
+            b = txt.take(pa.array(ib, pa.int64())).to_pylist()
+            j = np.array([exact_jaccard(x or "", y or "", shingle_n)
+                          for x, y in zip(a, b)])
+            keep = pa.array(j >= threshold)
+            return pa.table({
+                "id_a": t.column("id_a").filter(keep),
+                "id_b": t.column("id_b").filter(keep),
+                "jaccard": pa.array(j[j >= threshold], pa.float64()),
+            })
+
+        return pairs_mat.map_batches(score_b, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
     slim = docs_ds.select_columns([id_col, text_col]).materialize()
     if join_partitions is None:
         join_partitions = int(min(64, max(2, slim.count() // 100_000)))

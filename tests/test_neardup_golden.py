@@ -53,8 +53,30 @@ def test_minhash_pairs_shuffle_prefilter_path_matches_golden():
 
     neardup.prefilter_hot_groups = forced
     try:
-        df = neardup.minhash_lsh_pairs(docs, threshold=0.5).to_pandas()
+        # broadcast_verify_pairs=0 ALSO forces the distributed join-verify
+        # path, so this test pins the full large-scale plan end to end
+        df = neardup.minhash_lsh_pairs(
+            docs, threshold=0.5, broadcast_verify_pairs=0).to_pandas()
     finally:
         neardup.prefilter_hot_groups = orig
     got = sorted(zip(df["id_a"], df["id_b"]))
     assert got == GOLDEN_MINHASH_PAIRS
+
+
+def test_jaccard_verify_join_path_matches_golden():
+    """Force the large-scale join-verify path of exact_jaccard_verify
+    (broadcast gate = 0): identical pair set to the default broadcast
+    path / golden fixture."""
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        exact_jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs = read_table(SF_SMOKE, "documents", columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs, threshold=0.5)
+    out = exact_jaccard_verify(
+        cands.drop_columns(["jaccard_est"]), docs, threshold=0.5,
+        broadcast_verify_pairs=0,
+    ).to_pandas()
+    assert sorted(zip(out["id_a"], out["id_b"])) == GOLDEN_MINHASH_PAIRS
