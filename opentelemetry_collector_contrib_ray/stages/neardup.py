@@ -721,12 +721,13 @@ def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_bucket: int = 500):
+    # task-based: the sketch's state (shift tables, nibble LUT) is tiny and
+    # built in microseconds — an actor pool would only add startup latency
+    # (CLAUDE.md round-2: consecutive actor pools starve small sessions)
     sketched = ds.map_batches(
-        SimHashSketch,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        SimHashSketch(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     ).materialize()
 
     def combine(t: pa.Table) -> np.ndarray:

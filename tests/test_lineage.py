@@ -92,3 +92,36 @@ def test_chain_change_invalidates(shards, tmp_path):
     r2 = lineage.run_resumable(shards[:1], out, corpus_route_pipeline, CHAIN + "-v2",
                                extra_partition_cols=["sink"])
     assert len(r2["processed"]) == 1 and not r2["skipped"]
+
+
+def test_run_job_cli_shard_failure_resume(tmp_path):
+    """The ray-job entrypoint (scripts/run_job.py): full run, then a
+    simulated mid-run shard failure (manifest entry + partial output
+    dropped) — resubmission reprocesses EXACTLY that shard and the final
+    per-sink aggregate is unchanged."""
+    import importlib.util
+    import os
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "run_job", "/root/repo/scripts/run_job.py")
+    run_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_job)
+
+    out = str(tmp_path / "out")
+    args = ["--sf", "/root/testdata/sf0.001",
+            "--corpus-cache", str(tmp_path / "corpus"),
+            "--out", out, "--shards", "4"]
+    r1 = run_job.main(args)
+    assert len(r1["processed"]) == 4 and not r1["skipped"]
+    total = sum(s["row_count"] for s in r1["sinks"])
+    assert total == 500
+
+    sid = r1["processed"][0]
+    os.remove(os.path.join(out, "_lineage", f"{sid}.json"))
+    shutil.rmtree(os.path.join(out, f"shard={sid}"))
+
+    r2 = run_job.main(args)
+    assert r2["processed"] == [sid]
+    assert sorted(r2["skipped"]) == sorted(r1["processed"][1:])
+    assert r2["sinks"] == r1["sinks"]
