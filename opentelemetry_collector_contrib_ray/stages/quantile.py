@@ -49,17 +49,19 @@ class _PairCounts:
 
 
 def group_quantiles(ds, keys: list[str], value_col: str,
-                    qs: list[float], prefix: str = "q"):
+                    qs: list[float], prefix: str = "q",
+                    driver_threshold: int = 5_000_000):
     """One row per key group with columns ``{prefix}{int(q*100)}`` holding
-    the exact discrete quantiles of ``value_col``."""
+    the exact discrete quantiles of ``value_col``.
+
+    Size-gated final like :func:`~.aggregate.count_sum`: at or below
+    ``driver_threshold`` input rows the per-block pair partials merge with
+    one driver-side pyarrow group_by and finish in pandas (the distinct
+    pair table is bounded by the gate; skips ~2 s of hash-shuffle fixed
+    overhead); above it the merge is a Ray hash-shuffle groupby and each
+    key finishes in its own task."""
     from ray.data.aggregate import Sum
 
-    pairs = ds.map_batches(
-        _PairCounts(keys, value_col), batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    merged = pairs.groupby(keys + [value_col]).aggregate(
-        Sum("_cnt", alias_name="_cnt"))
     names = [f"{prefix}{int(round(q * 100))}" for q in qs]
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
@@ -73,4 +75,27 @@ def group_quantiles(ds, keys: list[str], value_col: str,
             out[name] = [vals[np.searchsorted(cum, rank, side="right")]]
         return pd.DataFrame(out)
 
+    pairs = ds.map_batches(
+        _PairCounts(keys, value_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if ds.count() <= driver_threshold:
+        import ray.data as rd
+
+        from .aggregate import _collect_partials
+
+        tbl = _collect_partials(pairs)
+        merged = tbl.group_by(keys + [value_col]).aggregate([("_cnt", "sum")])
+        merged = merged.rename_columns(
+            ["_cnt" if n == "_cnt_sum" else n for n in merged.column_names])
+        df = merged.to_pandas()
+        out = pd.concat(
+            [finish(g) for _, g in df.groupby(keys, sort=False)],
+            ignore_index=True,
+        )
+        return rd.from_pandas(out)
+
+    merged = pairs.groupby(keys + [value_col]).aggregate(
+        Sum("_cnt", alias_name="_cnt"))
     return merged.groupby(keys).map_groups(finish, batch_format="pandas")

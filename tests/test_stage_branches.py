@@ -299,18 +299,21 @@ def test_group_quantiles_duckdb_rank_parity():
     vals = [1] * 7 + [5] * 2 + [9] * 1 + [100] * 3
     t = pa.table({"k": ["a"] * len(vals) + ["b"] * 4,
                   "v": pa.array(vals + [2, 4, 6, 8], pa.int64())})
-    out = group_quantiles(ray.data.from_arrow(t), keys=["k"], value_col="v",
-                          qs=[0.0, 0.5, 0.9, 1.0], prefix="q"
-                          ).to_pandas().sort_values("k").reset_index(drop=True)
     con = duckdb.connect()
     con.register("t", t)
     exp = con.execute(
         "SELECT k, quantile_disc(v, 0.0) AS q0, quantile_disc(v, 0.5) AS q50,"
         " quantile_disc(v, 0.9) AS q90, quantile_disc(v, 1.0) AS q100"
         " FROM t GROUP BY k ORDER BY k").df()
-    for c in ("q0", "q50", "q90", "q100"):
-        assert out[c].astype("int64").tolist() == \
-            exp[c].astype("int64").tolist(), c
+    # driver_threshold gates the finish: big -> driver merge, 0 -> shuffle
+    for thresh in (5_000_000, 0):
+        out = group_quantiles(
+            ray.data.from_arrow(t), keys=["k"], value_col="v",
+            qs=[0.0, 0.5, 0.9, 1.0], prefix="q", driver_threshold=thresh,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        for c in ("q0", "q50", "q90", "q100"):
+            assert out[c].astype("int64").tolist() == \
+                exp[c].astype("int64").tolist(), (thresh, c)
 
 
 def test_repeated_ngram_counts_token_and_word_variants():
