@@ -720,6 +720,36 @@ def q_value_quantiles(sf_dir: str):
                            qs=[0.5, 0.9, 0.99])
 
 
+def q_approx_value_quantiles(sf_dir: str):
+    """sketch quantiles for unbounded-cardinality values: per-block
+    exponential-histogram partials merged on the driver
+    (stages/expohist.py approx_quantiles; relative error ≤ 2^(1/16)-1 at
+    scale 4 — bound pytest-verified). No SQL oracle: sketch estimates by
+    design; the exact sibling is value_quantiles."""
+    from ..stages.expohist import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    out = approx_quantiles(ds, "value", [0.5, 0.9, 0.99])
+    return pa.table({k: pa.array([v], pa.float64())
+                     for k, v in sorted(out.items())})
+
+
+def q_heavy_hitter_users(sf_dir: str):
+    """mergeable truncated-count heavy hitters (Misra-Gries family) over
+    user_id — the unbounded-cardinality top-k sibling of token_frequency.
+    No SQL oracle: estimates carry (est_min, est_max) bounds, which the
+    pytest guarantee check validates against true counts."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    top = heavy_hitters(ds, "user_id", m=64, k=10)
+    return pa.table({
+        "user_id": pa.array([int(i) for i, _, _ in top], pa.int64()),
+        "est_min": pa.array([lo for _, lo, _ in top], pa.int64()),
+        "est_max": pa.array([hi for _, _, hi in top], pa.int64()),
+    })
+
+
 def q_map_editors(sf_dir: str):
     """OTTL key editors over a REAL map-typed attributes column
     (func_delete_matching_keys.go:36-51, func_limit.go:36-47 — the
@@ -1286,6 +1316,8 @@ QUERIES = {
     "map_editors": q_map_editors,
     "value_quantiles": q_value_quantiles,
     "repeated_ngrams": q_repeated_ngrams,
+    "approx_value_quantiles": q_approx_value_quantiles,
+    "heavy_hitter_users": q_heavy_hitter_users,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1342,7 +1374,8 @@ QUERIES = {
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              "anomaly_scores", "lsh_neardup", "approx_distinct_users",
-             "jaccard_verify", "token_frequency"}
+             "jaccard_verify", "token_frequency",
+             "approx_value_quantiles", "heavy_hitter_users"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

@@ -140,3 +140,73 @@ class ExponentialHistogram:
     @property
     def total(self) -> int:
         return self.zero_count + sum(self.counts.values())
+
+
+def _sorted_cumulative(counts: dict[int, int]):
+    idx = sorted(counts)
+    cum = np.cumsum([counts[i] for i in idx])
+    return idx, cum
+
+
+def expohist_quantile(hist: "ExponentialHistogram", q: float) -> float:
+    """Approximate q-quantile from the sketch: find the bucket holding rank
+    ``max(ceil(q*n)-1, 0)`` (the quantile_disc rank convention) and return
+    its upper edge 2^((i+1)/2^scale). Guarantee: the true quantile lies in
+    (2^(i/2^s), 2^((i+1)/2^s)], so the RELATIVE error of the returned
+    value is at most 2^(1/2^scale) - 1 (≈4.4% at scale 4) — the standard
+    exponential-histogram bound; zero-bucket ranks return 0.0."""
+    import math
+
+    n = hist.total
+    if n == 0:
+        raise ValueError("empty histogram")
+    rank = max(math.ceil(q * n) - 1, 0)
+    if rank < hist.zero_count:
+        return 0.0
+    rank -= hist.zero_count
+    idx, cum = _sorted_cumulative(hist.counts)
+    j = int(np.searchsorted(cum, rank, side="right"))
+    return float(2.0 ** ((idx[j] + 1) / (1 << hist.scale)))
+
+
+def approx_quantiles(ds, value_col: str, qs: list[float],
+                     scale: int = 4, max_size: int = 160) -> dict[str, float]:
+    """Distributed approximate quantiles for UNBOUNDED-cardinality value
+    columns — the sketch complement to the exact distinct-bounded
+    ``stages.quantile.group_quantiles``: per-block
+    :class:`ExponentialHistogram` partials (each a ≤``max_size``-bucket
+    dict) merge associatively on the driver; driver traffic is
+    blocks × max_size counters regardless of input size. Returns
+    ``{"q50": v, ...}`` with relative error ≤ 2^(1/2^scale) - 1 for
+    positive values."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = ExponentialHistogram(scale=scale, max_size=max_size)
+        h.add_values(t.column(value_col).to_numpy(zero_copy_only=False))
+        items = sorted(h.counts.items())
+        return pa.table({
+            "scale": pa.array([h.scale] * (len(items) + 1), pa.int32()),
+            "idx": pa.array([i for i, _ in items] + [0], pa.int64()),
+            "cnt": pa.array([c for _, c in items] + [0], pa.int64()),
+            "zero": pa.array([0] * len(items) + [h.zero_count], pa.int64()),
+        })
+
+    import ray
+
+    tables = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    merged = ExponentialHistogram(scale=scale, max_size=max_size)
+    for t in tables:
+        # rebuild each block's sketch rows and merge (scales align down)
+        part = ExponentialHistogram(scale=int(t.column("scale")[0].as_py()),
+                                    max_size=max_size)
+        idx = t.column("idx").to_numpy(zero_copy_only=False)
+        cnt = t.column("cnt").to_numpy(zero_copy_only=False)
+        keep = cnt > 0
+        part.counts = dict(zip(idx[keep].tolist(), cnt[keep].tolist()))
+        part.zero_count = int(t.column("zero").to_numpy(
+            zero_copy_only=False).sum())
+        merged.merge(part)
+    return {f"q{int(round(q * 100))}": expohist_quantile(merged, q)
+            for q in qs}

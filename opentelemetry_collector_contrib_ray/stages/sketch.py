@@ -83,3 +83,75 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
         for blob in t.column("regs").to_pylist():
             merged = hll.merge(merged, np.frombuffer(blob, dtype=np.uint8))
     return hll.estimate(merged)
+
+
+class HeavyHittersSummary:
+    """Mergeable truncated-count heavy-hitters summary (Misra-Gries /
+    Mergeable Summaries family, Agarwal et al. 2012, public): per block the
+    EXACT item counts are truncated to the top ``m`` items, and the dropped
+    mass is summarized as the (m+1)-th count — the per-partial
+    overcount bound. Merging sums counts for kept items and accumulates
+    the bound. Guarantee: for every item,
+    ``est ≤ true ≤ est + max_err`` — so any item with
+    ``true > max_err`` is RETAINED (no false negatives among hitters
+    heavier than the bound), with summary size ≤ blocks × m before the
+    final truncation."""
+
+    def __init__(self, m: int = 64):
+        self.m = m
+        self.counts: dict = {}
+        self.max_err = 0
+
+    def add_exact(self, items: dict) -> "HeavyHittersSummary":
+        top = sorted(items.items(), key=lambda kv: (-kv[1], str(kv[0])))
+        kept = top[: self.m]
+        dropped = top[self.m:]
+        bound = dropped[0][1] if dropped else 0
+        for k, c in kept:
+            self.counts[k] = self.counts.get(k, 0) + c
+        self.max_err += bound
+        return self
+
+    def merge(self, other: "HeavyHittersSummary") -> "HeavyHittersSummary":
+        for k, c in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + c
+        self.max_err += other.max_err
+        return self
+
+    def top(self, k: int) -> list:
+        """[(item, est_min, est_max)] — est_max = est_min + max_err."""
+        items = sorted(self.counts.items(),
+                       key=lambda kv: (-kv[1], str(kv[0])))[:k]
+        return [(i, c, c + self.max_err) for i, c in items]
+
+
+def heavy_hitters(ds, col: str, m: int = 64, k: int = 16):
+    """Distributed approximate top-k for UNBOUNDED-cardinality columns —
+    the sketch complement to the exact vocab-bounded
+    ``tokenstats.token_frequency``: per-block exact counts truncate to a
+    ≤m-item summary, driver merge accumulates error bounds. Returns
+    [(item, est_min, est_max)]; any item whose true count exceeds the
+    final max_err is guaranteed present."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column(col))
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        order = np.argsort(-cnts, kind="stable")
+        keep = order[: m + 1]  # top-m plus the bound witness
+        return pa.table({
+            "item": vals.take(pa.array(keep, pa.int64())),
+            "cnt": pa.array(cnts[keep], pa.int64()),
+        })
+
+    tables = [t for t in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize().to_arrow_refs()) if t.num_rows]
+    summary = HeavyHittersSummary(m=m)
+    for t in tables:
+        summary.add_exact(dict(zip(t.column("item").to_pylist(),
+                                   t.column("cnt").to_pylist())))
+    return summary.top(k)

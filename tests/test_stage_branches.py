@@ -363,3 +363,63 @@ def test_repeated_ngram_counts_token_and_word_variants():
         ray.data.from_arrow(twice), k=2).to_pandas()
     got3 = dict(zip(out3["doc_id"], out3["shared_grams"]))
     assert got3 == {1: 2, 2: 1}  # "p q" twice in doc 1, once in doc 2
+
+
+def test_expohist_quantile_bound_and_distributed():
+    """Sketch quantiles: relative error within the 2^(1/2^scale)-1 bound
+    (scale 4 ≈ 4.4%) against exact quantiles, both for a single sketch
+    and for the distributed per-block merge path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.expohist import (
+        ExponentialHistogram,
+        approx_quantiles,
+        expohist_quantile,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = np.exp(rng.normal(3.0, 1.2, 50_000))  # heavy-tailed positive
+    bound = 2 ** (1 / 16) - 1 + 0.01  # + discrete-rank slack
+
+    h = ExponentialHistogram(scale=4, max_size=400).add_values(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        est = expohist_quantile(h, q)
+        assert abs(est - exact) / exact <= bound, (q, est, exact)
+
+    ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(8)
+    out = approx_quantiles(ds, "v", [0.5, 0.9, 0.99], scale=4, max_size=400)
+    for q in (0.5, 0.9, 0.99):
+        exact = float(np.quantile(vals, q))
+        est = out[f"q{int(q*100)}"]
+        assert abs(est - exact) / exact <= bound, (q, est, exact)
+
+
+def test_heavy_hitters_bounds_and_retention():
+    """Mergeable truncated-count summary: est_min ≤ true ≤ est_max for
+    every reported item, and genuinely heavy items are retained across
+    block boundaries."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.sketch import (
+        heavy_hitters,
+    )
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: item i appears ~ 50_000 / (i+1) times, shuffled
+    items = np.repeat(np.arange(200), (50_000 / np.arange(1, 201)).astype(int))
+    rng.shuffle(items)
+    true = {int(i): int(c) for i, c in
+            zip(*np.unique(items, return_counts=True))}
+    ds = ray.data.from_arrow(
+        pa.table({"u": pa.array(items, pa.int64())})).repartition(16)
+    top = heavy_hitters(ds, "u", m=32, k=10)
+    assert len(top) == 10
+    for item, lo, hi in top:
+        assert lo <= true[int(item)] <= hi, (item, lo, true[int(item)], hi)
+    reported = {int(i) for i, _, _ in top}
+    assert {0, 1, 2}.issubset(reported)  # the heaviest items survive
