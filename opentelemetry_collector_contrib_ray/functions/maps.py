@@ -50,23 +50,25 @@ def _rebuild(lens: np.ndarray, keep: np.ndarray, keys, items,
     """Filtered MapArray from an entry-level keep mask (null rows stay
     null via the offsets validity-mask encoding)."""
     row_off = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.int64)
-    if len(keep):
-        # clip trailing-empty-segment offsets (== len) for reduceat, then
-        # zero every empty segment (reduceat duplicates on them)
-        new_cnt = np.add.reduceat(
-            keep.astype(np.int64), np.minimum(row_off, len(keep) - 1))
-        new_cnt[lens == 0] = 0
-    else:
-        new_cnt = np.zeros(len(lens), dtype=np.int64)
+    # reduceat over NONEMPTY segments only: empty segments would duplicate
+    # the next segment's sum, and clipping their offsets would corrupt the
+    # previous segment's range instead
+    nz = lens > 0
+    new_cnt = np.zeros(len(lens), dtype=np.int64)
+    if nz.any():
+        new_cnt[nz] = np.add.reduceat(keep.astype(np.int64), row_off[nz])
     offsets = np.concatenate(([0], np.cumsum(new_cnt))).astype(np.int32)
-    mask_arr = pa.array(
-        np.concatenate((nulls, [False])))  # last offset never null
-    off_arr = pa.array(offsets, pa.int32(), mask=np.asarray(
-        mask_arr.to_numpy(zero_copy_only=False)))
     keep_pa = pa.array(keep)
-    return pa.MapArray.from_arrays(
-        off_arr, keys.filter(keep_pa), items.filter(keep_pa),
-        type=map_type)
+    out = pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        keys.filter(keep_pa), items.filter(keep_pa), type=map_type)
+    if nulls.any():
+        # a null-masked OFFSETS buffer corrupts the adjacent list's
+        # boundary; inject null rows with a take on a null-masked index
+        idx = pa.array(np.arange(len(lens), dtype=np.int64), pa.int64(),
+                       mask=nulls)
+        out = out.take(idx)
+    return out
 
 
 def map_from_columns(batch: pa.Table, fields: dict[str, str]) -> pa.MapArray:

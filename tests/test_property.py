@@ -109,3 +109,69 @@ def test_severity_parser_matches_dict(vals):
     got = p(pa.table({"s": pa.array(vals, pa.string())}))[
         "severity_number"].to_pylist()
     assert got == [table.get(v.lower(), 0) for v in vals]
+
+
+_map_entries = st.lists(
+    st.tuples(st.text(alphabet="abcs", min_size=1, max_size=3),
+              st.text(max_size=4)),
+    max_size=6, unique_by=lambda kv: kv[0])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), _map_entries), min_size=1, max_size=8))
+def test_map_delete_keep_partition_roundtrip(rows):
+    """delete_matching_keys(p) ∪ keep_matching_keys(p) == original entries
+    per row (order preserved within each side); nulls stay null."""
+    from opentelemetry_collector_contrib_ray.functions.maps import (
+        map_delete_matching_keys,
+        map_keep_matching_keys,
+    )
+
+    col = pa.array(rows, pa.map_(pa.string(), pa.string()))
+    deleted = map_delete_matching_keys(col, "^s").to_pylist()
+    kept = map_keep_matching_keys(col, "^s").to_pylist()
+    for orig, d, k in zip(rows, deleted, kept):
+        if orig is None:
+            assert d is None and k is None
+            continue
+        assert d == [kv for kv in orig if not kv[0].startswith("s")]
+        assert k == [kv for kv in orig if kv[0].startswith("s")]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), _map_entries), min_size=1, max_size=8),
+       st.integers(0, 5))
+def test_map_limit_matches_reference_semantics(rows, n):
+    """limit keeps ≤ n entries, priority key first then first-seen, in
+    ORIGINAL order — checked against a per-row Python reference."""
+    from opentelemetry_collector_contrib_ray.functions.maps import map_limit
+
+    col = pa.array(rows, pa.map_(pa.string(), pa.string()))
+    got = map_limit(col, n, ("a",)) if n >= 1 else map_limit(col, n)
+    for orig, g in zip(rows, got.to_pylist()):
+        if orig is None:
+            assert g is None
+            continue
+        prio = [kv for kv in orig if kv[0] == "a"] if n >= 1 else []
+        rest = [kv for kv in orig if not (n >= 1 and kv[0] == "a")]
+        chosen = (prio + rest)[:n]
+        keep_keys = {kv[0] for kv in chosen}
+        assert g == [kv for kv in orig if kv[0] in keep_keys]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(),
+                          st.lists(st.integers(-5, 5), max_size=5)),
+                min_size=1, max_size=10),
+       st.integers(0, 6))
+def test_list_index_matches_python(rows, i):
+    """body[i] over arbitrary list columns == Python indexing with nil
+    for out-of-range / null rows."""
+    from opentelemetry_collector_contrib_ray.functions.expr import (
+        compile_value,
+    )
+
+    t = pa.table({"body": pa.array(rows, pa.list_(pa.int64()))})
+    got = compile_value(f"body[{i}]")(t).to_pylist()
+    expect = [r[i] if r is not None and len(r) > i else None for r in rows]
+    assert got == expect
