@@ -136,3 +136,31 @@ def test_replicated_corpus_doc_ids_unique_past_rep10():
     assert df["doc_id"].str.startswith("doc-0000").any()
     # replica 11 carries full 9-digit ids (110_000_000 + i), untruncated
     assert df["doc_id"].str.len().max() >= len("doc-110000000")
+
+
+def test_jsonl_and_csv_file_sources(tmp_path):
+    """Structured-file sources: JSONL / CSV round-trip with projection and
+    source_file attribution (the filelog + json/csv parser front door)."""
+    import json
+
+    from opentelemetry_collector_contrib_ray.sources.files import (
+        read_csv_logs,
+        read_jsonl_logs,
+    )
+
+    rows = [{"lvl": "INFO", "msg": f"m{i}", "n": i} for i in range(20)]
+    jf = tmp_path / "a.jsonl"
+    jf.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = read_jsonl_logs(str(jf), columns=["lvl", "n"],
+                          include_path=True).to_pandas()
+    assert len(out) == 20
+    assert list(out.columns) == ["lvl", "n", "source_file"]
+    assert out["n"].tolist() == list(range(20))
+    assert out["source_file"].str.endswith("a.jsonl").all()
+
+    cf = tmp_path / "b.csv"
+    cf.write_text("lvl,msg,n\n" + "\n".join(
+        f"{r['lvl']},{r['msg']},{r['n']}" for r in rows) + "\n")
+    out2 = read_csv_logs(str(cf), columns=["msg", "n"]).to_pandas()
+    assert len(out2) == 20 and list(out2.columns) == ["msg", "n"]
+    assert out2["n"].sum() == sum(range(20))
