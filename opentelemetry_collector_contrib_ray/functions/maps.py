@@ -95,27 +95,47 @@ def map_from_columns(batch: pa.Table, fields: dict[str, str]) -> pa.MapArray:
                     pa.map_(pa.string(), pa.string()))
 
 
-def map_delete_matching_keys(col, pattern: str) -> pa.MapArray:
+def _row_mask_to_entries(row_mask, lens: np.ndarray) -> np.ndarray:
+    """Expand a per-ROW boolean mask to the flat entry level (None -> all
+    rows selected); null mask values count as NOT selected (OTTL where)."""
+    if row_mask is None:
+        return np.ones(int(lens.sum()), dtype=bool)
+    if isinstance(row_mask, (pa.Array, pa.ChunkedArray)):
+        if isinstance(row_mask, pa.ChunkedArray):
+            row_mask = row_mask.combine_chunks()
+        row_mask = pc.fill_null(row_mask, False).to_numpy(
+            zero_copy_only=False)
+    return np.repeat(np.asarray(row_mask, dtype=bool), lens)
+
+
+def map_delete_matching_keys(col, pattern: str,
+                             row_mask=None) -> pa.MapArray:
     """Drop entries whose KEY matches the regex (func_delete_matching_keys
-    semantics, applied to a map column)."""
+    semantics, applied to a map column). ``row_mask`` (a per-row boolean,
+    the statement's ``where``) limits the edit to selected rows."""
     col, lens, keys, items, nulls = _map_parts(col)
     hit = pc.match_substring_regex(keys, pattern).to_numpy(
         zero_copy_only=False)
-    return _rebuild(lens, ~hit, keys, items, nulls, col.type)
+    sel = _row_mask_to_entries(row_mask, lens)
+    return _rebuild(lens, ~(hit & sel), keys, items, nulls, col.type)
 
 
-def map_keep_matching_keys(col, pattern: str) -> pa.MapArray:
-    """Keep only entries whose KEY matches the regex."""
+def map_keep_matching_keys(col, pattern: str,
+                           row_mask=None) -> pa.MapArray:
+    """Keep only entries whose KEY matches the regex (rows outside
+    ``row_mask`` keep all their entries)."""
     col, lens, keys, items, nulls = _map_parts(col)
     hit = pc.match_substring_regex(keys, pattern).to_numpy(
         zero_copy_only=False)
-    return _rebuild(lens, hit, keys, items, nulls, col.type)
+    sel = _row_mask_to_entries(row_mask, lens)
+    return _rebuild(lens, hit | ~sel, keys, items, nulls, col.type)
 
 
-def map_limit(col, n: int, priority_keys: tuple = ()) -> pa.MapArray:
+def map_limit(col, n: int, priority_keys: tuple = (),
+              row_mask=None) -> pa.MapArray:
     """At most ``n`` entries per row: priority keys survive first, then
     first-seen order; kept entries keep their ORIGINAL order
-    (func_limit.go:36-47)."""
+    (func_limit.go:36-47). Rows outside ``row_mask`` are left intact."""
     if n < 0:
         raise ValueError(f"limit cannot be negative, got {n}")
     if n < len(priority_keys):
@@ -141,4 +161,5 @@ def map_limit(col, n: int, priority_keys: tuple = ()) -> pa.MapArray:
     rank_sorted = within  # after the stable lexsort, rows are contiguous
     keep = np.zeros(total, dtype=bool)
     keep[order] = rank_sorted < n
+    keep |= ~_row_mask_to_entries(row_mask, lens)  # unselected rows intact
     return _rebuild(lens, keep, keys, items, nulls, col.type)

@@ -175,26 +175,28 @@ def keep_matching_keys(pattern: str) -> Statement:
     return Statement("keep_matching_keys", (pattern,))
 
 
-def map_delete_keys(target: str, pattern: str) -> Statement:
+def map_delete_keys(target: str, pattern: str,
+                    where: str | None = None) -> Statement:
     """OTTL delete_matching_keys over a MAP-TYPED column
     (func_delete_matching_keys.go:36-51): drop map ENTRIES whose key
     matches the regex (the flat-column variant above drops columns)."""
     import re
 
     re.compile(pattern)
-    return Statement("map_delete_keys", (target, pattern))
+    return Statement("map_delete_keys", (target, pattern), where)
 
 
-def map_keep_keys(target: str, pattern: str) -> Statement:
+def map_keep_keys(target: str, pattern: str,
+                  where: str | None = None) -> Statement:
     """OTTL keep_matching_keys over a map-typed column."""
     import re
 
     re.compile(pattern)
-    return Statement("map_keep_keys", (target, pattern))
+    return Statement("map_keep_keys", (target, pattern), where)
 
 
-def map_limit_keys(target: str, limit: int,
-                   priority_keys: tuple = ()) -> Statement:
+def map_limit_keys(target: str, limit: int, priority_keys: tuple = (),
+                   where: str | None = None) -> Statement:
     """OTTL limit over a map-typed column (func_limit.go:36-47): at most
     ``limit`` entries, priority keys first, original order preserved."""
     if limit < 0:
@@ -204,7 +206,8 @@ def map_limit_keys(target: str, limit: int,
             f"limit {limit} cannot be less than the number of priority "
             f"keys {len(priority_keys)}"
         )
-    return Statement("map_limit_keys", (target, limit, tuple(priority_keys)))
+    return Statement("map_limit_keys", (target, limit, tuple(priority_keys)),
+                     where)
 
 
 def append_to(target: str, value=None, values: tuple = ()) -> Statement:
@@ -374,11 +377,14 @@ class Transform:
             i = batch.column_names.index(target)
             col = batch.column(target)
             if ed == "map_delete_keys":
-                new = _maps.map_delete_matching_keys(col, st.args[1])
+                new = _maps.map_delete_matching_keys(col, st.args[1],
+                                                     row_mask=mask)
             elif ed == "map_keep_keys":
-                new = _maps.map_keep_matching_keys(col, st.args[1])
+                new = _maps.map_keep_matching_keys(col, st.args[1],
+                                                   row_mask=mask)
             else:
-                new = _maps.map_limit(col, st.args[1], st.args[2])
+                new = _maps.map_limit(col, st.args[1], st.args[2],
+                                      row_mask=mask)
             return batch.set_column(i, target, new)
 
         if ed == "truncate_all":

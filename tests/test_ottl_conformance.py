@@ -835,3 +835,30 @@ def test_map_column_key_editors():
         [[("et", "error"), ("sev", "17")], [], [], None]
     with pytest.raises(ValueError, match="cannot be less"):
         map_limit(col, 1, ("uid", "et"))
+
+
+def test_map_editors_with_where_condition():
+    """Map editors honor the statement's where: rows outside the mask keep
+    their entries untouched (incl. under limit)."""
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        Transform,
+        map_delete_keys,
+        map_limit_keys,
+    )
+
+    t = pa.table({
+        "kind": ["a", "b"],
+        "attributes": pa.array(
+            [[("s1", "x"), ("k", "1")], [("s2", "y"), ("k", "2")]],
+            pa.map_(pa.string(), pa.string())),
+    })
+    out = Transform([
+        map_delete_keys("attributes", "^s", where='kind == "a"'),
+    ])(t)
+    assert out.column("attributes").to_pylist() == \
+        [[("k", "1")], [("s2", "y"), ("k", "2")]]
+    out2 = Transform([
+        map_limit_keys("attributes", 1, ("k",), where='kind == "b"'),
+    ])(t)
+    assert out2.column("attributes").to_pylist() == \
+        [[("s1", "x"), ("k", "1")], [("k", "2")]]
