@@ -251,6 +251,80 @@ def _decontaminate(ds, bench_parquet: str, bench_text_col: str = "text",
                          text_col=text_col)
 
 
+@register_stage("ring_route")
+def _ring_route(ds, endpoints: list, key: str, out: str = "endpoint"):
+    """Consistent-hash-ring endpoint assignment (round 3)."""
+    from ..stages.route import RingRouter
+
+    return ds.map_batches(RingRouter(list(endpoints), key=key, out=out),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register_stage("map_editors")
+def _map_editors(ds, target: str, statements: list[dict]):
+    """Map-column key editors: [{op: delete|keep|limit, ...}] (round 3)."""
+    from ..stages.transform import (
+        Transform,
+        map_delete_keys,
+        map_keep_keys,
+        map_limit_keys,
+    )
+
+    compiled = []
+    for st in statements:
+        op = st["op"]
+        if op == "delete":
+            compiled.append(map_delete_keys(target, st["pattern"],
+                                            where=st.get("where")))
+        elif op == "keep":
+            compiled.append(map_keep_keys(target, st["pattern"],
+                                          where=st.get("where")))
+        elif op == "limit":
+            compiled.append(map_limit_keys(
+                target, st["limit"], tuple(st.get("priority_keys", ())),
+                where=st.get("where")))
+        else:
+            raise ValueError(f"unknown map editor op {op!r}")
+    return ds.map_batches(Transform(compiled), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register_stage("lang_id_model")
+def _lang_id_model(ds, text_col: str = "text", out: str = "lang_model",
+                   model_path: str | None = None, concurrency=(1, 4)):
+    """Learned language-ID model in an actor pool (round 3)."""
+    from ..stages.textstats import NBCharLangModel
+
+    return ds.map_batches(
+        NBCharLangModel,
+        fn_constructor_kwargs=dict(text_col=text_col, out=out,
+                                   model_path=model_path),
+        batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=1,
+    )
+
+
+@register_stage("cumulative_to_delta")
+def _cum_to_delta(ds, key_col: str, order_cols: list, value_col: str,
+                  out_col: str = "delta_value", time_buckets: int = 8):
+    """Skew-safe bucketed cumulative->delta (round 3)."""
+    from ..stages.window import cumulative_to_delta_bucketed
+
+    return cumulative_to_delta_bucketed(
+        ds, key_col=key_col, order_cols=list(order_cols),
+        value_col=value_col, out_col=out_col, time_buckets=time_buckets)
+
+
+@register_stage("repeated_ngrams")
+def _repeated_ngrams(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8, min_docs: int = 2):
+    """Cross-document duplicated-span counts (round 3)."""
+    from ..stages.tokenstats import repeated_word_ngram_counts
+
+    return repeated_word_ngram_counts(ds, id_col=id_col, text_col=text_col,
+                                      k=k, min_docs=min_docs)
+
+
 @register_stage("dedup")
 def _dedup(ds, key_cols: list[str], order_col: str,
            count_name: str = "log_count", salt: int | None = None):
@@ -286,6 +360,12 @@ def _build_terminal(ds, spec: dict | None):
 
         return multi_agg(ds, keys=spec["keys"], col=spec["col"], ops=spec["ops"],
                          prefix=spec.get("prefix"))
+    if typ == "group_quantiles":
+        from ..stages.quantile import group_quantiles
+
+        return group_quantiles(ds, keys=spec["keys"],
+                               value_col=spec["value_col"], qs=spec["qs"],
+                               prefix=spec.get("prefix", "q"))
     if typ == "exp_histogram":
         from ..stages.expohist import exp_histogram
 

@@ -177,3 +177,43 @@ def test_builder_training_data_stages():
     assert {"overlap", "contaminated"} <= set(out2.columns)
     # the benchmark docs themselves are fully contaminated
     assert out2[out2["doc_id"] < 20]["contaminated"].all()
+
+
+def test_builder_round3_stages():
+    """Config-driven DAG builder drives the round-3 stages: ring routing,
+    map editors, bucketed c2d terminal quantiles."""
+    from opentelemetry_collector_contrib_ray.pipelines.builder import (
+        build_and_run,
+        build_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cfg = {
+        "source": {"type": "parquet", "path": f"{sf}/events.parquet",
+                   "columns": ["event_id", "event_type", "user_id"]},
+        "stages": [
+            {"type": "ring_route", "endpoints": ["c0:4317", "c1:4317"],
+             "key": "user_id"},
+        ],
+        "aggregate": {"type": "count_sum", "keys": ["endpoint"]},
+    }
+    out = build_and_run(cfg).to_pandas()
+    assert set(out["endpoint"]) == {"c0:4317", "c1:4317"}
+    assert out["row_count"].sum() == 1000
+
+    cfg2 = {
+        "source": {"type": "parquet", "path": f"{sf}/events.parquet",
+                   "columns": ["event_type", "value"]},
+        "aggregate": {"type": "group_quantiles", "keys": ["event_type"],
+                      "value_col": "value", "qs": [0.5]},
+    }
+    q = build_and_run(cfg2).to_pandas()
+    assert len(q) == 5 and "q50" in q.columns
+
+    cfg3 = {
+        "source": {"type": "parquet", "path": f"{sf}/documents.parquet",
+                   "columns": ["doc_id", "text"]},
+        "stages": [{"type": "lang_id_model"}],
+    }
+    ds = build_pipeline(cfg3)
+    assert "lang_model" in ds.schema().names
