@@ -172,14 +172,16 @@ class NBCharLangModel:
         counts = np.zeros((self.DIM + 1, len(self.langs)), dtype=np.float64)
         for li, lang in enumerate(self.langs):
             lex = sorted(LANG_MARKERS[lang])
-            for _ in range(sentences_per_lang):
-                words = [
+            sents = [
+                " ".join(
                     lex[rng.integers(len(lex))]
                     + suffixes[rng.integers(len(suffixes))]
                     for _ in range(int(rng.integers(4, 12)))
-                ]
-                h, _, _ = self._featurize([" ".join(words)])
-                np.add.at(counts[:, li], h, 1.0)
+                )
+                for _ in range(sentences_per_lang)
+            ]
+            h, _, _ = self._featurize(sents)  # ONE pass per language
+            np.add.at(counts[:, li], h, 1.0)
         counts = counts[:self.DIM]
         smoothed = counts + 0.5  # Laplace
         logp = np.log(smoothed / smoothed.sum(axis=0, keepdims=True))
