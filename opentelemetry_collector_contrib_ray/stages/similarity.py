@@ -292,6 +292,14 @@ def embedding_near_dups_ivf(
         index.assign_stage(vec_col), batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # the partitioned write emits ~input_blocks files PER CELL — many tiny
+    # input blocks would quadratically inflate the block-pair task count
+    # (measured: 155 blocks for 5k rows -> thousands of pair tasks);
+    # coalesce so each cell lands in O(total/target_block_rows) files
+    n_rows = slim.count()
+    target_block_rows = 100_000
+    assigned = assigned.repartition(
+        max(1, min(256, n_rows // target_block_rows + 1)))
     assigned.write_parquet(index_dir, partition_cols=["cell"])
 
     # per-cell block refs + radii (block mins computed remotely)
