@@ -720,6 +720,29 @@ def q_value_quantiles(sf_dir: str):
                            qs=[0.5, 0.9, 0.99])
 
 
+def q_sliding_window(sf_dir: str):
+    """sliding event-time window counts (1h window, 15min slide) per user —
+    the streaming windowed-aggregate analog (stages/window.py
+    sliding_window_counts): vectorized k-fold window expansion +
+    partial-then-merge count/sum; integer-cents sums for hash
+    stability."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table({"user_id": t.column("user_id"),
+                         "ts": t.column("ts"),
+                         "cents": pa.array(cents, pa.int64())})
+
+    cents_ds = ds.map_batches(to_cents, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return window.sliding_window_counts(
+        cents_ds, key_cols=["user_id"], ts_col="ts",
+        window_s=3600, slide_s=900, sum_cols={"cents": "cents_sum"})
+
+
 def q_approx_value_quantiles(sf_dir: str):
     """sketch quantiles for unbounded-cardinality values: per-block
     exponential-histogram partials merged on the driver
@@ -1318,6 +1341,7 @@ QUERIES = {
     "repeated_ngrams": q_repeated_ngrams,
     "approx_value_quantiles": q_approx_value_quantiles,
     "heavy_hitter_users": q_heavy_hitter_users,
+    "sliding_window": q_sliding_window,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1664,6 +1688,19 @@ ORACLE_SQL = {
                CAST(user_id AS VARCHAR) AS uid_val,
                CAST(NULL AS VARCHAR) AS vx_val
         FROM events
+    """,
+    "sliding_window": """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                          CAST(round(value * 100, 0) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT user_id, t, cents,
+                     unnest(generate_series((t // 900) * 900 - 3 * 900,
+                                            (t // 900) * 900, 900)) AS ws
+              FROM e)
+        SELECT user_id, CAST(ws AS BIGINT) AS window_start,
+               count(*) AS row_count, CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM w WHERE ws > t - 3600
+        GROUP BY user_id, ws
     """,
     "repeated_ngrams": """
         WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

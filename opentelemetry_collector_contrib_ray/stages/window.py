@@ -382,6 +382,59 @@ def sessionize_bucketed(
     return locals_.groupby(key_cols).map_groups(merge, batch_format="pandas")
 
 
+def sliding_window_counts(
+    ds,
+    key_cols: list[str],
+    ts_col: str,
+    window_s: int,
+    slide_s: int,
+    sum_cols: dict[str, str] | None = None,
+    final: str = "driver",
+):
+    """Sliding event-time window counts/sums per key — the streaming
+    windowed-aggregate analog (tumbling = ``slide_s == window_s``; the
+    intervalprocessor's tumbling-last sibling is :func:`last_per_interval`).
+
+    A row at time t belongs to every window start w (a multiple of
+    ``slide_s``, seconds) with ``t - window_s < w <= t`` — at most
+    ``ceil(window_s / slide_s)`` windows. The expansion is one vectorized
+    repeat per batch (k shifted starts + a validity mask, no row loops,
+    no shuffle for the expansion itself); the aggregate is the usual
+    partial-then-merge :func:`~.aggregate.count_sum` over
+    (keys, window_start). Integer-seconds arithmetic throughout, so the
+    DuckDB generate_series oracle reproduces it exactly.
+    """
+    if window_s <= 0 or slide_s <= 0:
+        raise ValueError("window_s and slide_s must be positive")
+    k = -(-window_s // slide_s)  # ceil
+
+    def expand(t: pa.Table) -> pa.Table:
+        col = t.column(ts_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sec = us // 1_000_000
+        n = len(sec)
+        last = (sec // slide_s) * slide_s
+        # (n, k) candidate starts, newest first; mask w > t - window
+        starts = last[:, None] - np.arange(k, dtype=np.int64)[None, :] * slide_s
+        valid = starts > (sec[:, None] - window_s)
+        idx = np.repeat(np.arange(n), k)[valid.reshape(-1)]
+        ws = starts.reshape(-1)[valid.reshape(-1)]
+        out = t.select(key_cols + list((sum_cols or {}).keys())).take(
+            pa.array(idx, pa.int64()))
+        return out.append_column("window_start", pa.array(ws, pa.int64()))
+
+    from .aggregate import count_sum
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    # (key, window_start) cardinality grows with time-range x keys: pass
+    # final="shuffle" at scale (count_sum's high-cardinality path)
+    return count_sum(expanded, keys=key_cols + ["window_start"],
+                     sum_cols=sum_cols, final=final)
+
+
 def last_per_interval(
     ds,
     key_cols: list[str],

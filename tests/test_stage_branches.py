@@ -423,3 +423,36 @@ def test_heavy_hitters_bounds_and_retention():
         assert lo <= true[int(item)] <= hi, (item, lo, true[int(item)], hi)
     reported = {int(i) for i, _, _ in top}
     assert {0, 1, 2}.issubset(reported)  # the heaviest items survive
+
+
+def test_sliding_window_counts_semantics():
+    """Sliding windows: each row lands in exactly ceil(window/slide)
+    windows when far from range edges; tumbling (slide == window) assigns
+    exactly one window; totals conserve row count x multiplicity."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentelemetry_collector_contrib_ray.stages.window import (
+        sliding_window_counts,
+    )
+
+    base = 1_700_000_000
+    ts = pa.array(
+        np.array([base + 100, base + 1000, base + 2000], dtype=np.int64)
+        * 1_000_000, pa.timestamp("us"))
+    t = pa.table({"k": ["a", "a", "b"], "ts": ts,
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    out = sliding_window_counts(
+        ray.data.from_arrow(t), key_cols=["k"], ts_col="ts",
+        window_s=3600, slide_s=900, sum_cols={"v": "v_sum"}).to_pandas()
+    # every row in exactly 4 windows (3600/900)
+    assert out["row_count"].sum() == 3 * 4
+    assert out["v_sum"].sum() == (1 + 2 + 3) * 4
+    # window starts are slide-aligned and within (t-window, t]
+    assert (out["window_start"] % 900 == 0).all()
+
+    tum = sliding_window_counts(
+        ray.data.from_arrow(t), key_cols=["k"], ts_col="ts",
+        window_s=900, slide_s=900).to_pandas()
+    assert tum["row_count"].sum() == 3  # tumbling: one window per row
