@@ -202,13 +202,30 @@ class _BlockPairScorer:
 
 
 def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
-                        concurrency=(1, 8)) -> "ray.data.Dataset":
+                        concurrency=(1, 8),
+                        auto_ivf_threshold: int | None = 100_000
+                        ) -> "ray.data.Dataset":
     """EXACT all (id_a < id_b) pairs with cosine ≥ threshold, distributed.
 
     Block-pair join: driver holds only P object refs; P(P+1)/2 (i, j) tasks
     each matmul two blocks. No corpus broadcast, no driver-side concat —
     driver memory is O(P), task memory is two blocks.
+
+    All-pairs is inherently O(P²) tasks, so above ``auto_ivf_threshold``
+    rows the call routes to :func:`embedding_near_dups_ivf` automatically
+    (same exact semantics — recall 1 by the cell-radius triangle
+    inequality — with O(P²/cells) tasks when the similarity structure is
+    clusterable; VERDICT r2 #2 on the registered query). Pass ``None`` to
+    force plain all-pairs.
     """
+    if auto_ivf_threshold is not None:
+        n_rows = ds.count()
+        if n_rows > auto_ivf_threshold:
+            # ~sqrt(blocks) cells keeps per-cell block counts balanced
+            n_cells = int(max(8, min(256, (n_rows // 100_000) ** 0.5 * 8)))
+            return embedding_near_dups_ivf(
+                ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                n_cells=n_cells, concurrency=concurrency)
     slim = ds.select_columns([id_col, vec_col]).materialize()
     refs = slim.to_arrow_refs()
     P = len(refs)

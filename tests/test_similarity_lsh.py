@@ -188,3 +188,22 @@ def test_ivf_partitioned_build_and_search(tmp_path):
         pads.dataset(os.path.join(idx_dir, d)).count_rows() for d in cells
     )
     assert probed_rows == 500  # all cells together hold the corpus
+
+
+def test_embedding_near_dups_auto_ivf_gate(tmp_path):
+    """Above the size gate the registered exact near-dup routes to the
+    IVF-partitioned variant automatically — same exact pair set."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        embedding_near_dups,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    plain = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                                threshold=0.30,
+                                auto_ivf_threshold=None).to_pandas()
+    gated = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                                threshold=0.30,
+                                auto_ivf_threshold=100).to_pandas()
+    assert set(zip(plain["id_a"], plain["id_b"])) == \
+        set(zip(gated["id_a"], gated["id_b"]))
