@@ -120,6 +120,9 @@ OPERATOR_QUERIES = [
     "value_quantiles",
     "repeated_ngrams",
     "lang_id_model",
+    "sliding_window",
+    "map_editors",
+    "ottl_path_index",
 ]
 
 
