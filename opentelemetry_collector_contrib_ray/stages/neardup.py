@@ -232,6 +232,22 @@ class MinHashSketch:
         )
 
 
+def _as_tables(refs) -> list[pa.Table]:
+    """ray.get block refs -> arrow tables (map_groups(pandas) datasets can
+    hand back raw DataFrame blocks)."""
+    import pandas as _pd
+
+    import ray as _ray
+
+    out = []
+    for b in _ray.get(list(refs)):
+        if isinstance(b, _pd.DataFrame):
+            b = pa.Table.from_pandas(b, preserve_index=False)
+        if b.num_rows:
+            out.append(b)
+    return out
+
+
 def _candidate_pairs(group: pd.DataFrame, id_col: str,
                      max_bucket: int) -> pd.DataFrame:
     n = len(group)
@@ -375,13 +391,29 @@ def minhash_lsh_pairs(
     cands = survivors.groupby(["band", "bucket"]).map_groups(
         lambda g: _candidate_pairs(g, id_col, max_bucket),
         batch_format="pandas",
-    )
-    uniq = cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_nb"))
-    uniq = uniq.drop_columns(["_nb"])
-    # scrub 0-row schema-degraded blocks before the native joins (acero
-    # rejects them; empty candidate sets would otherwise crash the join)
+    ).materialize()
+    # pair dedup (a pair found in k bands appears k times): size-gated —
+    # a driver-side pyarrow group_by below the broadcast gate skips a Ray
+    # groupby's ~1 s fixed cost; the shuffle path handles the huge case
+    import ray as _ray
+    import ray.data as _rd
+
     from .blocks import nonempty_blocks
 
+    if cands.count() <= 4 * broadcast_verify_pairs:
+        tables = _as_tables(cands.to_arrow_refs())
+        cand_tbl = pa.concat_tables(tables) if tables else pa.table(
+            {"id_a": [], "id_b": []})
+        if cand_tbl.num_rows:
+            uniq = _rd.from_arrow(
+                cand_tbl.group_by(["id_a", "id_b"]).aggregate([]))
+        else:
+            uniq = _rd.from_arrow(cand_tbl)
+    else:
+        uniq = cands.groupby(["id_a", "id_b"]).aggregate(
+            Count(alias_name="_nb")).drop_columns(["_nb"])
+    # scrub 0-row schema-degraded blocks before the native joins (acero
+    # rejects them; empty candidate sets would otherwise crash the join)
     uniq = nonempty_blocks(uniq)
     n_pairs = uniq.count()
     if n_pairs == 0:  # all colliding buckets exceeded max_bucket
@@ -720,7 +752,8 @@ def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
 
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3, max_bucket: int = 500):
+                  max_hamming: int = 3, max_bucket: int = 500,
+                  driver_dedup_pairs: int = 1_000_000):
     # task-based: the sketch's state (shift tables, nibble LUT) is tiny and
     # built in microseconds — an actor pool would only add startup latency
     # (CLAUDE.md round-2: consecutive actor pools starve small sessions)
@@ -751,8 +784,26 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     pairs = survivors.groupby(["chunk", "chunk_val"]).map_groups(
         lambda g: _simhash_pairs(g, id_col, max_hamming, max_bucket),
         batch_format="pandas",
-    )
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    ).materialize()
+    # pair dedup: size-gated driver pyarrow group_by vs Ray shuffle groupby
+    # (same trade as minhash_lsh_pairs — pairs are bounded by candidates)
+    import ray as _ray
+    import ray.data as _rd
+
+    if pairs.count() <= driver_dedup_pairs:
+        tables = _as_tables(pairs.to_arrow_refs())
+        if not tables:
+            return _rd.from_arrow(pa.table({
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }))
+        tbl = pa.concat_tables(tables)
+        return _rd.from_arrow(
+            tbl.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+            .rename_columns(["id_a", "id_b", "hamming"]))
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
 
 
 # --- exact n-gram Jaccard verification ---------------------------------------
