@@ -463,6 +463,21 @@ def q_delta_cumsum_bucketed(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "cum_cents"])
 
 
+def q_delta_cumsum_sorted(sf_dir: str):
+    """deltatocumulative, sorted-scan skew-PROOF path (stages/window.py
+    delta_to_cumulative_sorted): distributed sort + block-local vectorized
+    segment scan + O(blocks) driver carry chain — task size bounded by
+    block for ANY key distribution. Same window-sum oracle as the plain
+    and bucketed variants."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    out = window.delta_to_cumulative_sorted(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="cum_cents",
+    )
+    return out.select_columns(["event_id", "user_id", "cum_cents"])
+
+
 def q_cum_to_delta(sf_dir: str):
     """cumulativetodelta: per-stream first difference in time order
     (processor/cumulativetodeltaprocessor internal/tracking/tracker.go;
@@ -1335,6 +1350,7 @@ QUERIES = {
     "embed_neardup_ivf": q_embed_neardup_ivf,
     "ottl_path_index": q_ottl_path_index,
     "cum_to_delta": q_cum_to_delta,
+    "delta_cumsum_sorted": q_delta_cumsum_sorted,
     "lang_id_model": q_lang_id_model,
     "map_editors": q_map_editors,
     "value_quantiles": q_value_quantiles,
@@ -1572,6 +1588,12 @@ ORACLE_SQL = {
         FROM events
     """,
     "delta_cumsum_bucketed": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents
+        FROM events
+    """,
+    "delta_cumsum_sorted": """
         SELECT event_id, user_id,
                CAST(sum(CAST(round(value * 100, 0) AS BIGINT))
                    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS cum_cents

@@ -456,3 +456,46 @@ def test_sliding_window_counts_semantics():
         ray.data.from_arrow(t), key_cols=["k"], ts_col="ts",
         window_s=900, slide_s=900).to_pandas()
     assert tum["row_count"].sum() == 3  # tumbling: one window per row
+
+
+def test_sorted_scan_cumsum_equals_plain_and_survives_hot_key():
+    """delta_to_cumulative_sorted ≡ plain on real data, and the cross-block
+    carry chain is exact when ONE key spans every block (the regime where
+    both the plain and bucketed variants degrade)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import window
+
+    ds = read_table("/root/testdata/sf0.001", "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    plain = window.delta_to_cumulative(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="cum_cents",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    srt = window.delta_to_cumulative_sorted(
+        ds.repartition(16), key_cols=["user_id"],
+        order_cols=["ts", "event_id"], value_col="value",
+        out_col="cum_cents",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        plain["cum_cents"].astype("int64"), srt["cum_cents"].astype("int64"))
+
+    n = 30_000
+    t = pa.table({
+        "k": ["hot"] * n + ["a", "a", "b"],
+        "ts": pa.array(np.concatenate([np.arange(n), [0, 1, 0]]) * 1_000_000,
+                       pa.timestamp("us")),
+        "eid": pa.array(np.arange(n + 3), pa.int64()),
+        "value": pa.array(np.ones(n + 3), pa.float64()),
+    })
+    out = window.delta_to_cumulative_sorted(
+        rd.from_arrow(t).repartition(12), key_cols=["k"],
+        order_cols=["ts", "eid"], value_col="value", out_col="c",
+    ).to_pandas()
+    hot = out[out.k == "hot"].sort_values(["ts", "eid"])
+    assert (hot["c"].to_numpy() == np.arange(1, n + 1) * 100).all()
+    assert sorted(out[out.k != "hot"]["c"].tolist()) == [100, 100, 200]
