@@ -499,3 +499,42 @@ def test_sorted_scan_cumsum_equals_plain_and_survives_hot_key():
     hot = out[out.k == "hot"].sort_values(["ts", "eid"])
     assert (hot["c"].to_numpy() == np.arange(1, n + 1) * 100).all()
     assert sorted(out[out.k != "hot"]["c"].tolist()) == [100, 100, 200]
+
+
+def test_sorted_scan_c2d_equals_plain_and_hot_key():
+    """cumulative_to_delta_sorted ≡ plain (first-row-keeps-value rule)
+    incl. a hot key spanning many blocks (carry = previous block's last
+    value)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.sources.tables import read_table
+    from opentelemetry_collector_contrib_ray.stages import window
+
+    ds = read_table("/root/testdata/sf0.001", "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    plain = window.cumulative_to_delta(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        value_col="value", out_col="dv", auto_bucket_threshold=None,
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    srt = window.cumulative_to_delta_sorted(
+        ds.repartition(16), key_cols=["user_id"],
+        order_cols=["ts", "event_id"], value_col="value", out_col="dv",
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(plain["dv"], srt["dv"], check_exact=True)
+
+    n = 20_000
+    t = pa.table({
+        "k": ["hot"] * n,
+        "ts": pa.array(np.arange(n) * 1_000_000, pa.timestamp("us")),
+        "eid": pa.array(np.arange(n), pa.int64()),
+        "value": pa.array(np.cumsum(np.ones(n)), pa.float64()),  # 1,2,3..
+    })
+    out = window.cumulative_to_delta_sorted(
+        rd.from_arrow(t).repartition(10), key_cols=["k"],
+        order_cols=["ts", "eid"], value_col="value", out_col="dv",
+    ).to_pandas().sort_values(["ts"])
+    dv = out["dv"].to_numpy()
+    assert dv[0] == 1.0 and (dv[1:] == 1.0).all()  # exact deltas everywhere
