@@ -974,10 +974,16 @@ def q_lang_id_model(sf_dir: str):
     from ..stages.textstats import NBCharLangModel
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # actor count scales with the cluster (VERDICT r3 #4 — the old (1, 4)
+    # cap ran ≤4-wide on 32 CPUs); cpus//2 leaves headroom for the read +
+    # downstream aggregate stages so the pool can't starve them
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 4))
     ds = ds.map_batches(
         NBCharLangModel,  # class -> actor pool; fit happens once per actor
         batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, 4), num_cpus=1,
+        concurrency=(1, max(2, cpus // 2)), num_cpus=1,
     )
     return count_sum(ds.select_columns(["lang_model"]), keys=["lang_model"])
 
@@ -1228,6 +1234,47 @@ def q_asof_join(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
 
+def q_asof_join_sorted(sf_dir: str):
+    """skew-PROOF as-of join (stages/asof.py asof_join_sorted, VERDICT r3
+    #2): distributed sort + block-local merge_asof + O(blocks) right-state
+    carry — task size bounded by BLOCK under any key skew. Same DuckDB
+    ASOF oracle as asof_join; the sorted path is forced so the driver
+    pins it at every scale."""
+    from ..stages.asof import asof_join_sorted
+
+    events = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_orderkey", "user_id", "o_orderdate"])
+
+    orders = orders.map_batches(rekey, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    from ray.data.aggregate import Max
+
+    orders = orders.groupby(["user_id", "o_orderdate"]).aggregate(
+        Max("o_orderkey", alias_name="o_orderkey")
+    )
+    out = asof_join_sorted(events, orders, key="user_id", left_ts="ts",
+                           right_ts="o_orderdate", right_cols=["o_orderkey"])
+    return out.select_columns(["event_id", "user_id", "o_orderkey"])
+
+
+def q_session_tag_sorted(sf_dir: str):
+    """skew-PROOF sessionize(agg="tag") (stages/window.py
+    sessionize_tag_sorted, VERDICT r3 #3): every row relabeled with its
+    per-user session id in block-bounded tasks; window-SQL oracle pins the
+    per-row labels exactly."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    out = window.sessionize_tag_sorted(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        ts_col="ts", gap_seconds=1800.0,
+    )
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per event_type — the sketch-merge
     scale path beside the exact distinct_count (stages/sketch.py; no SQL
@@ -1330,67 +1377,17 @@ def q_flagship_from_config(sf_dir: str):
 # never driver-checked in any round); entries rotated past position 50 are
 # r1+r2-driver-green AND re-verified locally by scripts/mirror_gate.py at
 # sf0.01 every round.
+# Driver-window rotation (VERDICT r3 #1): the driver checks the FIRST 50
+# entries each round. Round 4 puts the 24 queries whose latest driver
+# evidence is round 2 in slots 1-24, the two new sorted-scan queries next,
+# and fills the rest with flagship + heavy re-checks — so the union of
+# CORRECTNESS_r03 + r04 covers the whole oracle catalog with evidence no
+# older than one round. Rotated-out queries stay continuously verified by
+# tests/test_queries_oracle.py (sf0.001, every pytest run) and
+# scripts/mirror_gate.py (sf0.01, pre-ship; GRAFT_FULL_GATE=1 pytest runs
+# it too).
 QUERIES = {
-    # --- never / r1-only driver evidence: keep inside the window ---------
-    "approx_distinct_users": q_approx_distinct_users,
-    "lsh_neardup": q_lsh_neardup,
-    "dedup_clusters": q_dedup_clusters,
-    "dedup_docs_salted": q_dedup_docs_salted,
-    "hash_partition_counts": q_hash_partition_counts,
-    "delta_rate": q_delta_rate,
-    "topk_per_source": q_topk_per_source,
-    "anomaly_scores": q_anomaly_scores,
-    "filter_drop_ratio": q_filter_drop_ratio,
-    "grok_parse": q_grok_parse,
-    "distinct_users": q_distinct_users,
-    "error_rate": q_error_rate,
-    "asof_join": q_asof_join,
-    "session_windows": q_session_windows,
-    # --- new in round 3: first driver check this round -------------------
-    "embed_neardup_ivf": q_embed_neardup_ivf,
-    "ottl_path_index": q_ottl_path_index,
-    "cum_to_delta": q_cum_to_delta,
-    "delta_cumsum_sorted": q_delta_cumsum_sorted,
-    "lang_id_model": q_lang_id_model,
-    "map_editors": q_map_editors,
-    "value_quantiles": q_value_quantiles,
-    "repeated_ngrams": q_repeated_ngrams,
-    "approx_value_quantiles": q_approx_value_quantiles,
-    "heavy_hitter_users": q_heavy_hitter_users,
-    "sliding_window": q_sliding_window,
-    # --- flagship + heavy operators: re-checked every round --------------
-    "flagship_from_config": q_flagship_from_config,
-    "flagship_agg": q_flagship_agg,
-    "parse_extract": q_parse_extract,
-    "route_counts": q_route_counts,
-    "enrich_join": q_enrich_join,
-    "filter_errors": q_filter_errors,
-    "transform_statements": q_transform_statements,
-    "tail_sampling_composite": q_tail_sampling_composite,
-    "sampled_events": q_sampled_events,
-    "dedup_docs": q_dedup_docs,
-    "decontaminate": q_decontaminate,
-    "group_by_attrs": q_group_by_attrs,
-    "delta_cumsum": q_delta_cumsum,
-    "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
-    "routing_events": q_routing_events,
-    "topk_sources": q_topk_sources,
-    "token_counts": q_token_counts,
-    "quality_stats": q_quality_stats,
-    "doc_fingerprint": q_doc_fingerprint,
-    "knn_vec0": q_knn_vec0,
-    "embed_neardup": q_embed_neardup,
-    "minhash_pairs": q_minhash_pairs,
-    "simhash_pairs": q_simhash_pairs,
-    "jaccard_verify": q_jaccard_verify,
-    "lang_id": q_lang_id,
-    "token_frequency": q_token_frequency,
-    "pack_conservation": q_pack_conservation,
-    "quality_filter": q_quality_filter,
-    "media_features": q_media_features,
-    "join_orders": q_join_orders,
-    "tail_sampling": q_tail_sampling,
-    # --- rotated past the window: r1+r2 driver-green, mirror-gated -------
+    # --- slots 1-24: last driver evidence = round 2 — refresh now --------
     "severity_map": q_severity_map,
     "severity_full": q_severity_full,
     "time_layouts": q_time_layouts,
@@ -1410,6 +1407,68 @@ QUERIES = {
     "histogram_buckets": q_histogram_buckets,
     "broadcast_join": q_broadcast_join,
     "metrics_label_agg": q_metrics_label_agg,
+    "pack_conservation": q_pack_conservation,
+    "quality_filter": q_quality_filter,
+    "media_features": q_media_features,
+    "join_orders": q_join_orders,
+    "tail_sampling": q_tail_sampling,
+    # --- new in round 4: first driver check this round -------------------
+    "asof_join_sorted": q_asof_join_sorted,
+    "session_tag_sorted": q_session_tag_sorted,
+    # --- flagship + heavy operators: re-checked every round --------------
+    "flagship_from_config": q_flagship_from_config,
+    "flagship_agg": q_flagship_agg,
+    "parse_extract": q_parse_extract,
+    "route_counts": q_route_counts,
+    "enrich_join": q_enrich_join,
+    "filter_errors": q_filter_errors,
+    "transform_statements": q_transform_statements,
+    "dedup_docs": q_dedup_docs,
+    "dedup_clusters": q_dedup_clusters,
+    "decontaminate": q_decontaminate,
+    "group_by_attrs": q_group_by_attrs,
+    "grok_parse": q_grok_parse,
+    "distinct_users": q_distinct_users,
+    "error_rate": q_error_rate,
+    "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
+    "value_quantiles": q_value_quantiles,
+    "delta_cumsum": q_delta_cumsum,
+    "delta_cumsum_sorted": q_delta_cumsum_sorted,
+    "cum_to_delta": q_cum_to_delta,
+    "embed_neardup": q_embed_neardup,
+    "embed_neardup_ivf": q_embed_neardup_ivf,
+    "knn_vec0": q_knn_vec0,
+    "repeated_ngrams": q_repeated_ngrams,
+    # ^-- driver window ends at 50 entries --------------------------------
+    # --- rotated past the window: r3-green (or rows-only), mirror-gated --
+    "approx_distinct_users": q_approx_distinct_users,
+    "lsh_neardup": q_lsh_neardup,
+    "dedup_docs_salted": q_dedup_docs_salted,
+    "hash_partition_counts": q_hash_partition_counts,
+    "delta_rate": q_delta_rate,
+    "topk_per_source": q_topk_per_source,
+    "anomaly_scores": q_anomaly_scores,
+    "filter_drop_ratio": q_filter_drop_ratio,
+    "ottl_path_index": q_ottl_path_index,
+    "lang_id_model": q_lang_id_model,
+    "map_editors": q_map_editors,
+    "approx_value_quantiles": q_approx_value_quantiles,
+    "heavy_hitter_users": q_heavy_hitter_users,
+    "sliding_window": q_sliding_window,
+    "tail_sampling_composite": q_tail_sampling_composite,
+    "sampled_events": q_sampled_events,
+    "delta_cumsum_bucketed": q_delta_cumsum_bucketed,
+    "routing_events": q_routing_events,
+    "topk_sources": q_topk_sources,
+    "token_counts": q_token_counts,
+    "quality_stats": q_quality_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "jaccard_verify": q_jaccard_verify,
+    "lang_id": q_lang_id,
+    "token_frequency": q_token_frequency,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -1857,6 +1916,30 @@ ORACLE_SQL = {
         SELECT e.event_id, e.user_id, o.o_orderkey
         FROM events e
         ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    "asof_join_sorted": """
+        WITH o AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    "session_tag_sorted": """
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM g
     """,
     "error_rate": """
         SELECT user_id, count(*) AS n_total,

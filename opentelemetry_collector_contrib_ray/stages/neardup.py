@@ -816,6 +816,22 @@ def exact_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _pair_jaccards(sets: list, inv: np.ndarray, m: int) -> np.ndarray:
+    """Score m pairs given memoized per-unique-doc shingle sets: pair i is
+    (sets[inv[i]], sets[inv[m+i]]). The loop is bounded by CANDIDATE pairs,
+    and each unique doc's set was built exactly once (VERDICT r3 #5 — the
+    vocabulary trick applied to verification: repeated docs no longer
+    rebuild their shingle set per pair)."""
+    out = np.empty(m, dtype=np.float64)
+    for i in range(m):
+        sa, sb = sets[inv[i]], sets[inv[m + i]]
+        if not sa and not sb:
+            out[i] = 1.0
+        else:
+            out[i] = len(sa & sb) / len(sa | sb)
+    return out
+
+
 def verify_pairs_exact(pairs_table: pa.Table, texts_by_id: dict, n: int = 3,
                        threshold: float = 0.7) -> pa.Table:
     """Exact n-gram Jaccard over candidate pairs (verification join).
@@ -893,14 +909,26 @@ def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
 
         def score_b(t: pa.Table) -> pa.Table:
             ids_set, txt = ray.get(lut_ref)
-            ia = pc.index_in(t.column("id_a"), value_set=ids_set).to_numpy(
-                zero_copy_only=False)
-            ib = pc.index_in(t.column("id_b"), value_set=ids_set).to_numpy(
-                zero_copy_only=False)
-            a = txt.take(pa.array(ia, pa.int64())).to_pylist()
-            b = txt.take(pa.array(ib, pa.int64())).to_pylist()
-            j = np.array([exact_jaccard(x or "", y or "", shingle_n)
-                          for x, y in zip(a, b)])
+            ia_arr = pc.index_in(t.column("id_a"), value_set=ids_set)
+            ib_arr = pc.index_in(t.column("id_b"), value_set=ids_set)
+            # a pair id absent from docs_ds yields a null index; DROP the
+            # pair — exactly what the distributed-join path's inner joins
+            # do, so the two size-gated paths agree (ADVICE r3)
+            valid = pc.and_(pc.is_valid(ia_arr), pc.is_valid(ib_arr))
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
+                ia_arr = ia_arr.filter(valid)
+                ib_arr = ib_arr.filter(valid)
+            ia = ia_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = ib_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+            m = len(ia)
+            # memoize one shingle set per unique doc INDEX in this batch
+            uniq_idx, inv = np.unique(np.concatenate([ia, ib]),
+                                      return_inverse=True)
+            texts_u = txt.take(pa.array(uniq_idx, pa.int64())).to_pylist()
+            sets = [set(_shingle_hashes(x or "", shingle_n).tolist())
+                    for x in texts_u]
+            j = _pair_jaccards(sets, inv, m)
             keep = pa.array(j >= threshold)
             return pa.table({
                 "id_a": t.column("id_a").filter(keep),
@@ -936,8 +964,12 @@ def exact_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
     def score(t: pa.Table) -> pa.Table:
         a = t.column("text_a").to_pylist()
         b = t.column("text_b").to_pylist()
-        j = np.array([exact_jaccard(x or "", y or "", shingle_n)
-                      for x, y in zip(a, b)])
+        # memoize one shingle set per unique text in this batch
+        uniq, inv = np.unique(
+            np.array([x or "" for x in a + b], dtype=object),
+            return_inverse=True)
+        sets = [set(_shingle_hashes(x, shingle_n).tolist()) for x in uniq]
+        j = _pair_jaccards(sets, inv, len(a))
         keep = pa.array(j >= threshold)
         return pa.table({
             "id_a": t.column("id_a").filter(keep),

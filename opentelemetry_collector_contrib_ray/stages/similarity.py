@@ -296,7 +296,12 @@ def embedding_near_dups_ivf(
 
     import ray.data as rd
 
-    if index_dir is None:
+    # caller-provided index_dir is RETAINED (resumable index layout, like
+    # ivf_build); an auto-created temp dir is removed once every cell's
+    # blocks are pinned in the object store (ADVICE r3: repeated calls were
+    # leaking /tmp disk)
+    own_index_dir = index_dir is None
+    if own_index_dir:
         index_dir = tempfile.mkdtemp(prefix="ivf_neardup_", dir="/tmp")
 
     slim = ds.select_columns([id_col, vec_col])
@@ -337,6 +342,13 @@ def embedding_near_dups_ivf(
         cell_block_idx[c] = list(range(len(all_refs), len(all_refs) + len(refs)))
         radius_futs[c] = [_block_min_cos.remote(r, C[c], vec_col) for r in refs]
         all_refs.extend(refs)
+
+    if own_index_dir:
+        # all cell blocks are now object-store refs (to_arrow_refs executed
+        # the reads); the Parquet copy is no longer needed
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
 
     theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
     radius = {c: float(np.arccos(np.clip(min(ray.get(futs)), -1.0, 1.0)))

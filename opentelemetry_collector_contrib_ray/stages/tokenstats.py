@@ -223,14 +223,14 @@ def repeated_ngram_counts(ds, id_col: str = "doc_id",
 
     from .neardup import prefilter_hot_groups
 
+    if k % 2:  # validate BEFORE any dataset work (ADVICE r3)
+        raise ValueError("k must be even (gram bytes must be 8-aligned)")
+    n_words = (k * 4) // 8
+
     pairs = ds.map_batches(
         _GramDocPairs(id_col, tokens_col, k),
         batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
-
-    if k % 2:
-        raise ValueError("k must be even (gram bytes must be 8-aligned)")
-    n_words = (k * 4) // 8
 
     def combine(t: pa.Table):
         from ..functions.hashing import FNV64_PRIME

@@ -80,3 +80,46 @@ def test_jaccard_verify_join_path_matches_golden():
         broadcast_verify_pairs=0,
     ).to_pandas()
     assert sorted(zip(out["id_a"], out["id_b"])) == GOLDEN_MINHASH_PAIRS
+
+
+def test_prefilter_hot_groups_collision_only_readmits():
+    """Adversarial pin of the int64-combine collision invariant
+    (VERDICT r3 #7, neardup.py prefilter_hot_groups): combine_fn encodes
+    key cols to one int64 for the broadcast membership probe; a COLLISION
+    between a hot group's code and a cold group's code may only RE-ADMIT
+    the cold rows — it can never drop rows of a qualifying group. Safe
+    because every downstream pair-generation groupby keys on the TRUE
+    columns, so a re-admitted singleton group emits no pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        prefilter_hot_groups,
+    )
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "g": pa.array([10, 10, 20, 30], pa.int64()),
+    })
+
+    def collide_20_into_10(tbl: pa.Table) -> np.ndarray:
+        g = tbl.column("g").to_numpy(zero_copy_only=False)
+        return np.where(g == 20, 10, g).astype(np.int64)
+
+    out = prefilter_hot_groups(
+        rd.from_arrow(t).repartition(2), ["g"], collide_20_into_10,
+        min_size=2)
+    ids = sorted(out.to_pandas()["id"].tolist())
+    # hot group 10 fully kept; cold group 20 RE-ADMITTED by the forced
+    # collision; non-colliding cold group 30 filtered out
+    assert ids == [1, 2, 3]
+
+    # worst case: every group collides into one code -> everything is
+    # re-admitted, nothing is lost
+    def constant(tbl: pa.Table) -> np.ndarray:
+        return np.zeros(tbl.num_rows, dtype=np.int64)
+
+    out2 = prefilter_hot_groups(
+        rd.from_arrow(t).repartition(2), ["g"], constant, min_size=2)
+    assert sorted(out2.to_pandas()["id"].tolist()) == [1, 2, 3, 4]
