@@ -103,6 +103,7 @@ def run_resumable(
     chain_desc: str,
     extra_partition_cols: list[str] | None = None,
     run_ts: float | None = None,
+    wave_size: int | None = None,
 ) -> dict:
     """Run ``pipeline_fn(ds) -> ds`` over input shards with shard-level resume.
 
@@ -110,6 +111,16 @@ def run_resumable(
     preserve it.  Output is written to ``out_dir`` partitioned by
     ``["shard"] + extra_partition_cols``.  Returns a summary dict with
     ``processed`` / ``skipped`` shard lists and per-shard row counts.
+
+    ``wave_size`` bounds the CHECKPOINT granularity under a mid-run kill:
+    ``None`` runs all remaining shards as one streaming job and commits
+    every manifest at the end (max pipelining, but a kill loses the whole
+    submission); an integer processes remaining shards in waves of that
+    many, committing manifests after each wave — a killed job keeps every
+    completed wave, so resubmission reprocesses only the unfinished tail
+    (verified with a real SIGKILL by scripts/resume_check.py). Each wave
+    is still one streaming Dataset job over many shards; pick wave_size ≫
+    cluster cores / blocks-per-shard so intra-wave pipelining stays full.
     """
     manifest = Manifest(out_dir)
     chash = chain_hash(chain_desc)
@@ -119,14 +130,20 @@ def run_resumable(
     for p in input_paths:
         (skipped if manifest.is_complete(id_by_path[p], chash) else remaining).append(p)
 
-    if remaining:
-        # partial outputs from a killed run are deleted before reprocessing
-        for p in remaining:
-            shard_dir = os.path.join(out_dir, f"shard={id_by_path[p]}")
-            if os.path.exists(shard_dir):
-                shutil.rmtree(shard_dir)
+    # partial outputs from a killed run are deleted before reprocessing
+    for p in remaining:
+        shard_dir = os.path.join(out_dir, f"shard={id_by_path[p]}")
+        if os.path.exists(shard_dir):
+            shutil.rmtree(shard_dir)
 
-        ds = ray.data.read_parquet(remaining, include_paths=True)
+    waves = ([remaining] if not remaining or wave_size is None
+             else [remaining[i:i + wave_size]
+                   for i in range(0, len(remaining), wave_size)])
+
+    for wave in waves:
+        if not wave:
+            continue
+        ds = ray.data.read_parquet(wave, include_paths=True)
         ds = ds.map_batches(
             AddShardColumn(id_by_path), batch_format="pyarrow", zero_copy_batch=True
         )
@@ -136,10 +153,10 @@ def run_resumable(
         )
 
         rows_in = {
-            id_by_path[p]: pq.read_metadata(p).num_rows for p in remaining
+            id_by_path[p]: pq.read_metadata(p).num_rows for p in wave
         }
         ts = run_ts if run_ts is not None else time.time()
-        for p in remaining:
+        for p in wave:
             sid = id_by_path[p]
             rows_out = _count_output_rows(os.path.join(out_dir, f"shard={sid}"))
             manifest.write(

@@ -74,6 +74,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--out", required=True, help="output directory")
     ap.add_argument("--shards", type=int, default=8,
                     help="corpus shard count for --sf synthesis")
+    ap.add_argument("--wave-size", type=int, default=None,
+                    help="commit lineage manifests every N shards so a "
+                    "killed job keeps completed waves (default: one wave)")
     args = ap.parse_args(argv)
 
     import ray
@@ -111,7 +114,7 @@ def main(argv: list[str] | None = None) -> dict:
 
     summary = run_resumable(
         paths, args.out, build_pipeline, CHAIN_DESC,
-        extra_partition_cols=["sink"],
+        extra_partition_cols=["sink"], wave_size=args.wave_size,
     )
 
     # per-sink aggregate over the full (old + new) partitioned output
