@@ -163,3 +163,27 @@ def map_limit(col, n: int, priority_keys: tuple = (),
     keep[order] = rank_sorted < n
     keep |= ~_row_mask_to_entries(row_mask, lens)  # unselected rows intact
     return _rebuild(lens, keep, keys, items, nulls, col.type)
+
+
+def map_rename_keys(col, mapping: dict[str, str], row_mask=None):
+    """Rename entry KEYS per ``mapping`` (old -> new), vectorized over the
+    flat key child: one ``index_in`` + ``take`` + ``if_else`` per call, no
+    row loop. Entries whose key is absent from ``mapping`` — and every
+    entry of rows outside ``row_mask`` — are untouched. This is the
+    schemaprocessor's attribute-rename Migrator applied to a map column
+    (processor/schemaprocessor/internal/migrate/attributes.go semantics:
+    a plain old->new key substitution, values untouched)."""
+    col, lens, keys, items, nulls = _map_parts(col)
+    if not mapping or int(lens.sum()) == 0:
+        return col
+    old = pa.array(list(mapping.keys())).cast(keys.type)
+    new = pa.array(list(mapping.values())).cast(keys.type)
+    repl = pc.take(new, pc.index_in(keys, value_set=old))
+    cond = pc.is_valid(repl)
+    sel = _row_mask_to_entries(row_mask, lens)
+    if not sel.all():
+        cond = pc.and_(cond, pa.array(sel))
+    new_keys = pc.if_else(cond, repl, keys)
+    # identity keep-mask: same offsets, nulls re-injected by _rebuild
+    return _rebuild(lens, np.ones(len(new_keys), dtype=bool), new_keys,
+                    items, nulls, col.type)

@@ -146,6 +146,22 @@ def _select(ds, columns: list[str]):
     return ds.select_columns(columns)
 
 
+@register_stage("schema_translate")
+def _schema_translate(ds, schema: dict, target: str, signal: str = "logs",
+                      version_col: str = "schema_url",
+                      map_cols: list[str] = ("attributes",),
+                      flat_cols: bool = False,
+                      metric_name_col: str | None = None):
+    from ..stages.schema import SchemaTransform, SchemaTranslator
+
+    stage = SchemaTransform(SchemaTranslator(schema, target), signal=signal,
+                            version_col=version_col,
+                            map_cols=tuple(map_cols), flat_cols=flat_cols,
+                            metric_name_col=metric_name_col)
+    return ds.map_batches(stage, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 @register_stage("severity_parse")
 def _severity_parse(ds, parse_from: str, preset: str = "default",
                     mapping: dict | None = None,

@@ -834,6 +834,76 @@ def q_map_editors(sf_dir: str):
                               zero_copy_batch=True)
 
 
+SCHEMA_DEF = {
+    "family": "https://example.com/schemas",
+    "versions": {
+        "1.0.0": {},
+        "1.1.0": {"logs": [{"rename_attributes": {"et": "event.type"}}]},
+        "1.2.0": {"all": [{"rename_attributes": {"uid": "user.id"}}],
+                  "metrics": [{"rename_metrics": {"lat": "http.lat"}}]},
+    },
+}
+_SCHEMA_FAM = "https://example.com/schemas/"
+
+
+def q_schema_translate(sf_dir: str):
+    """schemaprocessor (§2.6): semantic-convention version translation.
+    Rows carry one of three schema versions (derived from event_id % 3)
+    with version-NATIVE attribute keys; the stage walks each row's
+    version chain to the 1.2.0 target — 1.0.0 rows compose two revisions
+    (et→event.type then uid→user.id), 1.1.0 rows one, 1.2.0 rows pass as
+    NoChange — and stamps schema_url (processor/schemaprocessor/internal/
+    translation/translation.go:174-209,300-337). One vectorized
+    map_rename_keys pass per distinct version per batch."""
+    from ..functions.expr import compile_value
+    from ..stages.schema import SchemaTransform, SchemaTranslator
+
+    tr = SchemaTranslator(SCHEMA_DEF, "1.2.0")
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        code = eid % 3
+        vers = np.array([_SCHEMA_FAM + "1.0.0", _SCHEMA_FAM + "1.1.0",
+                         _SCHEMA_FAM + "1.2.0"])[code]
+        # version-NATIVE keys: 1.0.0 rows still say et/uid, 1.1.0 rows
+        # already renamed et, 1.2.0 rows carry both target names
+        k_et = np.where(code == 0, "et", "event.type")
+        k_uid = np.where(code == 2, "user.id", "uid")
+        keys = pa.array(np.stack([k_et, k_uid], axis=1).ravel(),
+                        pa.string())
+        et = t.column("event_type").cast(pa.string()).combine_chunks()
+        uid = t.column("user_id").cast(pa.string()).combine_chunks()
+        perm = np.empty(2 * n, dtype=np.int64)
+        perm[0::2] = np.arange(n)
+        perm[1::2] = np.arange(n) + n
+        items = pa.concat_arrays([et, uid]).take(pa.array(perm))
+        offsets = pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32),
+                           pa.int32())
+        attrs = pa.MapArray.from_arrays(offsets, keys, items)
+        return pa.table({"event_id": t.column("event_id"),
+                         "schema_url": pa.array(vers, pa.string()),
+                         "attributes": attrs})
+
+    out = ds.map_batches(fixture, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        SchemaTransform(tr, signal="logs", map_cols=("attributes",)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    v_et = compile_value('attributes["event.type"]')
+    v_uid = compile_value('attributes["user.id"]')
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t.column("event_id"),
+                         "etype": v_et(t), "uid": v_uid(t),
+                         "schema_url": t.column("schema_url")})
+
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_embed_neardup_ivf(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.30) — EXACT via the
     IVF-cell-partitioned block-pair join (stages/similarity.py
@@ -1415,6 +1485,7 @@ QUERIES = {
     # --- new in round 4: first driver check this round -------------------
     "asof_join_sorted": q_asof_join_sorted,
     "session_tag_sorted": q_session_tag_sorted,
+    "schema_translate": q_schema_translate,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1439,9 +1510,9 @@ QUERIES = {
     "embed_neardup": q_embed_neardup,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     "knn_vec0": q_knn_vec0,
-    "repeated_ngrams": q_repeated_ngrams,
     # ^-- driver window ends at 50 entries --------------------------------
     # --- rotated past the window: r3-green (or rows-only), mirror-gated --
+    "repeated_ngrams": q_repeated_ngrams,
     "approx_distinct_users": q_approx_distinct_users,
     "lsh_neardup": q_lsh_neardup,
     "dedup_docs_salted": q_dedup_docs_salted,
@@ -1768,6 +1839,12 @@ ORACLE_SQL = {
         SELECT event_id, event_type AS et_val,
                CAST(user_id AS VARCHAR) AS uid_val,
                CAST(NULL AS VARCHAR) AS vx_val
+        FROM events
+    """,
+    "schema_translate": """
+        SELECT event_id, event_type AS etype,
+               CAST(user_id AS VARCHAR) AS uid,
+               'https://example.com/schemas/1.2.0' AS schema_url
         FROM events
     """,
     "sliding_window": """
