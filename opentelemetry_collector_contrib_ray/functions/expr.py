@@ -253,7 +253,15 @@ class _Parser:
         raise ValueError(f"unexpected token {t.kind} in {self.text!r}")
 
     def _postfix(self, node):
-        """Chained path indexes: attributes["k"], body[0], attrs["a"][0]."""
+        """Chained path indexes: attributes["k"], body[0], attrs["a"][0].
+
+        ``cache["k"]`` compiles to the flat scratch column ``cache.k`` —
+        the OTTL per-record scratch map (pkg/ottl/contexts/ottllog/
+        log.go:182 ``cache`` path) in this engine's column model. The
+        columns exist only inside a Transform statement sequence
+        (stages/transform.py drops the ``cache.*`` namespace at batch
+        end); reading a never-written cache key is nil, like any missing
+        column."""
         while self.peek().kind == "lbrack":
             self.next()
             key = self.literal()
@@ -262,7 +270,10 @@ class _Parser:
                     f"path index must be a string or int literal in {self.text!r}"
                 )
             self.expect("rbrack")
-            node = ("index", node, key)
+            if node == ("col", "cache") and isinstance(key, str):
+                node = ("col", f"cache.{key}")
+            else:
+                node = ("index", node, key)
         return node
 
     def literal(self):

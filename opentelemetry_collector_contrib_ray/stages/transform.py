@@ -21,6 +21,7 @@ is one ``pc.if_else`` merge — never a row loop.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -85,8 +86,18 @@ class Statement:
             self._cond = compile_condition(self.where)
 
 
+_CACHE_TARGET_RE = re.compile(r'^cache\[\s*"([^"]+)"\s*\]$')
+
+
+def _norm_target(name: str) -> str:
+    """``cache["k"]`` as a SET target -> the scratch column ``cache.k``
+    (the OTTL per-record cache path; see functions/expr.py _postfix)."""
+    m = _CACHE_TARGET_RE.match(name)
+    return f"cache.{m.group(1)}" if m else name
+
+
 def set_(target: str, value, where: str | None = None) -> Statement:
-    return Statement("set", (target, value), where)
+    return Statement("set", (_norm_target(target), value), where)
 
 
 def delete_keys(*cols: str, where: str | None = None) -> Statement:
@@ -335,6 +346,14 @@ class Transform:
                         "statement %s failed (%s); continuing (error_mode="
                         "ignore)", st.editor, e
                     )
+        # the OTTL scratch cache lives only for the statement sequence
+        # (ottllog/log.go:182): set_('cache["k"]', ...) writes cache.k,
+        # later statements read it, nothing leaves the stage — the
+        # cache.* column namespace is reserved for this
+        scratch = [c for c in batch.column_names
+                   if c == "cache" or c.startswith("cache.")]
+        if scratch:
+            batch = batch.drop_columns(scratch)
         return batch
 
     def _apply(self, batch: pa.Table, st: Statement) -> pa.Table:

@@ -862,3 +862,51 @@ def test_map_editors_with_where_condition():
     ])(t)
     assert out2.column("attributes").to_pylist() == \
         [[("s1", "x"), ("k", "1")], [("k", "2")]]
+
+
+class TestCachePath:
+    """OTTL per-record scratch cache (ottllog/log.go:182): cache["k"]
+    compiles to the cache.k scratch column; the namespace never leaves a
+    Transform."""
+
+    def _t(self):
+        return pa.table({"body": ["x", "y"], "n": [1, 10]})
+
+    def test_cache_write_read_and_drop(self):
+        from opentelemetry_collector_contrib_ray.functions.expr import (
+            compile_value,
+        )
+        from opentelemetry_collector_contrib_ray.stages.transform import (
+            Transform,
+            set_,
+        )
+
+        out = Transform([
+            set_('cache["v"]', compile_value("n + n")),
+            set_("doubled", compile_value('cache["v"]')),
+            set_("big", True, where='cache["v"] >= 20'),
+        ])(self._t())
+        assert out.column("doubled").to_pylist() == [2, 20]
+        assert out.column("big").to_pylist() == [None, True]
+        assert not any(c.startswith("cache") for c in out.column_names)
+
+    def test_unwritten_cache_key_reads_nil(self):
+        from opentelemetry_collector_contrib_ray.functions.expr import (
+            compile_value,
+        )
+        from opentelemetry_collector_contrib_ray.stages.transform import (
+            Transform,
+            set_,
+        )
+
+        out = Transform([set_("x", compile_value('cache["never"]'))])(
+            self._t())
+        assert out.column("x").to_pylist() == [None, None]
+
+    def test_cache_condition_on_missing_key_matches_nothing(self):
+        from opentelemetry_collector_contrib_ray.functions.expr import (
+            compile_condition,
+        )
+
+        mask = compile_condition('cache["never"] == "x"')(self._t())
+        assert mask.to_pylist() == [False, False]
