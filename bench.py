@@ -123,6 +123,11 @@ OPERATOR_QUERIES = [
     "sliding_window",
     "map_editors",
     "ottl_path_index",
+    # round-4 additions
+    "asof_join_sorted",
+    "session_tag_sorted",
+    "schema_translate",
+    "ottl_cache",
 ]
 
 

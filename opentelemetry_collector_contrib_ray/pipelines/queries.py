@@ -1317,15 +1317,13 @@ def q_asof_join(sf_dir: str):
         )
 
     orders = orders.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
-    # dedupe right side to one row per (key, ts) so as-of ties are
-    # deterministic on both sides (keep max orderkey)
-    from ray.data.aggregate import Max
-
-    orders = orders.groupby(["user_id", "o_orderdate"]).aggregate(
-        Max("o_orderkey", alias_name="o_orderkey")
-    )
+    # as-of ties (several orders on the matched date) resolve to max
+    # orderkey via the sort-order tiebreak — same answer as the SQL
+    # oracle's max() pre-aggregate, without its groupby shuffle (r4: the
+    # Max pre-agg over ~all-unique (user, date) keys cost 5.7 s at sf0.1)
     out = asof_join(events, orders, key="user_id", left_ts="ts",
-                    right_ts="o_orderdate", right_cols=["o_orderkey"])
+                    right_ts="o_orderdate", right_cols=["o_orderkey"],
+                    right_tiebreak="o_orderkey")
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
 
@@ -1347,13 +1345,10 @@ def q_asof_join_sorted(sf_dir: str):
 
     orders = orders.map_batches(rekey, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    from ray.data.aggregate import Max
-
-    orders = orders.groupby(["user_id", "o_orderdate"]).aggregate(
-        Max("o_orderkey", alias_name="o_orderkey")
-    )
     out = asof_join_sorted(events, orders, key="user_id", left_ts="ts",
-                           right_ts="o_orderdate", right_cols=["o_orderkey"])
+                           right_ts="o_orderdate",
+                           right_cols=["o_orderkey"],
+                           right_tiebreak="o_orderkey")
     return out.select_columns(["event_id", "user_id", "o_orderkey"])
 
 

@@ -643,3 +643,52 @@ def test_sessionize_tag_sorted_equals_plain_and_hot_key():
     hot = out[out.k == "hot"].sort_values("eid")
     assert (hot["session_id"].to_numpy() == np.arange(n) // 997).all()
     assert sorted(out[out.k == "b"]["session_id"].tolist()) == [0, 1]
+
+
+def test_asof_right_tiebreak_max_semantics_across_blocks():
+    """right_tiebreak: among right rows sharing (key, ts), the greatest
+    tiebreak value wins in BOTH paths — equivalent to a max() pre-
+    aggregate without its shuffle (r4 perf fix) — including when the tied
+    rows straddle block boundaries of the sorted path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.asof import (
+        asof_join,
+        asof_join_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    n_l, n_r = 4000, 3000
+    left = pa.table({
+        "eid": pa.array(np.arange(n_l), pa.int64()),
+        "k": pa.array(rng.integers(0, 5, n_l), pa.int64()),
+        "lts": pa.array(rng.integers(0, 50, n_l), pa.int64()),
+    })
+    # many duplicate (k, ts) right rows with distinct tiebreak values
+    right = pa.table({
+        "k": pa.array(rng.integers(0, 5, n_r), pa.int64()),
+        "rts": pa.array(rng.integers(0, 50, n_r), pa.int64()),
+        "rv": pa.array(rng.permutation(n_r), pa.int64()),
+    })
+    kw = dict(key="k", left_ts="lts", right_ts="rts", right_cols=["rv"],
+              right_tiebreak="rv")
+    plain = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                      auto_sorted_threshold=None, **kw
+                      ).to_pandas().sort_values("eid").reset_index(drop=True)
+    srt = asof_join_sorted(rd.from_arrow(left).repartition(16),
+                           rd.from_arrow(right).repartition(16), **kw
+                           ).to_pandas().sort_values("eid").reset_index(drop=True)
+    # reference: dedupe right to max rv per (k, ts), then backward asof
+    ldf = left.to_pandas().sort_values("lts", kind="mergesort")
+    rdf = (right.to_pandas().groupby(["k", "rts"], as_index=False)["rv"]
+           .max().sort_values("rts", kind="mergesort"))
+    ref = pd.merge_asof(ldf, rdf, left_on="lts", right_on="rts", by="k",
+                        direction="backward").sort_values(
+        "eid").reset_index(drop=True)
+    for got, name in ((plain, "plain"), (srt, "sorted")):
+        pd.testing.assert_series_equal(
+            got["rv"].astype("float64"), ref["rv"].astype("float64"),
+            check_names=False), name
+    assert len(plain) == len(srt) == n_l
