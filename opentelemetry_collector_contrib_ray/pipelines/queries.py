@@ -1066,20 +1066,14 @@ def q_lang_id_model(sf_dir: str):
     ``map_batches(Cls, concurrency=...)``, the canonical stateful-stage
     shape. No SQL oracle: learned-model scores aren't SQL-expressible;
     determinism + held-out accuracy are pytest-gated instead."""
-    from ..stages.textstats import NBCharLangModel
+    from ..stages.textstats import lang_id_model_stage
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    # actor count scales with the cluster (VERDICT r3 #4 — the old (1, 4)
-    # cap ran ≤4-wide on 32 CPUs); cpus//2 leaves headroom for the read +
-    # downstream aggregate stages so the pool can't starve them
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 4))
-    ds = ds.map_batches(
-        NBCharLangModel,  # class -> actor pool; fit happens once per actor
-        batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=(1, max(2, cpus // 2)), num_cpus=1,
-    )
+    # size-gated execution: task-based (driver fit, no actor spin-up)
+    # below 100k rows, cluster-scaled actor pool above (VERDICT r3 #4 +
+    # r4 measurement: pool spin-up ~2 s dwarfed the 0.5 s inference at
+    # bench scale)
+    ds = lang_id_model_stage(ds)
     return count_sum(ds.select_columns(["lang_model"]), keys=["lang_model"])
 
 
