@@ -834,6 +834,18 @@ def q_map_editors(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_tfidf_terms(sf_dir: str):
+    """keyword extraction / TF-IDF core (stages/tfidf.py): per-doc top-5
+    terms by (tf DESC, term ASC) + corpus document frequency. All-integer
+    output so the SQL window-function oracle hash-matches exactly; tf and
+    per-doc selection are block-local (zero shuffle), df is a
+    vocab-bounded size-gated merge + bounded broadcast."""
+    from ..stages.tfidf import top_terms_per_doc
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return top_terms_per_doc(ds, k=5)
+
+
 def q_ottl_cache(sf_dir: str):
     """OTTL scratch ``cache`` path (pkg/ottl/contexts/ottllog/log.go:182;
     VERDICT r3 missing #5): a statement sequence writes cache["uid2"],
@@ -1501,6 +1513,7 @@ QUERIES = {
     "session_tag_sorted": q_session_tag_sorted,
     "schema_translate": q_schema_translate,
     "ottl_cache": q_ottl_cache,
+    "tfidf_terms": q_tfidf_terms,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1523,8 +1536,8 @@ QUERIES = {
     "delta_cumsum_sorted": q_delta_cumsum_sorted,
     "cum_to_delta": q_cum_to_delta,
     "embed_neardup_ivf": q_embed_neardup_ivf,
-    "knn_vec0": q_knn_vec0,
     # ^-- driver window ends at 50 entries --------------------------------
+    "knn_vec0": q_knn_vec0,
     # --- rotated past the window: r3-green (or rows-only), mirror-gated --
     # (embed_neardup shares embed_neardup_ivf's all-pairs oracle, which
     # stays in-window; repeated_ngrams is r3-green)
@@ -1868,6 +1881,21 @@ ORACLE_SQL = {
         SELECT event_id, user_id + user_id AS uid2x,
                CASE WHEN user_id + user_id > 20 THEN 'hot' END AS tag
         FROM events
+    """,
+    "tfidf_terms": """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+               WHERE term <> '' GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w
+               WHERE term <> '' GROUP BY 1),
+        ranked AS (SELECT doc_id, term, tf,
+                          row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY tf DESC, term ASC)
+                              AS rn
+                   FROM tf)
+        SELECT r.doc_id, r.term, r.tf, d.df
+        FROM ranked r JOIN df d USING (term) WHERE rn <= 5
     """,
     "sliding_window": """
         WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,

@@ -692,3 +692,33 @@ def test_asof_right_tiebreak_max_semantics_across_blocks():
             got["rv"].astype("float64"), ref["rv"].astype("float64"),
             check_names=False), name
     assert len(plain) == len(srt) == n_l
+
+
+def test_tfidf_top_terms_both_df_paths_and_edges():
+    """top_terms_per_doc: driver-merge ≡ shuffle-final df paths; empty
+    docs, consecutive separators, tf/term tie ranking (tf DESC, term
+    ASC), and k > distinct terms."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.tfidf import (
+        top_terms_per_doc,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["b a a  c b", "a a  b", "", "z z z q"],
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    for gate in (5_000_000, 0):  # driver merge vs hash-shuffle final
+        out = top_terms_per_doc(ds, k=2, df_driver_gate=gate).to_pandas()
+        out = out.sort_values(["doc_id", "tf", "term"],
+                              ascending=[True, False, True],
+                              ignore_index=True)
+        rows = list(map(tuple, out.itertuples(index=False)))
+        # doc1: a(tf2) then b(tf2) — tf tie broken by term ASC; c dropped
+        # doc3 is empty -> no rows; doc4: z(3), q(1)
+        assert rows == [
+            (1, "a", 2, 2), (1, "b", 2, 2),
+            (2, "a", 2, 2), (2, "b", 1, 2),
+            (4, "z", 3, 1), (4, "q", 1, 1),
+        ], (gate, rows)
