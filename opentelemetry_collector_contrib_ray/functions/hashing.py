@@ -103,3 +103,19 @@ VOCAB_SIZE = 50257  # GPT-2-ish vocab size for synthetic token ids
 def token_id(word: str) -> int:
     """Deterministic token id for a word (corpus synthesis)."""
     return fnv1a32(word) % VOCAB_SIZE
+
+
+def md5_2x64_many(strings) -> tuple[np.ndarray, np.ndarray]:
+    """BOTH 64-bit halves of md5 per string -> (h1, h2) uint64 arrays —
+    one digest pass yields two independent hash streams (the double-
+    hashing pair for Bloom filters: bit_i = (h1 + i*h2) mod m). h1 is
+    identical to :func:`md5_u64_many`; nulls hash as ""."""
+    md5 = hashlib.md5
+    empty = b""
+    buf = b"".join(
+        md5(s.encode("utf-8") if s is not None else empty).digest()
+        for s in strings
+    )
+    both = np.frombuffer(buf, dtype="<u8")
+    return (both[0::2].astype(np.uint64, copy=False),
+            both[1::2].astype(np.uint64, copy=False))

@@ -421,6 +421,32 @@ def q_decontaminate(sf_dir: str):
     return flagged.select_columns(["doc_id", "overlap"])
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """benchmark decontamination, Bloom scale path: fixed-size bitmap
+    broadcast + exact verify join (stages/decontaminate.py
+    decontaminate_bloom) — bit-identical flagged set to q_decontaminate,
+    same DuckDB oracle, for benchmark suites whose gram set is too large
+    to broadcast as strings."""
+    import pyarrow.parquet as pq
+
+    from ..stages.decontaminate import decontaminate_bloom
+
+    bench = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"],
+                          filters=[("doc_id", "<", 20)]).column("text")
+    if isinstance(bench, pa.ChunkedArray):
+        bench = bench.combine_chunks()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = decontaminate_bloom(ds, bench, n=3, min_overlap=3,
+                              id_col="doc_id")
+    flagged = out.map_batches(
+        lambda t: t.filter(
+            pa.compute.greater_equal(t.column("doc_id"), 20)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return flagged.select_columns(["doc_id", "overlap"])
+
+
 def q_dedup_docs(sf_dir: str):
     """logdedup: one row per distinct content key + count + first/last (§2.7)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1525,6 +1551,7 @@ QUERIES = {
     "dedup_docs": q_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
     "distinct_users": q_distinct_users,
@@ -1534,9 +1561,11 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "delta_cumsum": q_delta_cumsum,
     "delta_cumsum_sorted": q_delta_cumsum_sorted,
-    "cum_to_delta": q_cum_to_delta,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     # ^-- driver window ends at 50 entries --------------------------------
+    # (cum_to_delta rotated out to make room for decontaminate_bloom:
+    # r3-green + bucketed≡plain≡sorted property tests keep it covered)
+    "cum_to_delta": q_cum_to_delta,
     "knn_vec0": q_knn_vec0,
     # --- rotated past the window: r3-green (or rows-only), mirror-gated --
     # (embed_neardup shares embed_neardup_ivf's all-pairs oracle, which
@@ -2098,6 +2127,10 @@ ORACLE_SQL = {
         FROM marked GROUP BY user_id, grp
     """,
 }
+
+# decontaminate_bloom is exact (Bloom false positives die in the verify
+# join) — same oracle as the broadcast path.
+ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
 
 # exp_histogram oracle: the CASE ladder is generated from the SAME float64
 # bucket edges the engine searches, so comparisons are bit-identical.

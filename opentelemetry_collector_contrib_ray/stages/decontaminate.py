@@ -99,3 +99,152 @@ def decontaminate(ds, bench_texts: pa.Array, n: int = 3,
                                    text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter scale path — same EXACT answer, bounded broadcast
+# ---------------------------------------------------------------------------
+
+def bloom_build(grams: pa.Array, m_bits: int = 1 << 23,
+                k: int = 7) -> np.ndarray:
+    """m-bit double-hashed Bloom filter over the gram set -> packed uint8
+    bitmap (m_bits/8 bytes). Deterministic (md5-derived h1/h2 per gram,
+    bit_i = (h1 + i*h2) mod m), mergeable by bitwise OR. No false
+    negatives by construction."""
+    from ..functions.hashing import md5_2x64_many
+
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    if len(grams) == 0:
+        return bits
+    h1, h2 = md5_2x64_many(grams.to_pylist())
+    m = np.uint64(m_bits)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        np.bitwise_or.at(bits, (pos >> np.uint64(3)).astype(np.int64),
+                         np.left_shift(np.uint8(1),
+                                       (pos & np.uint64(7)).astype(np.uint8)))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, grams: pa.Array, k: int = 7) -> np.ndarray:
+    """Vectorized membership test -> bool ndarray (true = maybe present)."""
+    from ..functions.hashing import md5_2x64_many
+
+    if len(grams) == 0:
+        return np.empty(0, dtype=bool)
+    h1, h2 = md5_2x64_many(grams.to_pylist())
+    m = np.uint64(len(bits) * 8)
+    out = np.ones(len(h1), dtype=bool)
+    for i in range(k):
+        pos = (h1 + np.uint64(i) * h2) % m
+        byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+        out &= (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1 > 0
+    return out
+
+
+class _BloomCandidates:
+    """map_batches callable: per block, distinct (doc, gram) pairs passing
+    the Bloom filter -> candidate rows (id, gram). The broadcast is the
+    BITMAP (m_bits/8 bytes — fixed, e.g. 1 MiB at m=2^23), not the gram
+    strings; candidate volume is bounded by true hits + FPR x corpus
+    grams."""
+
+    def __init__(self, bits_ref, n: int, k: int, id_col: str,
+                 text_col: str):
+        self.bits = (ray.get(bits_ref)
+                     if isinstance(bits_ref, ray.ObjectRef) else bits_ref)
+        self.n, self.k = n, k
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        grams, doc_of = _doc_ngrams(batch.column(self.text_col), self.n)
+        if not len(grams):
+            return pa.table({self.id_col: ids.slice(0, 0),
+                             "gram": pa.array([], pa.string())})
+        import pandas as pd
+
+        df = pd.DataFrame({"d": doc_of,
+                           "g": grams.to_pandas().to_numpy()})
+        df = df.drop_duplicates()
+        g = pa.array(df["g"].to_numpy(), pa.string())
+        maybe = bloom_contains(self.bits, g, self.k)
+        return pa.table({
+            self.id_col: ids.take(pa.array(df["d"].to_numpy()[maybe],
+                                           pa.int64())),
+            "gram": g.filter(pa.array(maybe)),
+        })
+
+
+def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
+                        min_overlap: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text", m_bits: int = 1 << 23,
+                        k: int = 7, join_partitions: int | None = None):
+    """EXACT decontamination via a Bloom prefilter + exact verify join —
+    the bounded-broadcast scale path beside :func:`decontaminate`.
+
+    :func:`decontaminate` broadcasts the eval set's distinct n-gram
+    STRINGS — bounded by the eval set, but a large benchmark suite (many
+    GB of grams) would ship to every task. This path broadcasts a fixed
+    ``m_bits/8``-byte bitmap instead and recovers exactness with a
+    distributed inner join of the (small) candidate pair set against the
+    true gram set:
+
+    1. build the Bloom bitmap from the benchmark grams (no false
+       negatives → no contaminated doc can be missed);
+    2. per corpus block, emit distinct (doc, gram) pairs whose gram the
+       filter accepts (true hits + ~FPR of corpus grams);
+    3. inner-join candidates against the true gram Dataset (hash join,
+       no broadcast) and count verified grams per doc — false positives
+       die here, so overlap counts equal the exact path's.
+
+    Returns (id_col, overlap) for docs with overlap >= min_overlap —
+    bit-identical to the exact path's flagged set.
+    """
+    import ray.data as rd
+
+    from .blocks import nonempty_blocks
+
+    true_grams = benchmark_ngrams(bench_texts, n)
+    bits_ref = ray.put(bloom_build(true_grams, m_bits, k))
+
+    cands = ds.map_batches(
+        _BloomCandidates,
+        fn_constructor_kwargs=dict(bits_ref=bits_ref, n=n, k=k,
+                                   id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+    ).materialize()
+    if cands.count() == 0:
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "overlap": pa.array([], pa.int64())}))
+
+    truth = rd.from_arrow(pa.table({"gram": true_grams}))
+    if join_partitions is None:
+        join_partitions = int(min(64, max(2, cands.count() // 100_000)))
+    verified = nonempty_blocks(cands).join(
+        truth, join_type="inner", num_partitions=join_partitions,
+        on=("gram",)).materialize()
+    if verified.count() == 0:  # every candidate was a false positive
+        return rd.from_arrow(pa.table({
+            id_col: pa.array([], pa.int64()),
+            "overlap": pa.array([], pa.int64())}))
+
+    from .aggregate import count_sum
+
+    # candidate volume (true hits + FPR×corpus grams) is known post-
+    # materialize: driver-merge the per-doc counts while the partial set is
+    # small, hash-shuffle above the usual gate (CLAUDE.md driver-funnel rule)
+    overlap = count_sum(verified.select_columns([id_col]), keys=[id_col],
+                        count_name="overlap",
+                        final="shuffle" if cands.count() > 5_000_000
+                        else "driver")
+
+    def _flagged(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("overlap"), min_overlap)
+        return t.select([id_col, "overlap"]).filter(keep)
+
+    return overlap.map_batches(_flagged, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -722,3 +722,63 @@ def test_tfidf_top_terms_both_df_paths_and_edges():
             (2, "a", 2, 2), (2, "b", 1, 2),
             (4, "z", 3, 1), (4, "q", 1, 1),
         ], (gate, rows)
+
+
+def test_decontaminate_bloom_matches_exact_and_kills_false_positives():
+    """Bloom scale path invariants: (a) no false negatives — every
+    contaminated doc from the exact broadcast path is flagged with the
+    SAME overlap count; (b) a deliberately tiny bitmap (m=256 bits)
+    forces false positives into the candidate set and the verify join
+    must kill them all; (c) clean corpus -> empty result."""
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.stages.decontaminate import (
+        bloom_build,
+        bloom_contains,
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench = pa.array([
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+    ])
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": [
+            "the quick brown fox jumps over a fence",   # 4 shared trigrams
+            "pack my box with five dozen eggs today",   # 4 shared
+            "completely unrelated text about ray data pipelines here",
+            "the quick brown dog sits",                 # 1 shared (< min)
+            "",                                          # empty
+            "pack my box with five dozen liquor jugs",  # full overlap (6)
+        ],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+
+    exact = decontaminate(ds, bench, n=3, min_overlap=3).to_pandas()
+    exact = exact[exact.contaminated][["doc_id", "overlap"]]
+    want = sorted(map(tuple, exact.itertuples(index=False)))
+    assert want == [(0, 4), (1, 4), (5, 6)]
+
+    # tiny bitmap -> heavy false-positive pressure on the prefilter
+    for m_bits in (256, 1 << 23):
+        got = decontaminate_bloom(
+            rd.from_arrow(docs).repartition(3), bench, n=3, min_overlap=3,
+            id_col="doc_id", m_bits=m_bits, k=3).to_pandas()
+        rows = sorted(map(tuple, got.itertuples(index=False)))
+        assert rows == want, (m_bits, rows)
+
+    # membership primitive: zero false negatives by construction
+    grams = pa.array([f"g{i} x{i} y{i}" for i in range(200)])
+    bits = bloom_build(grams, m_bits=1 << 12, k=5)
+    assert bloom_contains(bits, grams, k=5).all()
+
+    # clean corpus -> empty early-return path
+    clean = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": ["nothing shared with any benchmark document at all"],
+    }))
+    out = decontaminate_bloom(clean, bench, n=3, min_overlap=1,
+                              id_col="doc_id")
+    assert out.count() == 0
