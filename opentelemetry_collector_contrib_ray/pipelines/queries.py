@@ -393,6 +393,22 @@ def q_sample_mixture(sf_dir: str):
                           rates=MIXTURE_RATES, default_rate=25.0)
 
 
+def q_token_budget(sf_dir: str):
+    """per-source TOKEN-budget mixture sample (stages/sample.py
+    token_budget_sample): docs taken in md5 hash order until each source's
+    running n_tok total exceeds 700 — mixture weights stated in token
+    space, the way pre-training data budgets actually are. Runs on the
+    skew-proof sorted-scan cumsum, so a hot source never concentrates in
+    one task."""
+    from ..stages.sample import token_budget_sample
+
+    ds = corpus.corpus_dataset(sf_dir, with_raw=False).select_columns(
+        ["doc_id", "source", "n_tok"])
+    out = token_budget_sample(ds, group_col="source", key="doc_id",
+                              tok_col="n_tok", budget=700)
+    return out.select_columns(["doc_id", "source", "n_tok", "cum_tok"])
+
+
 def q_decontaminate(sf_dir: str):
     """benchmark decontamination: docs sharing >= 3 distinct trigrams with
     the 'benchmark' slice (doc_id < 20) are flagged — the broadcast
@@ -1525,6 +1541,7 @@ QUERIES = {
     "sample_fixed_n": q_sample_fixed_n,
     "sample_stratified": q_sample_stratified,
     "sample_mixture": q_sample_mixture,
+    "token_budget": q_token_budget,
     "interval_last": q_interval_last,
     "histogram_buckets": q_histogram_buckets,
     "broadcast_join": q_broadcast_join,
@@ -1560,12 +1577,13 @@ QUERIES = {
     "session_windows": q_session_windows,
     "value_quantiles": q_value_quantiles,
     "delta_cumsum": q_delta_cumsum,
-    "delta_cumsum_sorted": q_delta_cumsum_sorted,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     # ^-- driver window ends at 50 entries --------------------------------
-    # (cum_to_delta rotated out to make room for decontaminate_bloom:
-    # r3-green + bucketed≡plain≡sorted property tests keep it covered)
+    # (cum_to_delta + delta_cumsum_sorted rotated out to make room for
+    # decontaminate_bloom + token_budget: both r3-green with
+    # bucketed≡plain≡sorted property tests keeping them covered)
     "cum_to_delta": q_cum_to_delta,
+    "delta_cumsum_sorted": q_delta_cumsum_sorted,
     "knn_vec0": q_knn_vec0,
     # --- rotated past the window: r3-green (or rows-only), mirror-gated --
     # (embed_neardup shares embed_neardup_ivf's all-pairs oracle, which
@@ -2131,6 +2149,19 @@ ORACLE_SQL = {
 # decontaminate_bloom is exact (Bloom false positives die in the verify
 # join) — same oracle as the broadcast path.
 ORACLE_SQL["decontaminate_bloom"] = ORACLE_SQL["decontaminate"]
+
+ORACLE_SQL["token_budget"] = f"""
+    WITH {corpus.RAW_SQL_CTE.strip()},
+    c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (
+                   PARTITION BY source
+                   ORDER BY md5_number_upper(doc_id), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM corpus)
+    SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM c WHERE cum_tok <= 700
+"""
 
 # exp_histogram oracle: the CASE ladder is generated from the SAME float64
 # bucket edges the engine searches, so comparisons are bit-identical.

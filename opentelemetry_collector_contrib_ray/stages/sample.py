@@ -140,3 +140,43 @@ def sample_mixture(ds, group_col: str, key: str, rates: dict[str, float],
         return batch.filter(pa.array(h < thresholds))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_budget_sample(ds, group_col: str, key: str, tok_col: str,
+                        budget: int, cum_col: str = "cum_tok"):
+    """Per-group TOKEN-BUDGET subset — the data-mixing op stated in token
+    space rather than row space: take documents in deterministic md5(key)
+    order until each group's running token total would exceed ``budget``
+    (a doc is kept iff the running sum INCLUDING it is <= budget).
+
+    Mixture weights for pre-training corpora are token budgets ("50 B
+    tokens of web, 5 B of code"), not row counts — :func:`sample_mixture`
+    keeps a per-group fraction of rows; this keeps a per-group token
+    quota. Deterministic (md5 hash order, key tiebreak), rerun- and
+    oracle-stable (SQL: SUM() OVER (PARTITION BY group ORDER BY md5, key
+    ROWS UNBOUNDED PRECEDING) <= budget).
+
+    Scale shape: one vectorized hash pass adds the order column; the
+    running sum is the skew-PROOF sorted-scan cumulative machinery
+    (window.delta_to_cumulative_sorted: sort + block-local segment scan +
+    O(blocks) driver carry) — task size bounded by block under any group
+    skew; the filter is block-local. No per-group tasks anywhere.
+    """
+    from .window import delta_to_cumulative_sorted
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_h", pa.array(md5_u64_col(batch.column(key)), pa.uint64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cum = delta_to_cumulative_sorted(
+        hashed, key_cols=[group_col], order_cols=["_h", key],
+        value_col=tok_col, out_col=cum_col, as_cents=False)
+
+    def within(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.less_equal(batch.column(cum_col), budget)
+        return batch.filter(keep).drop_columns(["_h"])
+
+    return cum.map_batches(within, batch_format="pyarrow",
+                           zero_copy_batch=True)

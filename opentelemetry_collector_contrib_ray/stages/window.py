@@ -583,6 +583,7 @@ def delta_to_cumulative_sorted(
     order_cols: list[str],
     value_col: str,
     out_col: str = "cum_value",
+    as_cents: bool = True,
 ):
     """Skew-PROOF running per-key cumulative sum (integer cents) via a
     distributed sort + block-local vectorized segment scan + an O(blocks)
@@ -620,8 +621,10 @@ def delta_to_cumulative_sorted(
         vals = tbl.column(value_col)
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
-        cents = np.rint(
-            vals.to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        raw = vals.to_numpy(zero_copy_only=False)
+        # as_cents=False: already-integer values (token counts) sum as-is
+        cents = (np.rint(raw * 100).astype(np.int64) if as_cents
+                 else raw.astype(np.int64))
         cs = np.cumsum(cents)
         start_idx = np.nonzero(starts)[0]
         base = np.zeros(len(cents), dtype=np.int64)

@@ -782,3 +782,48 @@ def test_decontaminate_bloom_matches_exact_and_kills_false_positives():
     out = decontaminate_bloom(clean, bench, n=3, min_overlap=1,
                               id_col="doc_id")
     assert out.count() == 0
+
+
+def test_token_budget_sample_matches_pandas_reference_under_skew():
+    """token_budget_sample ≡ greedy hash-order reference on a skewed
+    multi-block input (one hot group spanning blocks); every group's kept
+    total is <= budget and adding any group's next-in-hash-order dropped
+    doc would overflow it (greedy maximality)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from opentelemetry_collector_contrib_ray.functions.hashing import (
+        md5_u64,
+    )
+    from opentelemetry_collector_contrib_ray.stages.sample import (
+        token_budget_sample,
+    )
+
+    n = 400
+    keys = [f"d{i:04d}" for i in range(n)]
+    # group skew: 85% of rows in one hot group
+    groups = ["hot" if i % 20 else f"g{i % 7}" for i in range(1, n + 1)]
+    toks = [(i * 37) % 90 + 1 for i in range(n)]
+    t = pa.table({"doc_id": keys, "src": groups,
+                  "n_tok": pa.array(toks, pa.int32())})
+    budget = 600
+    out = token_budget_sample(
+        rd.from_arrow(t).repartition(7), group_col="src", key="doc_id",
+        tok_col="n_tok", budget=budget).to_pandas()
+
+    df = pd.DataFrame({"doc_id": keys, "src": groups, "n_tok": toks})
+    df["_h"] = [md5_u64(k) for k in keys]
+    df = df.sort_values(["src", "_h", "doc_id"])
+    df["cum"] = df.groupby("src")["n_tok"].cumsum()
+    ref = df[df["cum"] <= budget]
+
+    got = set(out["doc_id"])
+    assert got == set(ref["doc_id"])
+    # cum_tok values match the reference's running totals
+    m = out.set_index("doc_id")["cum_tok"].to_dict()
+    assert all(m[r.doc_id] == r.cum for r in ref.itertuples())
+    # greedy maximality: first dropped doc per group would overflow
+    dropped = df[df["cum"] > budget].groupby("src").head(1)
+    for r in dropped.itertuples():
+        kept_total = ref.loc[ref["src"] == r.src, "n_tok"].sum()
+        assert kept_total + r.n_tok > budget
