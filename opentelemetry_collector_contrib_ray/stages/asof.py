@@ -193,10 +193,14 @@ def asof_join_sorted(
     # (key, _ts) rights; merge_asof picks the last matching right row, so
     # the greatest tiebreak wins — max-per-(key,ts) semantics without a
     # pre-aggregation shuffle
+    from .blocks import rightsize_blocks
+
     sort_keys = [key, "_ts", "_sideord"] + (
         ["_tie"] if right_tiebreak is not None else [])
-    sorted_ds = nonempty_blocks(
-        l_tagged.union(r_tagged).sort(sort_keys))
+    # coalesce tiny blocks first: sort task count (and every per-block
+    # pass after it) follows input block count
+    sized = rightsize_blocks(l_tagged.union(r_tagged))
+    sorted_ds = nonempty_blocks(sized.sort(sort_keys))
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return rd.from_arrow(out_schema.empty_table())

@@ -21,6 +21,31 @@ def _block_rows(t) -> int:
     return len(t)
 
 
+def rightsize_blocks(ds, target_rows: int = 262_144,
+                     max_blocks: int | None = None) -> "ray.data.Dataset":
+    """Materialize ``ds`` and REDUCE its block count to ~rows/target_rows.
+
+    Ray keeps the read parallelism's block count (often 100-200) through
+    narrow transforms; a distributed sort then launches that many
+    map+reduce tasks and every downstream per-block pass inherits the
+    count. For the sorted-scan operators the per-task fixed cost (pandas
+    conversion, task dispatch, driver carry tuple) dominates when blocks
+    are tiny — measured 128 blocks for a 250k-row as-of join input.
+    Only ever COALESCES (never splits): big data keeps its read-sized
+    blocks, small data collapses to a handful of tasks. The repartition
+    runs on materialized blocks, so upstream stages do not re-execute.
+    """
+    mat = ds.materialize()
+    total = mat.count()
+    cur = mat.num_blocks()
+    want = max(1, min(cur, total // target_rows + 1))
+    if max_blocks is not None:
+        want = min(want, max_blocks)
+    if want >= cur:
+        return mat
+    return mat.repartition(want)
+
+
 def nonempty_blocks(ds) -> "ray.data.Dataset":
     """Materialize ``ds`` and rebuild it from its non-empty blocks only.
 

@@ -424,7 +424,10 @@ def sessionize_tag_sorted(
                if pa.types.is_timestamp(ts_type) else 1e6)
     gap_us = float(gap_seconds) * per_sec
 
-    sorted_ds = nonempty_blocks(ds.sort(key_cols + order_cols))
+    from .blocks import rightsize_blocks
+
+    sorted_ds = nonempty_blocks(
+        rightsize_blocks(ds).sort(key_cols + order_cols))
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -610,7 +613,10 @@ def delta_to_cumulative_sorted(
 
     from .blocks import nonempty_blocks
 
-    sorted_ds = nonempty_blocks(ds.sort(key_cols + order_cols))
+    from .blocks import rightsize_blocks
+
+    sorted_ds = nonempty_blocks(
+        rightsize_blocks(ds).sort(key_cols + order_cols))
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
@@ -692,7 +698,10 @@ def cumulative_to_delta_sorted(
 
     from .blocks import nonempty_blocks
 
-    sorted_ds = nonempty_blocks(ds.sort(key_cols + order_cols))
+    from .blocks import rightsize_blocks
+
+    sorted_ds = nonempty_blocks(
+        rightsize_blocks(ds).sort(key_cols + order_cols))
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds
