@@ -1413,6 +1413,37 @@ def q_session_tag_sorted(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "session_id"])
 
 
+def q_range_join(sf_dir: str):
+    """range (interval-containment) join: every event falling inside the
+    10-minute incident window opened by an error event of the same user
+    (stages/rangejoin.py — bucketed expansion + native hash join, no
+    all-pairs; plain BETWEEN-join SQL oracle)."""
+    from ..stages.rangejoin import range_join
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type"])
+    left = ev.drop_columns(["event_type"])
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("event_type"), "error"))
+        start = t.column("ts")
+        if isinstance(start, pa.ChunkedArray):
+            start = start.combine_chunks()
+        end = pc.add(start.cast(pa.int64()),
+                     600 * 1_000_000).cast(pa.timestamp("us"))
+        return pa.table({
+            "incident_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "w_start": start,
+            "w_end": end,
+        })
+
+    wnd = ev.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    out = range_join(left, wnd, left_ts="ts", right_start="w_start",
+                     right_end="w_end", key_cols=["user_id"])
+    return out.select_columns(["event_id", "incident_id", "user_id"])
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per event_type — the sketch-merge
     scale path beside the exact distinct_count (stages/sketch.py; no SQL
@@ -1557,6 +1588,7 @@ QUERIES = {
     "schema_translate": q_schema_translate,
     "ottl_cache": q_ottl_cache,
     "tfidf_terms": q_tfidf_terms,
+    "range_join": q_range_join,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1577,8 +1609,10 @@ QUERIES = {
     "session_windows": q_session_windows,
     "value_quantiles": q_value_quantiles,
     "delta_cumsum": q_delta_cumsum,
-    "embed_neardup_ivf": q_embed_neardup_ivf,
     # ^-- driver window ends at 50 entries --------------------------------
+    # (embed_neardup_ivf rotated out for range_join: r3-green, still
+    # mirror-gated in pytest every session)
+    "embed_neardup_ivf": q_embed_neardup_ivf,
     # (cum_to_delta + delta_cumsum_sorted rotated out to make room for
     # decontaminate_bloom + token_budget: both r3-green with
     # bucketed≡plain≡sorted property tests keeping them covered)
@@ -2080,6 +2114,15 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "range_join": """
+        SELECT e.event_id, w.event_id AS incident_id, e.user_id
+        FROM events e
+        JOIN events w
+          ON e.user_id = w.user_id
+         AND w.event_type = 'error'
+         AND e.ts >= w.ts
+         AND e.ts < w.ts + INTERVAL 10 MINUTE
     """,
     "asof_join": """
         WITH o AS (
