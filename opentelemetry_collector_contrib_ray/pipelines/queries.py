@@ -1444,6 +1444,38 @@ def q_range_join(sf_dir: str):
     return out.select_columns(["event_id", "incident_id", "user_id"])
 
 
+def q_remap_tokens(sf_dir: str):
+    """vocab remap over token lists: md5 tokenizer (SQL-reproducible ids,
+    unlike the corpus's fnv) -> broadcast-LUT remap with the permutation
+    new = (3*old + 17) % V (stages/vocab.py) -> per-doc summary columns.
+    first/last pin positional alignment, sum pins every element."""
+    from ..stages.vocab import Md5Tokenize, remap_tokens
+
+    V = 50_257
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Md5Tokenize(vocab_size=V), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    mapping = ((np.arange(V, dtype=np.int64) * 3 + 17) % V).astype(np.int32)
+    ds = remap_tokens(ds, mapping)
+
+    def finish(t: pa.Table) -> pa.Table:
+        col = t.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        starts, ends = off[:-1], off[1:]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tok": pa.array((ends - starts).astype(np.int32), pa.int32()),
+            "tok_first": pa.array(flat[starts], pa.int64()),
+            "tok_last": pa.array(flat[ends - 1], pa.int64()),
+            "tok_sum": pa.array(np.add.reduceat(flat, starts), pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per event_type — the sketch-merge
     scale path beside the exact distinct_count (stages/sketch.py; no SQL
@@ -1589,6 +1621,7 @@ QUERIES = {
     "ottl_cache": q_ottl_cache,
     "tfidf_terms": q_tfidf_terms,
     "range_join": q_range_join,
+    "remap_tokens": q_remap_tokens,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1608,10 +1641,11 @@ QUERIES = {
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "value_quantiles": q_value_quantiles,
-    "delta_cumsum": q_delta_cumsum,
     # ^-- driver window ends at 50 entries --------------------------------
-    # (embed_neardup_ivf rotated out for range_join: r3-green, still
-    # mirror-gated in pytest every session)
+    # (embed_neardup_ivf + delta_cumsum rotated out for range_join +
+    # remap_tokens: both r3-green, still mirror-gated in pytest every
+    # session)
+    "delta_cumsum": q_delta_cumsum,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     # (cum_to_delta + delta_cumsum_sorted rotated out to make room for
     # decontaminate_bloom + token_budget: both r3-green with
@@ -2114,6 +2148,21 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "remap_tokens": """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       w -> CAST(((md5_number_upper(w) % 50257) * 3 + 17)
+                                 % 50257 AS BIGINT)) AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS INTEGER) AS n_tok,
+               toks[1] AS tok_first,
+               toks[-1] AS tok_last,
+               CAST(list_sum(toks) AS BIGINT) AS tok_sum
+        FROM tok
     """,
     "range_join": """
         SELECT e.event_id, w.event_id AS incident_id, e.user_id
