@@ -1016,6 +1016,26 @@ def q_dedup_clusters(sf_dir: str):
     return out.select_columns(["id", "cluster"])
 
 
+def q_cluster_reps(sf_dir: str):
+    """near-dup cluster representative selection: the dedup DECISION — per
+    connected component keep the highest-label (quality-proxy) member,
+    ties to least vec_id; singletons survive as their own cluster
+    (stages/cluster.py cluster_representatives + aggregate.best_per_group
+    distributed argmax)."""
+    from ..stages.cluster import cluster_representatives
+
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    pairs = embedding_near_dups(
+        ds.select_columns(["vec_id", "embedding"]),
+        id_col="vec_id", vec_col="embedding", threshold=0.30)
+    items = ds.drop_columns(["embedding"])
+    reps = cluster_representatives(items,
+                                   pairs.select_columns(["id_a", "id_b"]),
+                                   id_col="vec_id", score_col="label")
+    return reps.select_columns(["cluster", "vec_id", "label", "n_members"])
+
+
 def q_lsh_neardup(sf_dir: str):
     """hyperplane-LSH near-dup pairs — the approximate 100-TB path (no SQL
     oracle: recall < 1 by construction at this threshold; the companion
@@ -1476,6 +1496,31 @@ def q_remap_tokens(sf_dir: str):
     return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_token_rarity(sf_dir: str):
+    """per-doc token-rarity quality signal: corpus frequency rank per
+    token (count DESC, token ASC — integer-exact, no float log-probs),
+    summed/maxed per doc (stages/tokenstats.py token_rarity; two
+    streaming passes, rank-LUT broadcast)."""
+    from ..stages.tokenstats import token_rarity
+    from ..stages.vocab import Md5Tokenize
+
+    V = 50_257
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Md5Tokenize(vocab_size=V), batch_format="pyarrow",
+                        zero_copy_batch=True).drop_columns(["text"])
+    return token_rarity(ds, id_cols=["doc_id"], vocab_size=V)
+
+
+def q_quantile_band(sf_dir: str):
+    """percentile-trim selection: keep documents whose length sits inside
+    the corpus [p10, p90] band (stages/quantile.py quantile_band_filter —
+    two streaming passes, exact global quantile_disc thresholds)."""
+    from ..stages.quantile import quantile_band_filter
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return quantile_band_filter(ds, "n_chars", 0.10, 0.90)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per event_type — the sketch-merge
     scale path beside the exact distinct_count (stages/sketch.py; no SQL
@@ -1622,6 +1667,9 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "range_join": q_range_join,
     "remap_tokens": q_remap_tokens,
+    "token_rarity": q_token_rarity,
+    "cluster_reps": q_cluster_reps,
+    "quantile_band": q_quantile_band,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1637,14 +1685,15 @@ QUERIES = {
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
     "distinct_users": q_distinct_users,
-    "error_rate": q_error_rate,
     "asof_join": q_asof_join,
+    # ^-- driver window ends at 50 entries --------------------------------
+    # (embed_neardup_ivf + delta_cumsum + value_quantiles +
+    # session_windows + error_rate rotated out for range_join +
+    # remap_tokens + token_rarity + cluster_reps + quantile_band: all
+    # r3-green, still mirror-gated in pytest every session)
+    "error_rate": q_error_rate,
     "session_windows": q_session_windows,
     "value_quantiles": q_value_quantiles,
-    # ^-- driver window ends at 50 entries --------------------------------
-    # (embed_neardup_ivf + delta_cumsum rotated out for range_join +
-    # remap_tokens: both r3-green, still mirror-gated in pytest every
-    # session)
     "delta_cumsum": q_delta_cumsum,
     "embed_neardup_ivf": q_embed_neardup_ivf,
     # (cum_to_delta + delta_cumsum_sorted rotated out to make room for
@@ -2067,6 +2116,33 @@ ORACLE_SQL = {
         )
         SELECT id, min(r) AS cluster FROM reach GROUP BY id
     """,
+    "cluster_reps": """
+        WITH RECURSIVE
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.30),
+        edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(id, r) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT reach.id, edges.b
+            FROM reach JOIN edges ON reach.r = edges.a
+        ),
+        comp AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        labeled AS (
+            SELECT em.vec_id, em.label,
+                   coalesce(c.cluster, em.vec_id) AS cluster
+            FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.id)
+        SELECT cluster,
+               first(vec_id ORDER BY label DESC, vec_id ASC) AS vec_id,
+               first(label ORDER BY label DESC, vec_id ASC) AS label,
+               count(*) AS n_members
+        FROM labeled GROUP BY cluster
+    """,
     "media_features": """
         SELECT CAST(doc_id AS VARCHAR) AS media_id,
                CAST(strlen(text) AS BIGINT) AS n_bytes,
@@ -2148,6 +2224,30 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "quantile_band": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.10)
+                          FROM documents)
+          AND n_chars <= (SELECT quantile_disc(n_chars, 0.90)
+                          FROM documents)
+    """,
+    "token_rarity": """
+        WITH tok AS (
+            SELECT doc_id, unnest(list_transform(string_split(text, ' '),
+                w -> CAST(md5_number_upper(w) % 50257 AS BIGINT))) AS t
+            FROM documents
+        ),
+        freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        rnk AS (
+            SELECT t, row_number() OVER (ORDER BY c DESC, t ASC) AS r
+            FROM freq
+        )
+        SELECT k.doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+               CAST(sum(r.r) AS BIGINT) AS rank_sum,
+               CAST(max(r.r) AS BIGINT) AS rank_max
+        FROM tok k JOIN rnk r ON k.t = r.t
+        GROUP BY k.doc_id
     """,
     "remap_tokens": """
         WITH tok AS (

@@ -218,3 +218,100 @@ def multi_agg(
     drop = [f"{prefix}_{op}" for op in ("sum", "min", "max", "count") if op not in wanted]
     merged = merged.drop_columns(drop)
     return ray.data.from_arrow(merged)
+
+
+class _PartialBest:
+    """Per-block combiner: the single best row per key group.
+
+    Best = max ``score_col``, ties to min ``tiebreak_col`` — one
+    vectorized ``sort_by`` then a single-threaded ``group_by(..,
+    use_threads=False).aggregate(first)`` (Arrow's hash_first respects
+    table order when single-threaded, so the sorted-first row IS the
+    argmax). Also carries the group's row count so the final merge can
+    report member counts without a second pass.
+    """
+
+    def __init__(self, keys: list[str], score_col: str, tiebreak_col: str,
+                 count_name: str | None):
+        self.keys = keys
+        self.score_col = score_col
+        self.tiebreak_col = tiebreak_col
+        self.count_name = count_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = self.keys
+        ordered = batch.sort_by(
+            [(k, "ascending") for k in keys]
+            + [(self.score_col, "descending"),
+               (self.tiebreak_col, "ascending")])
+        others = [c for c in batch.column_names if c not in keys]
+        g = ordered.group_by(keys, use_threads=False).aggregate(
+            [(c, "first") for c in others] + [([], "count_all")])
+        rename = {f"{c}_first": c for c in others}
+        rename["count_all"] = self.count_name or "_n"
+        return g.rename_columns(
+            [rename.get(n, n) for n in g.column_names])
+
+
+def best_per_group(
+    ds,
+    keys: list[str],
+    score_col: str,
+    tiebreak_col: str,
+    count_name: str | None = None,
+    batch_size: int | None = None,
+    final: str = "auto",
+    auto_shuffle_threshold: int = 5_000_000,
+):
+    """Distributed argmax: the one row per key group with the greatest
+    ``score_col`` (ties -> least ``tiebreak_col``); optionally the group's
+    row count as ``count_name``.
+
+    Partial-then-merge like :func:`count_sum`: each block reduces to at
+    most one row per key (bounded by groups x blocks, never input size),
+    then ``final="driver"`` re-runs the same reduction once on the driver
+    or ``final="shuffle"`` runs it per hash partition. ``"auto"`` picks
+    driver below ``auto_shuffle_threshold`` partial rows — the repo's
+    driver-funnel gate.
+    """
+    import ray.data
+
+    partial = ds.map_batches(
+        _PartialBest(keys, score_col, tiebreak_col, count_name),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
+    ).materialize()
+
+    if final == "auto":
+        final = ("shuffle" if partial.count() > auto_shuffle_threshold
+                 else "driver")
+
+    cnt = count_name or "_n"
+
+    def merge(t: pa.Table) -> pa.Table:
+        ordered = t.sort_by(
+            [(k, "ascending") for k in keys]
+            + [(score_col, "descending"), (tiebreak_col, "ascending")])
+        others = [c for c in t.column_names if c not in keys and c != cnt]
+        g = ordered.group_by(keys, use_threads=False).aggregate(
+            [(c, "first") for c in others] + [(cnt, "sum")])
+        rename = {f"{c}_first": c for c in others}
+        rename[f"{cnt}_sum"] = cnt
+        out = g.rename_columns([rename.get(n, n) for n in g.column_names])
+        return out if count_name else out.drop_columns([cnt])
+
+    if final == "shuffle":
+        # hash-shuffle co-locates each key and merge runs per whole group
+        # (batch_format="pyarrow" skips map_groups' pandas-construction
+        # cost; group count here is PARTIAL-row cardinality, already
+        # block-reduced)
+        from .blocks import nonempty_blocks
+
+        return nonempty_blocks(partial).groupby(keys).map_groups(
+            merge, batch_format="pyarrow")
+
+    import ray
+
+    tbl = pa.concat_tables(
+        [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows],
+        promote_options="default")
+    return ray.data.from_arrow(merge(tbl))

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 from ray.data.aggregate import Min
@@ -151,3 +152,89 @@ def connected_components(pairs_ds, driver_threshold: int = 1_000_000,
     return labels.map_batches(
         lambda t: t.rename_columns(["id", "cluster"]), batch_format="pyarrow"
     )
+
+def cluster_representatives(
+    items_ds,
+    pairs_ds,
+    id_col: str,
+    score_col: str,
+    broadcast_threshold: int = 5_000_000,
+    join_partitions: int | None = None,
+):
+    """One surviving row per near-dup cluster — the dedup DECISION step
+    (SemDeDup-style: keep the best-quality copy, not an arbitrary one).
+
+    Every item gets a cluster label (connected component over ``pairs_ds``;
+    items in no pair are their own singleton cluster = own id), then the
+    distributed argmax keeps the row with the greatest ``score_col`` per
+    cluster, ties to least ``id_col``. Output: the representative's full
+    row plus ``cluster`` and ``n_members``.
+
+    Size-gated label attach (repo convention): component labels are
+    bounded by 2x pairs, so below ``broadcast_threshold`` they broadcast
+    as one ray.put dict and attach in a map pass; above, a distributed
+    left_outer hash join. Both paths fill unlabeled items with their own
+    id.
+    """
+    import ray.data as rd
+
+    from .aggregate import best_per_group
+    from .blocks import nonempty_blocks
+
+    labels = connected_components(pairs_ds)
+    if isinstance(labels, pa.Table):
+        labels_tbl, n_labels = labels, labels.num_rows
+    else:
+        labels = labels.materialize()
+        n_labels = labels.count()
+        labels_tbl = None
+
+    if n_labels <= broadcast_threshold:
+        if labels_tbl is None:
+            labels_tbl = pa.concat_tables(
+                [t for t in ray.get(labels.to_arrow_refs()) if t.num_rows])
+        lut = dict(zip(labels_tbl.column("id").to_pylist(),
+                       labels_tbl.column("cluster").to_pylist()))
+        lut_ref = ray.put(lut)
+
+        class _Attach:
+            def __init__(self, ref, id_col):
+                self.ref, self.id_col, self._lut = ref, id_col, None
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                if self._lut is None:
+                    self._lut = ray.get(self.ref)
+                ids = t.column(self.id_col).to_pylist()
+                cl = [self._lut.get(i, i) for i in ids]
+                return t.append_column("cluster", pa.array(cl, pa.int64()))
+
+        labeled = items_ds.map_batches(_Attach(lut_ref, id_col),
+                                       batch_format="pyarrow",
+                                       zero_copy_batch=True)
+    else:
+        if labels_tbl is not None:
+            labels = rd.from_arrow(labels_tbl)
+        if join_partitions is None:
+            join_partitions = int(min(64, max(8, n_labels // 200_000)))
+
+        def rekey(t: pa.Table) -> pa.Table:
+            return pa.table({id_col: t.column("id"),
+                             "cluster": t.column("cluster")})
+
+        labels = labels.map_batches(rekey, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        joined = nonempty_blocks(items_ds).join(
+            nonempty_blocks(labels), join_type="left_outer",
+            num_partitions=join_partitions, on=(id_col,))
+
+        def fill(t: pa.Table) -> pa.Table:
+            cl = pc.coalesce(t.column("cluster"),
+                             t.column(id_col).cast(pa.int64()))
+            i = t.schema.get_field_index("cluster")
+            return t.set_column(i, "cluster", cl)
+
+        labeled = joined.map_batches(fill, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+
+    return best_per_group(labeled, keys=["cluster"], score_col=score_col,
+                          tiebreak_col=id_col, count_name="n_members")

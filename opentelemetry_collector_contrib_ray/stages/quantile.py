@@ -99,3 +99,74 @@ def group_quantiles(ds, keys: list[str], value_col: str,
     merged = pairs.groupby(keys + [value_col]).aggregate(
         Sum("_cnt", alias_name="_cnt"))
     return merged.groupby(keys).map_groups(finish, batch_format="pandas")
+
+
+def global_quantiles(ds, value_col: str, qs: list[float],
+                     shuffle_threshold: int = 5_000_000) -> dict[float, object]:
+    """Exact discrete quantiles of ``value_col`` over the WHOLE dataset —
+    scalars on the driver (quantile_disc parity, same rank math as
+    :func:`group_quantiles`).
+
+    Per-block distinct-(value, count) partials; above ``shuffle_threshold``
+    input rows the pair counts pre-merge in a distributed groupby so the
+    driver only ever sees one row per DISTINCT value (the documented
+    partitioning assumption: the signal's distinct values fit one task —
+    integer quality counters, cents, ranks; pre-round unbounded doubles).
+    The global cumsum finish is O(distinct) on the driver.
+    """
+    import ray
+
+    pairs = ds.map_batches(
+        _PairCounts([], value_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if ds.count() > shuffle_threshold:
+        from ray.data.aggregate import Sum
+
+        pairs = pairs.groupby(value_col).aggregate(
+            Sum("_cnt", alias_name="_cnt"))
+    nonempty = [t for t in ray.get(pairs.materialize().to_arrow_refs())
+                if t.num_rows]
+    if not nonempty:
+        return {q: None for q in qs}
+    merged = pa.concat_tables(nonempty).group_by([value_col]).aggregate(
+        [("_cnt", "sum")])
+    vals = merged.column(value_col).to_numpy(zero_copy_only=False)
+    cnts = merged.column("_cnt_sum").to_numpy(zero_copy_only=False)
+    order = np.argsort(vals, kind="stable")
+    vals, cum = vals[order], cnts[order].cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in qs:
+        if not n:
+            out[q] = None
+            continue
+        rank = max(math.ceil(q * n) - 1, 0)
+        out[q] = vals[np.searchsorted(cum, rank, side="right")].item()
+    return out
+
+
+def quantile_band_filter(ds, value_col: str, q_lo: float, q_hi: float,
+                         shuffle_threshold: int = 5_000_000):
+    """Keep rows with ``q_lo-quantile <= value_col <= q_hi-quantile`` —
+    the percentile-trim data-selection op (drop the degenerate tails of a
+    quality signal, CCNet-style band selection).
+
+    Two STREAMING passes: pass 1 computes the two exact global quantiles
+    (bounded driver state, see :func:`global_quantiles`), pass 2 filters
+    with the broadcast scalar thresholds — no materialization of ``ds``.
+    """
+    import pyarrow.compute as pc
+
+    bounds = global_quantiles(ds, value_col, [q_lo, q_hi],
+                              shuffle_threshold=shuffle_threshold)
+    lo, hi = bounds[q_lo], bounds[q_hi]
+    if lo is None:
+        return ds
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        return t.filter(pc.and_(pc.greater_equal(v, lo),
+                                pc.less_equal(v, hi)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -50,6 +50,83 @@ def token_frequency(ds, tokens_col: str = "tokens",
     return totals.sort(["n", "token"], descending=[True, False]).limit(top_k)
 
 
+class _RarityScore:
+    """Second-pass scorer: gather each token's corpus frequency RANK from
+    a broadcast LUT, emit per-doc (n_tok, rank_sum, rank_max). Zero-copy
+    plasma read of the LUT per task; vectorized segment reduceat."""
+
+    def __init__(self, lut_ref, tokens_col: str, id_cols: list[str]):
+        self.lut_ref = lut_ref
+        self.tokens_col = tokens_col
+        self.id_cols = id_cols
+        self._lut: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._lut is None:
+            import ray
+
+            self._lut = ray.get(self.lut_ref)
+        col = batch.column(self.tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        starts, ends = off[:-1], off[1:]
+        lens = ends - starts
+        ranks = self._lut[flat]
+        n = len(lens)
+        rank_sum = np.zeros(n, dtype=np.int64)
+        rank_max = np.zeros(n, dtype=np.int64)
+        nz = lens > 0  # reduceat cannot express empty segments
+        if nz.any():
+            s = starts[nz]
+            rank_sum[nz] = np.add.reduceat(ranks, s)
+            rank_max[nz] = np.maximum.reduceat(ranks, s)
+        cols = {c: batch.column(c) for c in self.id_cols}
+        cols["n_tok"] = pa.array(lens.astype(np.int32), pa.int32())
+        cols["rank_sum"] = pa.array(rank_sum, pa.int64())
+        cols["rank_max"] = pa.array(rank_max, pa.int64())
+        return pa.table(cols)
+
+
+def token_rarity(ds, tokens_col: str = "tokens",
+                 id_cols: list[str] | None = None,
+                 vocab_size: int = 65536):
+    """Per-document token-rarity stats — the integer-exact quality signal
+    (rare-token-heavy docs score high; boilerplate scores low).
+
+    Rank = position of the token in the corpus frequency table ordered by
+    (count DESC, token ASC) — 1 is the most common token; deterministic,
+    integer, so the DuckDB row_number() oracle reproduces it bit-exactly
+    (a float log-prob would drift in the last ulp across libms).
+
+    Two STREAMING passes, the CCNet-style shape: pass 1 is the distributed
+    bincount (shuffle bounded by |vocab| rows per block); its ≤ vocab_size
+    totals come to the driver (bounded: one int64 pair per vocab entry),
+    become a dense rank LUT, and broadcast once via ray.put; pass 2
+    re-scans the input gathering ranks — no full-dataset materialization
+    at any point. Docs holding a token the frequency pass never saw can
+    only occur if ``ds`` changes between passes — ranked 0, caller-visible.
+    """
+    import ray
+
+    id_cols = list(id_cols or ["doc_id"])
+    totals = token_frequency(ds, tokens_col=tokens_col,
+                             vocab_size=vocab_size).materialize()
+    t = pa.concat_tables(
+        [b for b in ray.get(totals.to_arrow_refs()) if b.num_rows])
+    tok = t.column("token").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = t.column("n").to_numpy(zero_copy_only=False)
+    order = np.lexsort((tok, -cnt))  # count desc, token asc
+    lut = np.zeros(vocab_size, dtype=np.int64)
+    lut[tok[order]] = np.arange(1, len(tok) + 1, dtype=np.int64)
+    lut_ref = ray.put(lut)
+    return ds.map_batches(
+        _RarityScore(lut_ref, tokens_col, id_cols),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 class SequencePack:
     """Greedy sequence packing: documents' token lists packed into
     fixed-length training examples (the classic pre-training batching op).
