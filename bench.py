@@ -128,6 +128,11 @@ OPERATOR_QUERIES = [
     "session_tag_sorted",
     "schema_translate",
     "ottl_cache",
+    "range_join",
+    "remap_tokens",
+    "token_rarity",
+    "cluster_reps",
+    "quantile_band",
 ]
 
 

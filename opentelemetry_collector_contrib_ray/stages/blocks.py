@@ -60,3 +60,22 @@ def nonempty_blocks(ds) -> "ray.data.Dataset":
     if not keep:
         return mat
     return ray.data.from_arrow_refs(keep)
+
+
+def join_ready(ds, target_rows: int = 262_144) -> "ray.data.Dataset":
+    """Prep a dataset for a native (acero) hash join: coalesce tiny blocks
+    (shuffle task count follows block count — 128 1.5k-row blocks cost
+    more in dispatch than the join itself) AND scrub 0-row blocks (acero
+    rejects empty join inputs). ONE materialization barrier: the coalesce
+    path's repartition merges-and-drops empties itself; the no-op path
+    scrubs the already-materialized refs."""
+    mat = ds.materialize()
+    total = mat.count()
+    cur = mat.num_blocks()
+    want = max(1, min(cur, total // target_rows + 1))
+    if want < cur:
+        return mat.repartition(want)
+    refs = mat.to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c]
+    return ray.data.from_arrow_refs(keep) if keep else mat

@@ -226,7 +226,14 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
             return embedding_near_dups_ivf(
                 ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
                 n_cells=n_cells, concurrency=concurrency)
-    slim = ds.select_columns([id_col, vec_col]).materialize()
+    # coalesce read-sized blocks first: P² grows with block COUNT, and a
+    # 31-row block pair is all dispatch, no math (measured 2080 tasks /
+    # 4.5 s for 2000 vectors pre-coalesce; 1 task post). 4096-vector
+    # blocks keep the per-task matmul ≤ 16M dots.
+    from .blocks import rightsize_blocks
+
+    slim = rightsize_blocks(ds.select_columns([id_col, vec_col]),
+                            target_rows=4096)
     refs = slim.to_arrow_refs()
     P = len(refs)
     pair_ds = ray.data.from_items(
