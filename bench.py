@@ -133,6 +133,7 @@ OPERATOR_QUERIES = [
     "token_rarity",
     "cluster_reps",
     "quantile_band",
+    "segment_dedup",
 ]
 
 

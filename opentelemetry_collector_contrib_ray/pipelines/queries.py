@@ -1511,6 +1511,18 @@ def q_token_rarity(sf_dir: str):
     return token_rarity(ds, id_cols=["doc_id"], vocab_size=V)
 
 
+def q_segment_dedup(sf_dir: str):
+    """corpus-wide first-occurrence segment dedup + document reassembly
+    (stages/paradedup.py — paragraph dedup at the separator the synthetic
+    corpus has: single-space word segments; real corpora pass "\\n\\n").
+    Explode -> distinct-segment-bounded argmin -> sorted run-join with
+    O(blocks) boundary carry."""
+    from ..stages.paradedup import segment_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return segment_dedup(ds, id_col="doc_id", text_col="text", sep=" ")
+
+
 def q_quantile_band(sf_dir: str):
     """percentile-trim selection: keep documents whose length sits inside
     the corpus [p10, p90] band (stages/quantile.py quantile_band_filter —
@@ -1670,6 +1682,7 @@ QUERIES = {
     "token_rarity": q_token_rarity,
     "cluster_reps": q_cluster_reps,
     "quantile_band": q_quantile_band,
+    "segment_dedup": q_segment_dedup,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1684,13 +1697,14 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
-    "distinct_users": q_distinct_users,
     "asof_join": q_asof_join,
     # ^-- driver window ends at 50 entries --------------------------------
     # (embed_neardup_ivf + delta_cumsum + value_quantiles +
-    # session_windows + error_rate rotated out for range_join +
-    # remap_tokens + token_rarity + cluster_reps + quantile_band: all
-    # r3-green, still mirror-gated in pytest every session)
+    # session_windows + error_rate + distinct_users rotated out for
+    # range_join + remap_tokens + token_rarity + cluster_reps +
+    # quantile_band + segment_dedup: all r3-green, still mirror-gated in
+    # pytest every session)
+    "distinct_users": q_distinct_users,
     "error_rate": q_error_rate,
     "session_windows": q_session_windows,
     "value_quantiles": q_value_quantiles,
@@ -2224,6 +2238,24 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "segment_dedup": """
+        WITH p AS (
+            SELECT doc_id, i, parts[i] AS seg
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM documents),
+                 LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                          AS i)
+        ),
+        win AS (
+            SELECT seg,
+                   first(doc_id ORDER BY doc_id, i) AS doc_id,
+                   first(i ORDER BY doc_id, i) AS pos
+            FROM p GROUP BY seg
+        )
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+               count(*) AS n_kept
+        FROM win GROUP BY doc_id
     """,
     "quantile_band": """
         SELECT doc_id, n_chars FROM documents

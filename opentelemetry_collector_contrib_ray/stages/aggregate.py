@@ -231,19 +231,16 @@ class _PartialBest:
     report member counts without a second pass.
     """
 
-    def __init__(self, keys: list[str], score_col: str, tiebreak_col: str,
+    def __init__(self, keys: list[str], order_by: list[tuple[str, str]],
                  count_name: str | None):
         self.keys = keys
-        self.score_col = score_col
-        self.tiebreak_col = tiebreak_col
+        self.order_by = order_by
         self.count_name = count_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = self.keys
         ordered = batch.sort_by(
-            [(k, "ascending") for k in keys]
-            + [(self.score_col, "descending"),
-               (self.tiebreak_col, "ascending")])
+            [(k, "ascending") for k in keys] + self.order_by)
         others = [c for c in batch.column_names if c not in keys]
         g = ordered.group_by(keys, use_threads=False).aggregate(
             [(c, "first") for c in others] + [([], "count_all")])
@@ -256,16 +253,19 @@ class _PartialBest:
 def best_per_group(
     ds,
     keys: list[str],
-    score_col: str,
-    tiebreak_col: str,
+    score_col: str | None = None,
+    tiebreak_col: str | None = None,
     count_name: str | None = None,
     batch_size: int | None = None,
     final: str = "auto",
     auto_shuffle_threshold: int = 5_000_000,
+    order_by: list[tuple[str, str]] | None = None,
 ):
     """Distributed argmax: the one row per key group with the greatest
     ``score_col`` (ties -> least ``tiebreak_col``); optionally the group's
-    row count as ``count_name``.
+    row count as ``count_name``. For other orderings (e.g. lexicographic
+    argmin) pass ``order_by`` — a pyarrow sort spec — instead of
+    score/tiebreak.
 
     Partial-then-merge like :func:`count_sum`: each block reduces to at
     most one row per key (bounded by groups x blocks, never input size),
@@ -276,8 +276,13 @@ def best_per_group(
     """
     import ray.data
 
+    if order_by is None:
+        if score_col is None or tiebreak_col is None:
+            raise ValueError("pass score_col+tiebreak_col or order_by")
+        order_by = [(score_col, "descending"), (tiebreak_col, "ascending")]
+
     partial = ds.map_batches(
-        _PartialBest(keys, score_col, tiebreak_col, count_name),
+        _PartialBest(keys, order_by, count_name),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size,
     ).materialize()
 
@@ -289,8 +294,7 @@ def best_per_group(
 
     def merge(t: pa.Table) -> pa.Table:
         ordered = t.sort_by(
-            [(k, "ascending") for k in keys]
-            + [(score_col, "descending"), (tiebreak_col, "ascending")])
+            [(k, "ascending") for k in keys] + order_by)
         others = [c for c in t.column_names if c not in keys and c != cnt]
         g = ordered.group_by(keys, use_threads=False).aggregate(
             [(c, "first") for c in others] + [(cnt, "sum")])
@@ -311,7 +315,10 @@ def best_per_group(
 
     import ray
 
-    tbl = pa.concat_tables(
-        [t for t in ray.get(partial.to_arrow_refs()) if t.num_rows],
-        promote_options="default")
+    # len() not .num_rows: 0-row input blocks can skip the fused map and
+    # surface as raw pandas blocks (see stages/blocks.py docstring)
+    nonempty = [t for t in ray.get(partial.to_arrow_refs()) if len(t)]
+    if not nonempty:
+        return partial
+    tbl = pa.concat_tables(nonempty, promote_options="default")
     return ray.data.from_arrow(merge(tbl))
