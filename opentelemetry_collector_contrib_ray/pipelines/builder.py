@@ -350,6 +350,45 @@ def _dedup(ds, key_cols: list[str], order_col: str,
                        count_name=count_name, salt=salt)
 
 
+@register_stage("remap_tokens")
+def _remap_tokens(ds, mapping: list, tokens_col: str = "tokens"):
+    """Vocab remap through a dense LUT (round 4)."""
+    import numpy as np
+
+    from ..stages.vocab import remap_tokens
+
+    return remap_tokens(ds, np.asarray(mapping, dtype=np.int32),
+                        tokens_col=tokens_col)
+
+
+@register_stage("token_rarity")
+def _token_rarity(ds, tokens_col: str = "tokens", id_cols: list = None,
+                  vocab_size: int = 65536):
+    """Per-doc token-rarity quality signal (round 4)."""
+    from ..stages.tokenstats import token_rarity
+
+    return token_rarity(ds, tokens_col=tokens_col,
+                        id_cols=list(id_cols or ["doc_id"]),
+                        vocab_size=vocab_size)
+
+
+@register_stage("quantile_band")
+def _quantile_band(ds, value_col: str, q_lo: float, q_hi: float):
+    """Percentile-trim selection (round 4)."""
+    from ..stages.quantile import quantile_band_filter
+
+    return quantile_band_filter(ds, value_col, q_lo, q_hi)
+
+
+@register_stage("segment_dedup")
+def _segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                   sep: str = "\n\n"):
+    """Corpus-wide first-occurrence segment dedup + reassembly (round 4)."""
+    from ..stages.paradedup import segment_dedup
+
+    return segment_dedup(ds, id_col=id_col, text_col=text_col, sep=sep)
+
+
 def _build_source(spec: dict) -> ray.data.Dataset:
     typ = spec["type"]
     if typ == "parquet":
