@@ -1036,6 +1036,17 @@ def q_cluster_reps(sf_dir: str):
     return reps.select_columns(["cluster", "vec_id", "label", "n_members"])
 
 
+def q_pca_project(sf_dir: str):
+    """distributed PCA: one moment-accumulation pass (d×d partials), one
+    driver eigh, broadcast projection to 8 dims (stages/pca.py; rows-only
+    — float eigensolve; numpy-parity test pins the fit)."""
+    from ..stages.pca import pca_project
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = pca_project(ds, "embedding", k=8)
+    return out.select_columns(["vec_id", "proj"])
+
+
 def q_lsh_neardup(sf_dir: str):
     """hyperplane-LSH near-dup pairs — the approximate 100-TB path (no SQL
     oracle: recall < 1 by construction at this threshold; the companion
@@ -1317,14 +1328,15 @@ def q_delta_rate(sf_dir: str):
 
 
 def q_topk_per_source(sf_dir: str):
-    """per-group top-k (training-data selection): 3 longest docs per source."""
+    """per-group top-k (training-data selection): 3 longest docs per
+    source — distributed partial top-k (aggregate.topk_per_group, r4:
+    replaces the per-group-pandas map_groups; exchange bounded by
+    groups × blocks × k)."""
+    from ..stages.aggregate import topk_per_group
+
     ds = read_table(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
-
-    def top3(group):
-        return group.sort_values(["n_chars", "doc_id"],
-                                 ascending=[False, True]).head(3)
-
-    return ds.groupby("source").map_groups(top3, batch_format="pandas")
+    return topk_per_group(ds, keys=["source"], k=3, score_col="n_chars",
+                          tiebreak_col="doc_id")
 
 
 def q_anomaly_scores(sf_dir: str):
@@ -1723,6 +1735,7 @@ QUERIES = {
     "repeated_ngrams": q_repeated_ngrams,
     "approx_distinct_users": q_approx_distinct_users,
     "lsh_neardup": q_lsh_neardup,
+    "pca_project": q_pca_project,
     "dedup_docs_salted": q_dedup_docs_salted,
     "hash_partition_counts": q_hash_partition_counts,
     "delta_rate": q_delta_rate,
@@ -1753,7 +1766,10 @@ QUERIES = {
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              "anomaly_scores", "lsh_neardup", "approx_distinct_users",
              "jaccard_verify", "token_frequency",
-             "approx_value_quantiles", "heavy_hitter_users"}
+             "approx_value_quantiles", "heavy_hitter_users",
+             # float eigensolve: last-ulp BLAS variance; numpy-parity test
+             # pins the fit exactly (tests/test_pca.py)
+             "pca_project"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

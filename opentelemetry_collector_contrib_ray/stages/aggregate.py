@@ -322,3 +322,82 @@ def best_per_group(
         return partial
     tbl = pa.concat_tables(nonempty, promote_options="default")
     return ray.data.from_arrow(merge(tbl))
+
+
+def _rank_in_group(tbl: pa.Table, keys: list[str]) -> "np.ndarray":
+    """0-based rank of each row within its key group — table must already
+    be sorted by keys (+ the desired order); vectorized run-length pass."""
+    import numpy as np
+
+    n = tbl.num_rows
+    starts = np.zeros(n, dtype=bool)
+    if n:
+        starts[0] = True
+    for k in keys:
+        col = tbl.column(k)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        a = col.to_numpy(zero_copy_only=False)
+        starts[1:] |= a[1:] != a[:-1]
+    seg_id = starts.cumsum() - 1
+    start_idx = np.nonzero(starts)[0]
+    return np.arange(n, dtype=np.int64) - start_idx[seg_id]
+
+
+def topk_per_group(
+    ds,
+    keys: list[str],
+    k: int,
+    score_col: str | None = None,
+    tiebreak_col: str | None = None,
+    order_by: list[tuple[str, str]] | None = None,
+    batch_size: int | None = None,
+    final: str = "auto",
+    auto_shuffle_threshold: int = 5_000_000,
+):
+    """Distributed per-group top-k: the k best rows per key group
+    (``score_col`` descending, ties to ``tiebreak_col`` ascending, or an
+    explicit ``order_by``) — the training-data selection primitive
+    ("3 longest docs per source") without per-group pandas tasks.
+
+    Same shape as :func:`best_per_group`: each block reduces to ≤ k rows
+    per key (sort + vectorized run-length rank filter — no row loop), so
+    the exchange carries at most groups × blocks × k rows; the size-gated
+    final re-runs the identical rank filter once on the driver or per
+    hash partition.
+    """
+    import numpy as np  # noqa: F401  (used via _rank_in_group)
+
+    import ray.data
+
+    if order_by is None:
+        if score_col is None or tiebreak_col is None:
+            raise ValueError("pass score_col+tiebreak_col or order_by")
+        order_by = [(score_col, "descending"), (tiebreak_col, "ascending")]
+    if k <= 0:
+        raise ValueError("k must be positive")
+    sort_spec = [(c, "ascending") for c in keys] + order_by
+
+    def reduce_topk(t: pa.Table) -> pa.Table:
+        ordered = t.sort_by(sort_spec)
+        return ordered.filter(pa.array(_rank_in_group(ordered, keys) < k))
+
+    partial = ds.map_batches(reduce_topk, batch_format="pyarrow",
+                             zero_copy_batch=True,
+                             batch_size=batch_size).materialize()
+    if final == "auto":
+        final = ("shuffle" if partial.count() > auto_shuffle_threshold
+                 else "driver")
+    if final == "shuffle":
+        from .blocks import nonempty_blocks
+
+        return nonempty_blocks(partial).groupby(keys).map_groups(
+            reduce_topk, batch_format="pyarrow")
+
+    import ray
+
+    nonempty = [t for t in ray.get(partial.to_arrow_refs()) if len(t)]
+    if not nonempty:
+        return partial
+    return ray.data.from_arrow(
+        reduce_topk(pa.concat_tables(nonempty, promote_options="default")))

@@ -90,3 +90,25 @@ def test_cluster_representatives_no_pairs_all_singletons():
                                   rd.from_arrow(empty),
                                   id_col="id", score_col="score")
     assert _rep_set(got) == {(i, i, i, 1) for i in range(4)}
+
+
+def test_topk_per_group_matches_reference_and_paths_agree():
+    from opentelemetry_collector_contrib_ray.stages.aggregate import (
+        topk_per_group,
+    )
+
+    df = _items(600, 17, seed=21)
+    k = 3
+    ref = df.sort_values(["g", "score", "id"],
+                         ascending=[True, False, True]).groupby("g").head(k)
+    expect = {(r.g, r.id, r.score) for r in ref.itertuples()}
+    ds = rd.from_pandas(df, override_num_blocks=6)
+    for final in ("driver", "shuffle"):
+        out = topk_per_group(ds, keys=["g"], k=k, score_col="score",
+                             tiebreak_col="id", final=final)
+        got = {(r["g"], r["id"], r["score"]) for r in out.take_all()}
+        assert got == expect, final
+    # k larger than any group: everything survives
+    out = topk_per_group(ds, keys=["g"], k=10_000, score_col="score",
+                         tiebreak_col="id")
+    assert out.count() == len(df)
