@@ -389,6 +389,18 @@ def _segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return segment_dedup(ds, id_col=id_col, text_col=text_col, sep=sep)
 
 
+@register_stage("md5_tokenize")
+def _md5_tokenize(ds, text_col: str = "text", out_col: str = "tokens",
+                  vocab_size: int = 50_257):
+    """SQL-reproducible word tokenizer (round 4)."""
+    from ..stages.vocab import Md5Tokenize
+
+    return ds.map_batches(
+        Md5Tokenize(text_col=text_col, out_col=out_col,
+                    vocab_size=vocab_size),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _build_source(spec: dict) -> ray.data.Dataset:
     typ = spec["type"]
     if typ == "parquet":

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..sources import corpus
-from ..sources.tables import read_table
+from ..sources.tables import read_table, table_path
 from ..stages import window
 from ..stages.aggregate import count_sum
 from ..stages.dedup import exact_dedup
@@ -1535,6 +1535,63 @@ def q_segment_dedup(sf_dir: str):
     return segment_dedup(ds, id_col="doc_id", text_col="text", sep=" ")
 
 
+def q_refresh_pipeline(sf_dir: str):
+    """END-TO-END training-data refresh, config-driven (§2.10 composition
+    of the round-4 operators): quality band-trim -> corpus-wide segment
+    dedup -> SQL-parity tokenize -> vocab remap (bijection) -> sequence
+    packing. The oracle reproduces the whole chain's conservation law in
+    SQL: every kept segment is exactly one token, remap is a permutation,
+    packing conserves tokens and counts each doc once — so
+    (total_tokens, total_docs) match bit-exactly."""
+    import numpy as np_
+
+    from .builder import build_pipeline
+
+    V = 50_257
+    mapping = ((np_.arange(V, dtype=np_.int64) * 3 + 17) % V).astype(
+        np_.int32)
+    cfg = {
+        "source": {"type": "parquet",
+                   "path": table_path(sf_dir, "documents"),
+                   "columns": ["doc_id", "text", "n_chars"]},
+        "stages": [
+            {"type": "quantile_band", "value_col": "n_chars",
+             "q_lo": 0.10, "q_hi": 0.90},
+            {"type": "segment_dedup", "id_col": "doc_id",
+             "text_col": "text", "sep": " "},
+            {"type": "md5_tokenize", "text_col": "text_clean",
+             "vocab_size": V},
+            {"type": "remap_tokens", "mapping": mapping.tolist()},
+            {"type": "pack_sequences", "max_len": 64},
+        ],
+    }
+    packed = build_pipeline(cfg)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_tok": pa.array(
+                [int(pc.sum(t.column("n_tok")).as_py() or 0)], pa.int64()),
+            "p_docs": pa.array(
+                [int(pc.sum(t.column("n_docs")).as_py() or 0)], pa.int64()),
+        })
+
+    parts = packed.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    import ray as ray_
+
+    tbl = pa.concat_tables(
+        [t for t in ray_.get(parts.materialize().to_arrow_refs())
+         if t.num_rows])
+    import ray.data as rd_
+
+    return rd_.from_arrow(pa.table({
+        "total_tokens": pa.array(
+            [int(pc.sum(tbl.column("p_tok")).as_py() or 0)], pa.int64()),
+        "total_docs": pa.array(
+            [int(pc.sum(tbl.column("p_docs")).as_py() or 0)], pa.int64()),
+    }))
+
+
 def q_quantile_band(sf_dir: str):
     """percentile-trim selection: keep documents whose length sits inside
     the corpus [p10, p90] band (stages/quantile.py quantile_band_filter —
@@ -1695,6 +1752,7 @@ QUERIES = {
     "cluster_reps": q_cluster_reps,
     "quantile_band": q_quantile_band,
     "segment_dedup": q_segment_dedup,
+    "refresh_pipeline": q_refresh_pipeline,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -1709,13 +1767,15 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
-    "asof_join": q_asof_join,
     # ^-- driver window ends at 50 entries --------------------------------
     # (embed_neardup_ivf + delta_cumsum + value_quantiles +
-    # session_windows + error_rate + distinct_users rotated out for
-    # range_join + remap_tokens + token_rarity + cluster_reps +
-    # quantile_band + segment_dedup: all r3-green, still mirror-gated in
-    # pytest every session)
+    # session_windows + error_rate + distinct_users + asof_join rotated
+    # out for the round-4 queries range_join + remap_tokens +
+    # token_rarity + cluster_reps + quantile_band + segment_dedup +
+    # refresh_pipeline: all r3-green (asof_join shares its ASOF oracle
+    # with the in-window asof_join_sorted), still mirror-gated in pytest
+    # every session)
+    "asof_join": q_asof_join,
     "distinct_users": q_distinct_users,
     "error_rate": q_error_rate,
     "session_windows": q_session_windows,
@@ -2254,6 +2314,29 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "refresh_pipeline": """
+        WITH band AS (
+            SELECT doc_id, text FROM documents
+            WHERE n_chars >= (SELECT quantile_disc(n_chars, 0.10)
+                              FROM documents)
+              AND n_chars <= (SELECT quantile_disc(n_chars, 0.90)
+                              FROM documents)
+        ),
+        p AS (
+            SELECT doc_id, i, parts[i] AS seg
+            FROM (SELECT doc_id, string_split(text, ' ') AS parts
+                  FROM band),
+                 LATERAL (SELECT unnest(generate_series(1, len(parts)))
+                          AS i)
+        ),
+        win AS (
+            SELECT seg, first(doc_id ORDER BY doc_id, i) AS doc_id
+            FROM p GROUP BY seg
+        )
+        SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS total_docs
+        FROM win
     """,
     "segment_dedup": """
         WITH p AS (
