@@ -1592,6 +1592,79 @@ def q_refresh_pipeline(sf_dir: str):
     }))
 
 
+def q_otlp_roundtrip(sf_dir: str):
+    """fileexporter ``format: json`` + otlpjsonfilereceiver ROUND-TRIP
+    (exporter/fileexporter/README.md:22 — the exported OTLP-JSON lines are
+    readable back by the receiver): events -> flat LogRecord columns ->
+    ``write_otlp_json_logs`` (pdata forest rebuild, one export doc per
+    block) -> ``read_otlp_json_logs`` -> per-severity aggregate over the
+    ROUND-TRIPPED rows.  The oracle computes the same aggregate directly
+    from the source table, so any encode/decode defect (uint64-as-string
+    timestamps, severity enum, body AnyValue, kvlist grouping) breaks a
+    column."""
+    import shutil
+    import tempfile
+
+    from ..sources.otlpjson import read_otlp_json_logs, write_otlp_json_logs
+    from ..stages.aggregate import multi_agg
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "props"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        ns = pc.cast(pc.multiply(pc.cast(t.column("ts"), pa.int64()),
+                                 pa.scalar(1000, pa.int64())), pa.uint64())
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        sev = pa.array((eid % 24 + 1).astype("int32"), pa.int32())
+        uid = pc.cast(t.column("user_id"), pa.string())
+        attrs = pc.binary_join_element_wise(
+            pa.scalar('{"user_id": '), uid, pa.scalar("}"), "")
+        res = pc.binary_join_element_wise(
+            pa.scalar('{"team": "'), t.column("event_type"),
+            pa.scalar('"}'), "")
+        n = t.num_rows
+        return pa.table({
+            "time_unix_nano": ns,
+            "observed_time_unix_nano": ns,
+            "severity_number": sev,
+            "severity_text": t.column("event_type"),
+            "body": t.column("props"),
+            "attributes": attrs,
+            "resource_attributes": res,
+            "scope_name": pa.array(["events-gen"] * n, pa.string()),
+        })
+
+    flat = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
+    tmp = tempfile.mkdtemp(prefix="otlp_rt_", dir="/tmp")
+    try:
+        write_otlp_json_logs(flat, tmp)
+
+        def per_row(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "severity_text": t.column("severity_text"),
+                "sev": pc.cast(t.column("severity_number"), pa.int64()),
+                "ns": pc.cast(t.column("time_unix_nano"), pa.int64()),
+                "chars": pc.cast(pc.utf8_length(t.column("body")),
+                                 pa.int64()),
+            })
+
+        back = read_otlp_json_logs(tmp).map_batches(
+            per_row, batch_format="pyarrow", zero_copy_batch=True)
+        sums = count_sum(back, keys=["severity_text"],
+                         sum_cols={"sev": "sev_sum", "chars": "body_chars"})
+        spans = multi_agg(back, keys=["severity_text"], col="ns",
+                          ops=["min", "max"], prefix="ns")
+        # bounded: both tables have one row per event_type (~5)
+        t_sums = pa.Table.from_pylist(sums.take_all())
+        t_spans = pa.Table.from_pylist(spans.take_all())
+        return t_sums.join(t_spans, keys=["severity_text"])
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_quantile_band(sf_dir: str):
     """percentile-trim selection: keep documents whose length sits inside
     the corpus [p10, p90] band (stages/quantile.py quantile_band_filter —
@@ -1753,6 +1826,7 @@ QUERIES = {
     "quantile_band": q_quantile_band,
     "segment_dedup": q_segment_dedup,
     "refresh_pipeline": q_refresh_pipeline,
+    "otlp_roundtrip": q_otlp_roundtrip,
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
@@ -2314,6 +2388,15 @@ ORACLE_SQL = {
         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
         FROM s GROUP BY user_id, session_id
+    """,
+    "otlp_roundtrip": """
+        SELECT event_type AS severity_text,
+               count(*) AS row_count,
+               CAST(sum(event_id % 24 + 1) AS BIGINT) AS sev_sum,
+               CAST(sum(len(props)) AS BIGINT) AS body_chars,
+               CAST(min(epoch_us(ts) * 1000) AS BIGINT) AS ns_min,
+               CAST(max(epoch_us(ts) * 1000) AS BIGINT) AS ns_max
+        FROM events GROUP BY event_type
     """,
     "refresh_pipeline": """
         WITH band AS (

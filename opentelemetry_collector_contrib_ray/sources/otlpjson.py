@@ -118,3 +118,122 @@ def read_otlp_json_logs(paths: "str | list[str]") -> ray.data.Dataset:
     """Read OTLP-JSON-lines log files into a flat one-row-per-LogRecord Dataset."""
     ds = ray.data.read_text(paths)
     return ds.map_batches(_DecodeBatch(), batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- OTLP-JSON export (fileexporter `format: json` analog) -------------------
+
+def _encode_any_value(v) -> dict:
+    """Python value -> OTLP-JSON AnyValue (exact inverse of :func:`_any_value`).
+
+    Proto3 JSON mapping: int64 serializes as a STRING (the reader's
+    ``int(v["intValue"])`` expects that); bool checked before int because
+    ``bool`` subclasses ``int`` in Python.
+    """
+    if isinstance(v, bool):
+        return {"boolValue": v}
+    if isinstance(v, int):
+        return {"intValue": str(v)}
+    if isinstance(v, float):
+        return {"doubleValue": v}
+    if isinstance(v, str):
+        return {"stringValue": v}
+    if isinstance(v, list):
+        return {"arrayValue": {"values": [_encode_any_value(x) for x in v]}}
+    if isinstance(v, dict):
+        return {"kvlistValue": {"values": _encode_kvlist(v)}}
+    return {}
+
+
+def _encode_kvlist(d: dict) -> list:
+    return [{"key": k, "value": _encode_any_value(v)} for k, v in sorted(d.items())]
+
+
+class OtlpJsonWrite:
+    """Encode flat LogRecord rows back to OTLP-JSON export documents and write
+    one ``.jsonl`` shard per batch — the fileexporter ``format: json`` analog
+    (exporter/fileexporter/marshaller.go:28-31 plog.JSONMarshaler,
+    file_exporter.go one-line-per-export; README.md:100 "Each line in the
+    file is a JSON object").
+
+    The pdata forest is rebuilt from the flat columns: rows group by
+    ``resource_attributes`` into ResourceLogs and by ``scope_name`` into
+    ScopeLogs, so ``read_otlp_json_logs(write_otlp_json_logs(ds))`` is an
+    exact row-level round-trip (pinned by tests/test_otlp_roundtrip.py).
+
+    Per-row Python encode is acceptable here: JSON serialization is
+    inherently per-record and this is a terminal export stage bounded by
+    output I/O, not a hot transform.  Each task writes its own shard
+    (resumable-output convention — the out_dir ACCUMULATES like
+    write_routed; rm it before a fresh run).
+    """
+
+    MANIFEST_SCHEMA = pa.schema([("path", pa.string()), ("rows", pa.int64())])
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        if batch.num_rows == 0:
+            return self.MANIFEST_SCHEMA.empty_table()
+        cols = {name: batch.column(name).to_pylist() if name in batch.column_names
+                else [None] * batch.num_rows
+                for name in FLAT_SCHEMA.names}
+        # group rows: resource_attributes -> scope_name -> [log records]
+        forest: dict[str, dict[str, list]] = {}
+        for i in range(batch.num_rows):
+            res_key = cols["resource_attributes"][i] or "{}"
+            scope = cols["scope_name"][i]
+            lr: dict = {}
+            if cols["time_unix_nano"][i]:
+                lr["timeUnixNano"] = str(cols["time_unix_nano"][i])
+            if cols["observed_time_unix_nano"][i]:
+                lr["observedTimeUnixNano"] = str(cols["observed_time_unix_nano"][i])
+            if cols["severity_number"][i]:
+                lr["severityNumber"] = int(cols["severity_number"][i])
+            if cols["severity_text"][i] is not None:
+                lr["severityText"] = cols["severity_text"][i]
+            if cols["body"][i] is not None:
+                lr["body"] = {"stringValue": cols["body"][i]}
+            if cols["trace_id"][i] is not None:
+                lr["traceId"] = cols["trace_id"][i]
+            if cols["span_id"][i] is not None:
+                lr["spanId"] = cols["span_id"][i]
+            attrs = json.loads(cols["attributes"][i]) if cols["attributes"][i] else {}
+            if attrs:
+                lr["attributes"] = _encode_kvlist(attrs)
+            forest.setdefault(res_key, {}).setdefault(scope, []).append(lr)
+
+        resource_logs = []
+        for res_key in sorted(forest):
+            scope_logs = []
+            for scope in sorted(forest[res_key], key=lambda s: s or ""):
+                sl: dict = {"logRecords": forest[res_key][scope]}
+                if scope is not None:
+                    sl["scope"] = {"name": scope}
+                scope_logs.append(sl)
+            rl: dict = {"scopeLogs": scope_logs}
+            res_attrs = json.loads(res_key)
+            if res_attrs:
+                rl["resource"] = {"attributes": _encode_kvlist(res_attrs)}
+            resource_logs.append(rl)
+        doc = json.dumps({"resourceLogs": resource_logs}, sort_keys=True,
+                         separators=(",", ":"))
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(doc + "\n")
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str):
+    """Write a flat-schema log Dataset as OTLP-JSON lines (one export doc per
+    block) under ``out_dir``; returns the materialized shard manifest
+    (bounded: one row per block)."""
+    manifest = ds.map_batches(OtlpJsonWrite(out_dir), batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return manifest.materialize()
