@@ -361,6 +361,16 @@ def _remap_tokens(ds, mapping: list, tokens_col: str = "tokens"):
                         tokens_col=tokens_col)
 
 
+@register_stage("kmeans_assign")
+def _kmeans_assign(ds, id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 16, sim_col: str = None, fit_sample: int = 4096):
+    """Spherical k-means cluster assignment (round 4, SemDeDup prereq)."""
+    from ..stages.kmeans import kmeans_assign
+
+    return kmeans_assign(ds, id_col, vec_col, k, sim_col=sim_col,
+                         fit_sample=fit_sample)
+
+
 @register_stage("token_rarity")
 def _token_rarity(ds, tokens_col: str = "tokens", id_cols: list = None,
                   vocab_size: int = 65536):

@@ -1047,6 +1047,22 @@ def q_pca_project(sf_dir: str):
     return out.select_columns(["vec_id", "proj"])
 
 
+def q_semdedup_reps(sf_dir: str):
+    """SemDeDup semantic dedup (stages/kmeans.py): spherical k-means over
+    the embedding column (deterministic hash-order fit sample), keep the
+    one farthest-from-centroid representative per cluster via the
+    distributed argmax (rows-only — iterative clustering has no SQL
+    equivalent; blob-recovery + one-rep-per-cluster invariants are pinned
+    in tests/test_kmeans.py)."""
+    from ..stages.kmeans import semdedup_representatives
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    reps = semdedup_representatives(ds, "vec_id", "embedding", k=16)
+    if isinstance(reps, pa.Table):
+        return reps.select(["cluster", "vec_id", "cluster_size"])
+    return reps.select_columns(["cluster", "vec_id", "cluster_size"])
+
+
 def q_lsh_neardup(sf_dir: str):
     """hyperplane-LSH near-dup pairs — the approximate 100-TB path (no SQL
     oracle: recall < 1 by construction at this threshold; the companion
@@ -1870,6 +1886,7 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "lsh_neardup": q_lsh_neardup,
     "pca_project": q_pca_project,
+    "semdedup_reps": q_semdedup_reps,
     "dedup_docs_salted": q_dedup_docs_salted,
     "hash_partition_counts": q_hash_partition_counts,
     "delta_rate": q_delta_rate,
@@ -1903,7 +1920,10 @@ NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              "approx_value_quantiles", "heavy_hitter_users",
              # float eigensolve: last-ulp BLAS variance; numpy-parity test
              # pins the fit exactly (tests/test_pca.py)
-             "pca_project"}
+             "pca_project",
+             # iterative k-means clustering: no SQL equivalent; blob
+             # recovery + rep invariants pinned in tests/test_kmeans.py
+             "semdedup_reps"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}
