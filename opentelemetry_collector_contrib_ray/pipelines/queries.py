@@ -40,6 +40,22 @@ from ..stages.transform import (
 )
 from . import flagship
 
+def read_embeddings(sf_dir: str, columns: list[str]):
+    """Embeddings read with matmul-sized blocks: Ray's parallelism floor
+    splits the (small-row-count, wide-vector) table into ~2×CPU tiny
+    blocks, and the block-pair / scorer stages then pay per-task dispatch
+    with no math (64 blocks of 31 rows at sf0.1, r4 measurement). 4096
+    rows per block matches embedding_near_dups' coalesce target; above
+    2×CPU blocks auto_blocks defers to Ray's byte-based sizing, so big
+    inputs keep read parallelism."""
+    from ..sources.tables import auto_blocks
+
+    return read_table(
+        sf_dir, "embeddings", columns=columns,
+        override_num_blocks=auto_blocks(sf_dir, "embeddings",
+                                        rows_per_block=4096))
+
+
 CORPUS_CTES = (
     f"WITH {corpus.RAW_SQL_CTE.strip()}, {corpus.ENRICH_SQL_CTE.strip()}, "
     f"routed AS (SELECT *, {corpus.ROUTE_SQL_CASE.strip()} AS sink FROM enriched)"
@@ -658,7 +674,7 @@ def q_knn_vec0(sf_dir: str):
 
     from ..sources.tables import table_path
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     # the query vector is a row-filtered footer-pruned read, not a scan
     q_tbl = pq.read_table(table_path(sf_dir, "embeddings"),
                           columns=["embedding"], filters=[("vec_id", "==", 0)])
@@ -671,7 +687,7 @@ def q_knn_vec0(sf_dir: str):
 def q_embed_neardup(sf_dir: str):
     """embedding-cosine near-dup pairs (threshold 0.30) — EXACT, via the
     distributed block-pair join (driver holds refs only; no broadcast)."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     pairs = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding", threshold=0.30)
     return pairs.select_columns(["id_a", "id_b"])
 
@@ -992,7 +1008,7 @@ def q_embed_neardup_ivf(sf_dir: str):
     change the answer."""
     from ..stages.similarity import embedding_near_dups_ivf
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     pairs = embedding_near_dups_ivf(ds, id_col="vec_id", vec_col="embedding",
                                     threshold=0.30, n_cells=8)
     return pairs.select_columns(["id_a", "id_b"])
@@ -1007,7 +1023,7 @@ def q_dedup_clusters(sf_dir: str):
     tests/test_cluster.py and scripts/cluster_scale_check.py)."""
     from ..stages.cluster import connected_components
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     pairs = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
                                 threshold=0.30)
     out = connected_components(pairs.select_columns(["id_a", "id_b"]))
@@ -1024,7 +1040,7 @@ def q_cluster_reps(sf_dir: str):
     distributed argmax)."""
     from ..stages.cluster import cluster_representatives
 
-    ds = read_table(sf_dir, "embeddings",
+    ds = read_embeddings(sf_dir,
                     columns=["vec_id", "embedding", "label"])
     pairs = embedding_near_dups(
         ds.select_columns(["vec_id", "embedding"]),
@@ -1042,7 +1058,7 @@ def q_pca_project(sf_dir: str):
     — float eigensolve; numpy-parity test pins the fit)."""
     from ..stages.pca import pca_project
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     out = pca_project(ds, "embedding", k=8)
     return out.select_columns(["vec_id", "proj"])
 
@@ -1056,7 +1072,7 @@ def q_semdedup_reps(sf_dir: str):
     in tests/test_kmeans.py)."""
     from ..stages.kmeans import semdedup_representatives
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     reps = semdedup_representatives(ds, "vec_id", "embedding", k=16)
     if isinstance(reps, pa.Table):
         return reps.select(["cluster", "vec_id", "cluster_size"])
@@ -1069,7 +1085,7 @@ def q_lsh_neardup(sf_dir: str):
     test measures recall against the exact block-pair join)."""
     from ..stages.similarity import lsh_near_dups
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     pairs = lsh_near_dups(ds, id_col="vec_id", vec_col="embedding",
                           threshold=0.30, dim=64)
     return pairs.select_columns(["id_a", "id_b"])
@@ -1359,7 +1375,7 @@ def q_anomaly_scores(sf_dir: str):
     """isolationforest model-scorer actor pool (no SQL oracle) (§2.7)."""
     from ..stages.anomaly import score_anomalies
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = read_embeddings(sf_dir, columns=["vec_id", "embedding"])
     scored = score_anomalies(ds, vec_col="embedding", fit_sample=256, n_trees=25)
     return scored.select_columns(["vec_id", "anomaly_score"])
 
@@ -1487,8 +1503,11 @@ def q_range_join(sf_dir: str):
         })
 
     wnd = ev.map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+    # bucket_s is a pure tuning knob (any value gives identical results);
+    # these windows are all exactly 600 s, so passing it skips the
+    # mean-interval pass (one materialize + one scan round, ~1.5 s at sf0.1)
     out = range_join(left, wnd, left_ts="ts", right_start="w_start",
-                     right_end="w_end", key_cols=["user_id"])
+                     right_end="w_end", key_cols=["user_id"], bucket_s=600.0)
     return out.select_columns(["event_id", "incident_id", "user_id"])
 
 

@@ -32,6 +32,7 @@ import heapq
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -54,13 +55,19 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 class _BatchTopK:
     """Per-batch partial: top-k cosine rows against the broadcast queries."""
 
-    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int):
+    def __init__(self, queries_ref, id_col: str, vec_col: str, k: int,
+                 exclude_ids: frozenset = frozenset()):
         self._ref = queries_ref
         self.q = None  # resolved lazily IN the worker (zero-copy get), so
         # a driver-built instance ships only the ref, never the matrix
         self.id_col = id_col
         self.vec_col = vec_col
         self.k = k
+        # excluded ids must drop BEFORE the per-block top-k cut: a
+        # single-block dataset would otherwise spend a top-k slot on an
+        # excluded row and return k-1 results (r4 regression caught by the
+        # knn_vec0 oracle when the embeddings read coalesced to one block)
+        self.exclude_ids = exclude_ids
 
     def _queries(self) -> np.ndarray:
         if self.q is None:
@@ -70,6 +77,16 @@ class _BatchTopK:
         return self.q
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.exclude_ids:
+            mask = pc.invert(pc.is_in(
+                batch.column(self.id_col),
+                value_set=pa.array(sorted(self.exclude_ids))))
+            batch = batch.filter(mask)
+        if not batch.num_rows:
+            id_type = batch.schema.field(self.id_col).type
+            return pa.table({"query_idx": pa.array([], pa.int32()),
+                             self.id_col: pa.array([], id_type),
+                             "cosine": pa.array([], pa.float64())})
         m = _normalize(_matrix(batch, self.vec_col))  # (n, dim)
         sims = m @ self._queries().T  # (n, nq)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -107,7 +124,8 @@ def knn_brute_force(ds, queries: np.ndarray, id_col: str, vec_col: str, k: int,
     # (CLAUDE.md round-2: consecutive actor pools starve small sessions)
     ref = ray.put(np.asarray(queries, dtype=np.float64))
     partials = ds.map_batches(
-        _BatchTopK(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k),
+        _BatchTopK(queries_ref=ref, id_col=id_col, vec_col=vec_col, k=k,
+                   exclude_ids=frozenset(exclude_ids or ())),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).take_all()  # small: num_blocks * k * nq rows
@@ -130,6 +148,45 @@ def knn_brute_force(ds, queries: np.ndarray, id_col: str, vec_col: str, k: int,
              ("cosine", pa.float64()), ("rank", pa.int32())]
         ),
     )
+
+
+def _score_pair(ids_i, mi, ids_j, mj, threshold: float, symmetric: bool):
+    """Score one normalized block pair; returns (id_a, id_b, cosine) arrays
+    with id_a < id_b canonical order. Shared by the actor-pool scorer and
+    the small-P task path so both are pinned by the same oracle."""
+    sims = mi @ mj.T
+    ai, bj = np.nonzero(sims >= threshold)
+    left, right = ids_i[ai], ids_j[bj]
+    if symmetric:
+        # symmetric block: both orientations present -> keep one
+        keep = left < right
+        return left[keep], right[keep], sims[ai, bj][keep]
+    # distinct blocks: each pair scored ONCE -> canonicalize, never drop
+    # (ids are globally unique across blocks)
+    s = sims[ai, bj]
+    swap = left > right
+    return (np.where(swap, right, left), np.where(swap, left, right), s)
+
+
+_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                          ("cosine", pa.float64())])
+
+
+@ray.remote
+def _score_pair_task(tbl_i: pa.Table, tbl_j: pa.Table, symmetric: bool,
+                     id_col: str, vec_col: str, threshold: float) -> pa.Table:
+    """One block pair as a plain task (small-P fast path: an actor pool
+    costs ~2 s spin-up, which dominates when there are only a few pairs)."""
+    if not tbl_i.num_rows or not tbl_j.num_rows:
+        return _PAIR_SCHEMA.empty_table()
+    ids_i = tbl_i.column(id_col).to_numpy(zero_copy_only=False)
+    ids_j = tbl_j.column(id_col).to_numpy(zero_copy_only=False)
+    mi = _normalize(_matrix(tbl_i, vec_col))
+    mj = mi if symmetric else _normalize(_matrix(tbl_j, vec_col))
+    left, right, s = _score_pair(ids_i, mi, ids_j, mj, threshold, symmetric)
+    return pa.table({"id_a": pa.array(left.astype(np.int64), pa.int64()),
+                     "id_b": pa.array(right.astype(np.int64), pa.int64()),
+                     "cosine": pa.array(s, pa.float64())})
 
 
 class _BlockPairScorer:
@@ -174,20 +231,8 @@ class _BlockPairScorer:
             ids_j, mj = self._block(j)
             if not len(ids_i) or not len(ids_j):
                 continue
-            sims = mi @ mj.T
-            ai, bj = np.nonzero(sims >= self.threshold)
-            left, right = ids_i[ai], ids_j[bj]
-            if i == j:
-                # symmetric block: both orientations present -> keep one
-                keep = left < right
-                left, right, s = left[keep], right[keep], sims[ai, bj][keep]
-            else:
-                # distinct blocks: each pair scored ONCE -> canonicalize,
-                # never drop (ids are globally unique across blocks)
-                s = sims[ai, bj]
-                swap = left > right
-                left, right = (np.where(swap, right, left),
-                               np.where(swap, left, right))
+            left, right, s = _score_pair(ids_i, mi, ids_j, mj,
+                                         self.threshold, i == j)
             out_a.append(left)
             out_b.append(right)
             out_s.append(s)
@@ -218,24 +263,37 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
     clusterable; VERDICT r2 #2 on the registered query). Pass ``None`` to
     force plain all-pairs.
     """
-    if auto_ivf_threshold is not None:
-        n_rows = ds.count()
-        if n_rows > auto_ivf_threshold:
-            # ~sqrt(blocks) cells keeps per-cell block counts balanced
-            n_cells = int(max(8, min(256, (n_rows // 100_000) ** 0.5 * 8)))
-            return embedding_near_dups_ivf(
-                ds, id_col=id_col, vec_col=vec_col, threshold=threshold,
-                n_cells=n_cells, concurrency=concurrency)
-    # coalesce read-sized blocks first: P² grows with block COUNT, and a
+    # materialize the slim projection ONCE and derive the row count from it:
+    # a separate ds.count() would execute the upstream read a second time
+    # (measured: the whole parquet read ran twice in q_cluster_reps, r4)
+    slim = ds.select_columns([id_col, vec_col]).materialize()
+    n_rows = slim.count()
+    if auto_ivf_threshold is not None and n_rows > auto_ivf_threshold:
+        # ~sqrt(blocks) cells keeps per-cell block counts balanced
+        n_cells = int(max(8, min(256, (n_rows // 100_000) ** 0.5 * 8)))
+        return embedding_near_dups_ivf(
+            slim, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            n_cells=n_cells, concurrency=concurrency)
+    # coalesce read-sized blocks: P² grows with block COUNT, and a
     # 31-row block pair is all dispatch, no math (measured 2080 tasks /
     # 4.5 s for 2000 vectors pre-coalesce; 1 task post). 4096-vector
     # blocks keep the per-task matmul ≤ 16M dots.
-    from .blocks import rightsize_blocks
-
-    slim = rightsize_blocks(ds.select_columns([id_col, vec_col]),
-                            target_rows=4096)
+    want = max(1, min(slim.num_blocks(), n_rows // 4096 + 1))
+    if want < slim.num_blocks():
+        slim = slim.repartition(want)
     refs = slim.to_arrow_refs()
     P = len(refs)
+    n_pairs = P * (P + 1) // 2
+    if n_pairs <= 64:
+        # small-P fast path: plain tasks, no actor pool. Driver holds
+        # bounded: ≤64 result-table refs; block payloads stay remote
+        # (Ray resolves the table args in the worker, zero-copy local get).
+        out = [
+            _score_pair_task.remote(refs[i], refs[j], i == j,
+                                    id_col, vec_col, threshold)
+            for i in range(P) for j in range(i, P)
+        ]
+        return ray.data.from_arrow_refs(out)
     pair_ds = ray.data.from_items(
         [{"i": i, "j": j} for i in range(P) for j in range(i, P)]
     )
