@@ -248,8 +248,8 @@ class _BlockPairScorer:
 
 def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
                         concurrency=(1, 8),
-                        auto_ivf_threshold: int | None = 100_000
-                        ) -> "ray.data.Dataset":
+                        auto_ivf_threshold: int | None = 100_000,
+                        small_pair_gate: int = 64) -> "ray.data.Dataset":
     """EXACT all (id_a < id_b) pairs with cosine ≥ threshold, distributed.
 
     Block-pair join: driver holds only P object refs; P(P+1)/2 (i, j) tasks
@@ -284,10 +284,13 @@ def embedding_near_dups(ds, id_col: str, vec_col: str, threshold: float,
     refs = slim.to_arrow_refs()
     P = len(refs)
     n_pairs = P * (P + 1) // 2
-    if n_pairs <= 64:
-        # small-P fast path: plain tasks, no actor pool. Driver holds
-        # bounded: ≤64 result-table refs; block payloads stay remote
-        # (Ray resolves the table args in the worker, zero-copy local get).
+    if n_pairs <= small_pair_gate:
+        # small-P fast path: plain tasks, no actor pool (the pool's ~2 s
+        # spin-up dominated a handful of matmuls, r4). Driver holds
+        # bounded: ≤small_pair_gate result-table refs; block payloads stay
+        # remote (Ray resolves the args in the worker, zero-copy local
+        # get). small_pair_gate=0 forces the actor-pool path (tests pin
+        # both paths equal).
         out = [
             _score_pair_task.remote(refs[i], refs[j], i == j,
                                     id_col, vec_col, threshold)

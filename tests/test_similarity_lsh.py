@@ -207,3 +207,24 @@ def test_embedding_near_dups_auto_ivf_gate(tmp_path):
                                 auto_ivf_threshold=100).to_pandas()
     assert set(zip(plain["id_a"], plain["id_b"])) == \
         set(zip(gated["id_a"], gated["id_b"]))
+
+
+def test_small_pair_gate_task_path_equals_actor_pool_path():
+    """The r4 small-P fast path (plain remote tasks) and the actor-pool
+    block-pair scorer must emit the identical pair set — both call
+    _score_pair, but the routing, ref plumbing and empty-block handling
+    differ. small_pair_gate=0 forces the pool; default takes the tasks."""
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        embedding_near_dups,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    fast = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                               threshold=0.30).to_pandas()
+    pool = embedding_near_dups(ds, id_col="vec_id", vec_col="embedding",
+                               threshold=0.30,
+                               small_pair_gate=0).to_pandas()
+    f = set(zip(fast["id_a"], fast["id_b"]))
+    p = set(zip(pool["id_a"], pool["id_b"]))
+    assert f == p and len(fast) == len(f) and len(pool) == len(p)
