@@ -134,6 +134,7 @@ OPERATOR_QUERIES = [
     "cluster_reps",
     "quantile_band",
     "segment_dedup",
+    "perplexity_filter",
 ]
 
 

@@ -390,6 +390,17 @@ def _quantile_band(ds, value_col: str, q_lo: float, q_hi: float):
     return quantile_band_filter(ds, value_col, q_lo, q_hi)
 
 
+@register_stage("perplexity_filter")
+def _perplexity_filter(ds, id_col: str = "doc_id", text_col: str = "text",
+                       q_lo: float = 0.05, q_hi: float = 0.90,
+                       fit_sample: int = 4096):
+    """CCNet-style char-LM perplexity band selection (round 4)."""
+    from ..stages.perplexity import perplexity_filter
+
+    return perplexity_filter(ds, id_col=id_col, text_col=text_col,
+                             q_lo=q_lo, q_hi=q_hi, fit_sample=fit_sample)
+
+
 @register_stage("segment_dedup")
 def _segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                    sep: str = "\n\n"):

@@ -1570,6 +1570,23 @@ def q_segment_dedup(sf_dir: str):
     return segment_dedup(ds, id_col="doc_id", text_col="text", sep=" ")
 
 
+def q_perplexity_filter(sf_dir: str):
+    """CCNet-style perplexity band selection (stages/perplexity.py):
+    hashed char-trigram LM driver-fit on the deterministic hash-order
+    sample, task-based distributed scoring (two broadcast log tables, one
+    reduceat per batch), exact global [p05, p90] quantile band over the
+    INTEGER decimillibit score. Rows-only: float log-prob model scoring
+    has no SQL equivalent; determinism-under-partitioning, garbage-text
+    ordering and exact band membership are pinned in
+    tests/test_perplexity.py."""
+    from ..stages.perplexity import perplexity_filter
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = perplexity_filter(ds, id_col="doc_id", text_col="text",
+                            q_lo=0.05, q_hi=0.90)
+    return out.select_columns(["doc_id", "bpb_mdb"])
+
+
 def q_refresh_pipeline(sf_dir: str):
     """END-TO-END training-data refresh, config-driven (§2.10 composition
     of the round-4 operators): quality band-trim -> corpus-wide segment
@@ -1860,6 +1877,7 @@ QUERIES = {
     "cluster_reps": q_cluster_reps,
     "quantile_band": q_quantile_band,
     "segment_dedup": q_segment_dedup,
+    "perplexity_filter": q_perplexity_filter,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1948,7 +1966,11 @@ NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              "pca_project",
              # iterative k-means clustering: no SQL equivalent; blob
              # recovery + rep invariants pinned in tests/test_kmeans.py
-             "semdedup_reps"}
+             "semdedup_reps",
+             # float log-prob char-LM scoring: no SQL equivalent;
+             # determinism/ordering/band membership pinned in
+             # tests/test_perplexity.py
+             "perplexity_filter"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}
