@@ -146,6 +146,8 @@ def run_suite(sf_dir: str) -> tuple[dict, dict]:
 
     from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
 
+    import gc
+
     best_t, med_t = {}, {}
     for name in OPERATOR_QUERIES:
         runs = []
@@ -155,6 +157,12 @@ def run_suite(sf_dir: str) -> tuple[dict, dict]:
             if hasattr(res, "materialize"):
                 res.materialize()
             runs.append(time.perf_counter() - t0)
+            # drop the materialized refs NOW: 27 queries x N runs in one
+            # session otherwise accumulate plasma objects until late
+            # queries pay spill/eviction (measured 0.85s -> 5.3s drift on
+            # the 25th query, r4)
+            del res
+            gc.collect()
         best_t[name] = round(min(runs), 3)
         med_t[name] = round(statistics.median(runs), 3)
     return best_t, med_t
