@@ -108,24 +108,30 @@ def global_quantiles(ds, value_col: str, qs: list[float],
     :func:`group_quantiles`).
 
     Per-block distinct-(value, count) partials; above ``shuffle_threshold``
-    input rows the pair counts pre-merge in a distributed groupby so the
+    PARTIAL rows (distinct × blocks — the actual driver-funnel hazard, not
+    input rows) the pair counts pre-merge in a distributed groupby so the
     driver only ever sees one row per DISTINCT value (the documented
     partitioning assumption: the signal's distinct values fit one task —
     integer quality counters, cents, ranks; pre-round unbounded doubles).
     The global cumsum finish is O(distinct) on the driver.
+
+    The upstream pipeline executes exactly ONCE here: gating on
+    ``ds.count()`` would run it a second time just for a row count — for
+    an expensive upstream (perplexity scoring) that doubled the whole
+    operator (r4 measurement).
     """
     import ray
 
     pairs = ds.map_batches(
         _PairCounts([], value_col), batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    if ds.count() > shuffle_threshold:
+    ).materialize()
+    if pairs.count() > shuffle_threshold:
         from ray.data.aggregate import Sum
 
         pairs = pairs.groupby(value_col).aggregate(
-            Sum("_cnt", alias_name="_cnt"))
-    nonempty = [t for t in ray.get(pairs.materialize().to_arrow_refs())
+            Sum("_cnt", alias_name="_cnt")).materialize()
+    nonempty = [t for t in ray.get(pairs.to_arrow_refs())
                 if t.num_rows]
     if not nonempty:
         return {q: None for q in qs}
