@@ -55,11 +55,12 @@ def group_quantiles(ds, keys: list[str], value_col: str,
     the exact discrete quantiles of ``value_col``.
 
     Size-gated final like :func:`~.aggregate.count_sum`: at or below
-    ``driver_threshold`` input rows the per-block pair partials merge with
-    one driver-side pyarrow group_by and finish in pandas (the distinct
-    pair table is bounded by the gate; skips ~2 s of hash-shuffle fixed
-    overhead); above it the merge is a Ray hash-shuffle groupby and each
-    key finishes in its own task."""
+    ``driver_threshold`` PARTIAL rows (distinct (key, value) pairs ×
+    blocks — the actual driver-funnel hazard; gating on ``ds.count()``
+    also re-executed the upstream once just for the gate, r4) the
+    per-block pair partials merge with one driver-side pyarrow group_by
+    and finish in pandas; above it the merge is a Ray hash-shuffle
+    groupby and each key finishes in its own task."""
     from ray.data.aggregate import Sum
 
     names = [f"{prefix}{int(round(q * 100))}" for q in qs]
@@ -78,9 +79,9 @@ def group_quantiles(ds, keys: list[str], value_col: str,
     pairs = ds.map_batches(
         _PairCounts(keys, value_col), batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
 
-    if ds.count() <= driver_threshold:
+    if pairs.count() <= driver_threshold:
         import ray.data as rd
 
         from .aggregate import _collect_partials
