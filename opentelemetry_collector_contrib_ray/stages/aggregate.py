@@ -63,6 +63,7 @@ def count_sum(
     count_name: str = "row_count",
     batch_size: int | None = None,
     final: str = "driver",
+    auto_shuffle_threshold: int = 5_000_000,
 ):
     """groupby(keys) -> count(*) AS count_name, sum(col) AS name per sum_cols.
 
@@ -71,8 +72,12 @@ def count_sum(
     ``final="driver"`` (default) merges the per-block partials with one
     pyarrow group_by on the driver — right for low-cardinality keys where
     the partial table is tiny; ``final="shuffle"`` keeps the merge as a Ray
-    hash-shuffle groupby for high-cardinality keys.
-    """
+    hash-shuffle groupby for high-cardinality keys. ``final="auto"``
+    materializes the partials and gates on their ACTUAL row count
+    (groups × blocks) — callers that can't know key cardinality up front
+    (sliding windows: keys × time range) use this instead of a
+    ``ds.count()`` pre-scan, which re-executes the upstream once just to
+    guess (r4)."""
     import ray.data
 
     sum_cols = sum_cols or {}
@@ -82,6 +87,10 @@ def count_sum(
         zero_copy_batch=True,
         batch_size=batch_size,
     )
+    if final == "auto":
+        partial = partial.materialize()
+        final = ("shuffle" if partial.count() > auto_shuffle_threshold
+                 else "driver")
     if final == "shuffle":
         final_aggs = [Sum("row_count", alias_name=count_name)] + [
             Sum(out, alias_name=out) for out in sum_cols.values()

@@ -514,17 +514,14 @@ def sliding_window_counts(
 
     ``final="auto"`` (default, ADVICE r3): the (key, window_start) output
     cardinality grows with keys × time range — the driver-funnel hazard —
-    so when the worst-case expansion (rows × windows-per-row) exceeds
-    ``auto_shuffle_threshold`` the merge runs as a distributed hash-shuffle
-    groupby; below it, per-block partials merge on the driver (cheaper at
-    small scale). ``final="driver"``/``"shuffle"`` force a path.
+    so ``count_sum`` gates on the materialized partials' ACTUAL row count
+    (r4: the earlier ``ds.count() * k`` worst-case guess also re-executed
+    the upstream once just to decide). ``final="driver"``/``"shuffle"``
+    force a path.
     """
     if window_s <= 0 or slide_s <= 0:
         raise ValueError("window_s and slide_s must be positive")
     k = -(-window_s // slide_s)  # ceil
-    if final == "auto":
-        final = ("shuffle" if ds.count() * k > auto_shuffle_threshold
-                 else "driver")
 
     def expand(t: pa.Table) -> pa.Table:
         col = t.column(ts_col)
@@ -548,7 +545,8 @@ def sliding_window_counts(
     expanded = ds.map_batches(expand, batch_format="pyarrow",
                               zero_copy_batch=True)
     return count_sum(expanded, keys=key_cols + ["window_start"],
-                     sum_cols=sum_cols, final=final)
+                     sum_cols=sum_cols, final=final,
+                     auto_shuffle_threshold=auto_shuffle_threshold)
 
 
 def last_per_interval(
