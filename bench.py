@@ -135,6 +135,7 @@ OPERATOR_QUERIES = [
     "quantile_band",
     "segment_dedup",
     "perplexity_filter",
+    "text_dedup_reps",
 ]
 
 

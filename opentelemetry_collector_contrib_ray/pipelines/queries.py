@@ -1110,6 +1110,33 @@ def q_jaccard_verify(sf_dir: str):
     return out.select_columns(["id_a", "id_b"])
 
 
+def q_text_dedup_reps(sf_dir: str):
+    """END-TO-END text near-dup dedup DECISION (Lee et al. 2021 shape):
+    MinHash+LSH candidates -> EXACT trigram-Jaccard verify (the precise
+    gate) -> connected components over the verified pairs -> keep the
+    best copy per cluster (longest text, ties to least doc_id). Every
+    stage is the already-golden-pinned operator; this query is the full
+    composition a production dedup run executes. Rows-only: the candidate
+    set is sketch-recall-bounded (NO_ORACLE); the decision invariants
+    (one rep per cluster, reps are members, verified-dup losers dropped)
+    are pinned in tests/test_text_dedup_reps.py."""
+    from ..stages.cluster import cluster_representatives
+    from ..stages.neardup import exact_jaccard_verify
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "n_chars"])
+    cands = minhash_lsh_pairs(docs.select_columns(["doc_id", "text"]),
+                              threshold=0.5)
+    true_pairs = exact_jaccard_verify(
+        cands.drop_columns(["jaccard_est"]),
+        docs.select_columns(["doc_id", "text"]), threshold=0.5)
+    reps = cluster_representatives(
+        docs.drop_columns(["text"]),
+        true_pairs.select_columns(["id_a", "id_b"]),
+        id_col="doc_id", score_col="n_chars")
+    return reps.select_columns(["cluster", "doc_id", "n_members"])
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming-≤3 near-dup pairs (no SQL oracle: sketch-based)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1878,6 +1905,7 @@ QUERIES = {
     "quantile_band": q_quantile_band,
     "segment_dedup": q_segment_dedup,
     "perplexity_filter": q_perplexity_filter,
+    "text_dedup_reps": q_text_dedup_reps,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1891,8 +1919,8 @@ QUERIES = {
     "transform_statements": q_transform_statements,
     "dedup_docs": q_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
-    "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate": q_decontaminate,
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
     # ^-- driver window ends at 50 entries --------------------------------
@@ -1970,7 +1998,10 @@ NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              # float log-prob char-LM scoring: no SQL equivalent;
              # determinism/ordering/band membership pinned in
              # tests/test_perplexity.py
-             "perplexity_filter"}
+             "perplexity_filter",
+             # sketch-recall-bounded candidate set; decision invariants
+             # pinned in tests/test_text_dedup_reps.py
+             "text_dedup_reps"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

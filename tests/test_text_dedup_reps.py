@@ -1,0 +1,76 @@
+"""End-to-end text dedup decision (q_text_dedup_reps): the MinHash →
+exact-verify → components → keep-best composition. The candidate set is
+sketch-bounded (rows-only query), so these invariants are the contract.
+"""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+
+from opentelemetry_collector_contrib_ray.pipelines.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def reps():
+    out = QUERIES["text_dedup_reps"](SF)
+    return out.to_pandas() if hasattr(out, "to_pandas") else out
+
+
+def _docs():
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"]).to_pandas()
+
+
+def test_one_rep_per_cluster_and_reps_are_members(reps):
+    docs = _docs()
+    assert reps["cluster"].is_unique  # exactly one survivor per cluster
+    assert set(reps["doc_id"]) <= set(docs["doc_id"])
+    # every doc is accounted for: sum of cluster sizes == corpus size
+    assert int(reps["n_members"].sum()) == len(docs)
+
+
+def test_verified_duplicates_collapse_and_rep_is_best(reps):
+    """Rebuild the exact decision on the driver from the same verified
+    pair set and require identical survivors (the distributed composition
+    must equal the reference union-find + argmax)."""
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        exact_jaccard_verify,
+        minhash_lsh_pairs,
+    )
+
+    docs_ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                    columns=["doc_id", "text"])
+    cands = minhash_lsh_pairs(docs_ds, threshold=0.5)
+    pairs = exact_jaccard_verify(cands.drop_columns(["jaccard_est"]),
+                                 docs_ds, threshold=0.5).to_pandas()
+    docs = _docs().set_index("doc_id")
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for d in docs.index:
+        clusters.setdefault(find(d), []).append(d)
+    expect = {}
+    for c, members in clusters.items():
+        # best = greatest n_chars, ties to least doc_id
+        best = min(members, key=lambda d: (-docs.loc[d, "n_chars"], d))
+        expect[c] = (best, len(members))
+
+    got = {row.cluster: (row.doc_id, row.n_members)
+           for row in reps.itertuples()}
+    assert got == expect
