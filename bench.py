@@ -136,6 +136,7 @@ OPERATOR_QUERIES = [
     "segment_dedup",
     "perplexity_filter",
     "text_dedup_reps",
+    "repetition_filter",
 ]
 
 

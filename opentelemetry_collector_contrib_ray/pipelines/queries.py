@@ -1137,6 +1137,30 @@ def q_text_dedup_reps(sf_dir: str):
     return reps.select_columns(["cluster", "doc_id", "n_members"])
 
 
+def q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition filter (Rae et al. 2021 §A.1.1): drop
+    documents whose duplicate-segment fraction exceeds 50% (word-level
+    segments repeat far more than lines, so the word-mode threshold is
+    the looser Gopher rule) — integer predicate
+    ``2 * (n_seg - n_uniq) <= n_seg`` so the DuckDB
+    string_split / COUNT(DISTINCT) oracle matches exactly
+    (stages/textstats.py RepetitionStats; block-local, zero shuffle)."""
+    from ..stages.textstats import RepetitionStats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = ds.map_batches(RepetitionStats(text_col="text", sep=" "),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ns = t.column("n_seg")
+        nu = t.column("n_uniq")
+        dup2 = pc.multiply(pc.subtract(ns, nu), pa.scalar(2, pa.int64()))
+        return t.filter(pc.less_equal(dup2, ns)).drop_columns(["text"])
+
+    return stats.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash hamming-≤3 near-dup pairs (no SQL oracle: sketch-based)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1906,6 +1930,7 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "perplexity_filter": q_perplexity_filter,
     "text_dedup_reps": q_text_dedup_reps,
+    "repetition_filter": q_repetition_filter,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1915,7 +1940,6 @@ QUERIES = {
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
-    "filter_errors": q_filter_errors,
     "transform_statements": q_transform_statements,
     "dedup_docs": q_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
@@ -1930,6 +1954,7 @@ QUERIES = {
     # flagship_from_config, so the union of r3+r4 driver evidence covers
     # the whole catalog with nothing older than one round.)
     "parse_extract": q_parse_extract,
+    "filter_errors": q_filter_errors,
     "route_counts": q_route_counts,
     "enrich_join": q_enrich_join,
     # (embed_neardup_ivf + delta_cumsum + value_quantiles +
@@ -2711,6 +2736,16 @@ def _lang_id_oracle() -> str:
         FROM g GROUP BY 1
     """
 
+
+ORACLE_SQL["repetition_filter"] = """
+    WITH segs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS seg FROM documents
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_seg, COUNT(DISTINCT seg) AS n_uniq
+      FROM segs GROUP BY doc_id
+    )
+    SELECT doc_id, n_seg, n_uniq FROM agg WHERE 2 * (n_seg - n_uniq) <= n_seg
+"""
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()
 NO_ORACLE.discard("lang_id")

@@ -228,6 +228,42 @@ class NBCharLangModel:
             self.out, pa.array(preds.tolist(), pa.string()))
 
 
+class RepetitionStats:
+    """Per-document duplicate-segment counters (Gopher §A.1.1 repetition
+    rules, Rae et al. 2021): split the text on ``sep`` and count total vs
+    DISTINCT segments — ``n_seg - n_uniq`` is the duplicated-segment mass
+    whose fraction the repetition filter thresholds. INTEGER outputs, so
+    the DuckDB string_split/COUNT(DISTINCT) oracle matches exactly.
+
+    Vectorized per batch: one ``split_pattern`` (list array), one
+    ``dictionary_encode`` of the flat segment values (EXACT distinct ids —
+    no hash-collision caveat), one structured ``np.unique`` over
+    (row, segid) pairs, one ``bincount`` per side. Block-local, zero
+    shuffle."""
+
+    def __init__(self, text_col: str = "text", sep: str = " "):
+        self.text_col = text_col
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        segs = pc.split_pattern(pc.fill_null(text, ""), self.sep)
+        n_seg = pc.list_value_length(segs).to_numpy(zero_copy_only=False)
+        n_seg = n_seg.astype(np.int64)
+        flat = segs.flatten()  # all segments, docs concatenated in order
+        row = np.repeat(np.arange(len(segs), dtype=np.int64), n_seg)
+        ids = flat.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pairs = np.empty(len(row), dtype=[("r", np.int64), ("s", np.int64)])
+        pairs["r"], pairs["s"] = row, ids
+        uniq = np.unique(pairs)
+        n_uniq = np.bincount(uniq["r"], minlength=len(segs)).astype(np.int64)
+        batch = batch.append_column("n_seg", pa.array(n_seg, pa.int64()))
+        return batch.append_column("n_uniq", pa.array(n_uniq, pa.int64()))
+
+
 class Fingerprint:
     """62-bit content fingerprint: md5_u64(text) mod 2^62 — DuckDB-reproducible
     as ``md5_number_upper(text) % 4611686018427387904`` (62 bits keeps the

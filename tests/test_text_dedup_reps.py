@@ -74,3 +74,21 @@ def test_verified_duplicates_collapse_and_rep_is_best(reps):
     got = {row.cluster: (row.doc_id, row.n_members)
            for row in reps.itertuples()}
     assert got == expect
+
+
+def test_repetition_stats_counts_exact():
+    """RepetitionStats vs hand counts, including empty-string segments
+    from consecutive separators (DuckDB string_split parity)."""
+    from opentelemetry_collector_contrib_ray.stages.textstats import (
+        RepetitionStats,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a", "x  x", "unique words only here"]),
+    })
+    out = RepetitionStats(text_col="text", sep=" ")(t)
+    # "a b a b a" -> 5 segs, 2 distinct; "x  x" -> ["x","","x"] 3 segs,
+    # 2 distinct; last -> 4/4
+    assert out.column("n_seg").to_pylist() == [5, 3, 4]
+    assert out.column("n_uniq").to_pylist() == [2, 2, 4]
