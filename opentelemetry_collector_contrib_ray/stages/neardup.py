@@ -265,6 +265,73 @@ def _candidate_pairs(group: pd.DataFrame, id_col: str,
     return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
 
+def _candidate_pairs_vectorized(tbl: pa.Table, id_col: str,
+                                max_bucket: int,
+                                key_cols: list[str]) -> pa.Table:
+    """All within-group (id_a < id_b) pairs over EVERY group at once —
+    the zero-loop driver-side twin of :func:`_candidate_pairs` (the
+    distributed ``map_groups`` path pays ~0.15 ms per GROUP in pandas
+    construction; at bench scale thousands of 2-member buckets made the
+    group pass the most expensive minhash stage, r4). Groups are the
+    EXACT ``key_cols`` tuples (no combined-key aliasing — a collision
+    would merge buckets and emit extra candidates); identical skip
+    semantics: n < 2 or n > max_bucket groups emit nothing (oversize
+    logged).
+    """
+    ids_raw = tbl.column(id_col)
+    if isinstance(ids_raw, pa.ChunkedArray):
+        ids_raw = ids_raw.combine_chunks()
+    keys = [tbl.column(c).to_numpy(zero_copy_only=False)
+            for c in key_cols]
+    ids = ids_raw.to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, *reversed(keys)))
+    ids_s = ids[order]
+    n = len(ids_s)
+    id_type = ids_raw.type
+    if n == 0:
+        return pa.table({"id_a": pa.array([], id_type),
+                         "id_b": pa.array([], id_type)})
+    diff = np.zeros(n, dtype=bool)
+    diff[0] = True
+    for kcol in keys:
+        ks = kcol[order]
+        diff[1:] |= ks[1:] != ks[:-1]
+    starts = np.nonzero(diff)[0]
+    sizes = np.diff(np.r_[starts, n])
+    oversize = sizes > max_bucket
+    if oversize.any():
+        import logging
+
+        for s in sizes[oversize]:
+            logging.getLogger(__name__).warning(
+                "minhash LSH: skipping pathological bucket with %d members "
+                "(> max_bucket=%d); its pairs are NOT emitted",
+                int(s), max_bucket)
+    keep_grp = (sizes >= 2) & ~oversize
+    if not keep_grp.any():
+        return pa.table({"id_a": pa.array([], id_type),
+                         "id_b": pa.array([], id_type)})
+    row_keep = np.repeat(keep_grp, sizes)
+    ids_s = ids_s[row_keep]
+    sizes = sizes[keep_grp]
+    starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    # within-group position j of each element; element j pairs with the j
+    # sorted predecessors in its group (ids ascending -> id_a < id_b)
+    within = np.arange(len(ids_s)) - np.repeat(starts, sizes)
+    total = int(within.sum())
+    if total == 0:
+        return pa.table({"id_a": pa.array([], id_type),
+                         "id_b": pa.array([], id_type)})
+    id_b = np.repeat(ids_s, within)
+    elem_pos = np.arange(len(ids_s))
+    pair_start = np.concatenate(([0], np.cumsum(within)[:-1]))
+    # partner global indices for element p with j predecessors: p-j .. p-1
+    id_a_idx = (np.arange(total) - np.repeat(pair_start, within)
+                + np.repeat(elem_pos - within, within))
+    return pa.table({"id_a": pa.array(ids_s[id_a_idx], id_type),
+                     "id_b": pa.array(id_b, id_type)})
+
+
 def _sig_list_to_binary(col, num_perm: int) -> pa.Array:
     """list<int64> signatures -> equal-width pa.binary() values, zero-loop.
 
@@ -330,6 +397,7 @@ def minhash_lsh_pairs(
     max_bucket: int = 500,
     join_partitions: int | None = None,
     broadcast_verify_pairs: int = 250_000,
+    candidate_driver_rows: int = 2_000_000,
 ):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
@@ -388,10 +456,29 @@ def minhash_lsh_pairs(
     survivors = prefilter_hot_groups(band_rows, ["band", "bucket"], combine)
     if survivors is None:  # no bucket has >=2 members: zero candidates
         return _empty_pairs()
-    cands = survivors.groupby(["band", "bucket"]).map_groups(
-        lambda g: _candidate_pairs(g, id_col, max_bucket),
-        batch_format="pandas",
-    ).materialize()
+    # pair construction is size-gated like everything downstream: survivor
+    # rows are LEAN (id, band int32, bucket int64) and already >=2-member-
+    # bucket-only, so below the gate one driver-side vectorized pass beats
+    # the distributed groupby's per-group pandas cost (~0.15 ms x thousands
+    # of 2-member buckets = the most expensive minhash stage at bench
+    # scale, r4); above it the map_groups path shards by bucket as before
+    survivors = survivors.materialize()
+    import ray as _ray_
+    import ray.data as _rd_
+
+    if survivors.count() <= candidate_driver_rows:
+        tables = [t for t in _ray_.get(survivors.to_arrow_refs())
+                  if t.num_rows]
+        if not tables:
+            return _empty_pairs()
+        cands = _rd_.from_arrow(_candidate_pairs_vectorized(
+            pa.concat_tables(tables), id_col, max_bucket,
+            ["band", "bucket"]))
+    else:
+        cands = survivors.groupby(["band", "bucket"]).map_groups(
+            lambda g: _candidate_pairs(g, id_col, max_bucket),
+            batch_format="pandas",
+        ).materialize()
     # pair dedup (a pair found in k bands appears k times): size-gated —
     # a driver-side pyarrow group_by below the broadcast gate skips a Ray
     # groupby's ~1 s fixed cost; the shuffle path handles the huge case

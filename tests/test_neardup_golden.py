@@ -123,3 +123,23 @@ def test_prefilter_hot_groups_collision_only_readmits():
     out2 = prefilter_hot_groups(
         rd.from_arrow(t).repartition(2), ["g"], constant, min_size=2)
     assert sorted(out2.to_pandas()["id"].tolist()) == [1, 2, 3, 4]
+
+
+def test_candidate_pair_paths_identical():
+    """The r4 driver-vectorized candidate builder and the distributed
+    map_groups path must emit the identical final pair set
+    (candidate_driver_rows=0 forces the groupby path)."""
+    import ray
+
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        minhash_lsh_pairs,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    fast = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    dist = minhash_lsh_pairs(ds, threshold=0.5,
+                             candidate_driver_rows=0).to_pandas()
+    f = set(zip(fast["id_a"], fast["id_b"]))
+    d = set(zip(dist["id_a"], dist["id_b"]))
+    assert f == d and len(fast) == len(f) and len(dist) == len(d)
