@@ -284,13 +284,26 @@ def _candidate_pairs_vectorized(tbl: pa.Table, id_col: str,
     keys = [tbl.column(c).to_numpy(zero_copy_only=False)
             for c in key_cols]
     ids = ids_raw.to_numpy(zero_copy_only=False)
-    order = np.lexsort((ids, *reversed(keys)))
-    ids_s = ids[order]
-    n = len(ids_s)
     id_type = ids_raw.type
+    kept, ia, ib = _within_group_pair_idx(keys, ids, max_bucket,
+                                          "minhash LSH")
+    ids_k = ids[kept]
+    return pa.table({"id_a": pa.array(ids_k[ia], id_type),
+                     "id_b": pa.array(ids_k[ib], id_type)})
+
+
+def _within_group_pair_idx(keys: list[np.ndarray], ids: np.ndarray,
+                           max_bucket: int, label: str):
+    """(kept original-row indices, ia, ib): all within-group unordered
+    pairs across EVERY group in one run-length pass — ia/ib index into
+    the ``kept`` gather, ids ascending within each pair (ia's id ≤ ib's).
+    Groups are exact key tuples; n < 2 or n > max_bucket groups are
+    skipped (oversize logged under ``label``)."""
+    n = len(ids)
+    empty = (np.empty(0, np.int64),) * 3
     if n == 0:
-        return pa.table({"id_a": pa.array([], id_type),
-                         "id_b": pa.array([], id_type)})
+        return empty
+    order = np.lexsort((ids, *reversed(keys)))
     diff = np.zeros(n, dtype=bool)
     diff[0] = True
     for kcol in keys:
@@ -304,32 +317,57 @@ def _candidate_pairs_vectorized(tbl: pa.Table, id_col: str,
 
         for s in sizes[oversize]:
             logging.getLogger(__name__).warning(
-                "minhash LSH: skipping pathological bucket with %d members "
+                "%s: skipping pathological bucket with %d members "
                 "(> max_bucket=%d); its pairs are NOT emitted",
-                int(s), max_bucket)
+                label, int(s), max_bucket)
     keep_grp = (sizes >= 2) & ~oversize
     if not keep_grp.any():
-        return pa.table({"id_a": pa.array([], id_type),
-                         "id_b": pa.array([], id_type)})
+        return empty
     row_keep = np.repeat(keep_grp, sizes)
-    ids_s = ids_s[row_keep]
+    kept = order[row_keep]
     sizes = sizes[keep_grp]
     starts = np.concatenate(([0], np.cumsum(sizes)[:-1]))
     # within-group position j of each element; element j pairs with the j
-    # sorted predecessors in its group (ids ascending -> id_a < id_b)
-    within = np.arange(len(ids_s)) - np.repeat(starts, sizes)
+    # sorted predecessors in its group (ids ascending -> id_a <= id_b)
+    within = np.arange(len(kept)) - np.repeat(starts, sizes)
     total = int(within.sum())
     if total == 0:
-        return pa.table({"id_a": pa.array([], id_type),
-                         "id_b": pa.array([], id_type)})
-    id_b = np.repeat(ids_s, within)
-    elem_pos = np.arange(len(ids_s))
+        return empty
+    ib = np.repeat(np.arange(len(kept)), within)
     pair_start = np.concatenate(([0], np.cumsum(within)[:-1]))
-    # partner global indices for element p with j predecessors: p-j .. p-1
-    id_a_idx = (np.arange(total) - np.repeat(pair_start, within)
-                + np.repeat(elem_pos - within, within))
-    return pa.table({"id_a": pa.array(ids_s[id_a_idx], id_type),
-                     "id_b": pa.array(id_b, id_type)})
+    # partner indices for element p with j predecessors: p-j .. p-1
+    ia = (np.arange(total) - np.repeat(pair_start, within)
+          + np.repeat(np.arange(len(kept)) - within, within))
+    return kept, ia, ib
+
+
+def _simhash_pairs_vectorized(tbl: pa.Table, id_col: str, max_hamming: int,
+                              max_bucket: int) -> pa.Table:
+    """Driver-side zero-loop twin of :func:`_simhash_pairs`: pair indices
+    from the shared run-length builder, hamming via one vectorized
+    popcount over the gathered simhash payloads."""
+    ids_raw = tbl.column(id_col)
+    if isinstance(ids_raw, pa.ChunkedArray):
+        ids_raw = ids_raw.combine_chunks()
+    ids = ids_raw.to_numpy(zero_copy_only=False)
+    id_type = ids_raw.type
+    keys = [tbl.column(c).to_numpy(zero_copy_only=False)
+            for c in ("chunk", "chunk_val")]
+    kept, ia, ib = _within_group_pair_idx(keys, ids, max_bucket, "simhash")
+    empty = pa.table({"id_a": pa.array([], id_type),
+                      "id_b": pa.array([], id_type),
+                      "hamming": pa.array([], pa.int64())})
+    if not len(kept):
+        return empty
+    ids_k = ids[kept]
+    hashes = tbl.column("simhash").to_numpy(
+        zero_copy_only=False).astype(np.uint64)[kept]
+    ham = popcount64(hashes[ia] ^ hashes[ib])
+    keep = (ham <= max_hamming) & (ids_k[ia] != ids_k[ib])
+    return pa.table({"id_a": pa.array(ids_k[ia[keep]], id_type),
+                     "id_b": pa.array(ids_k[ib[keep]], id_type),
+                     "hamming": pa.array(ham[keep].astype(np.int64),
+                                         pa.int64())})
 
 
 def _sig_list_to_binary(col, num_perm: int) -> pa.Array:
@@ -840,7 +878,8 @@ def prefilter_hot_groups(band_rows, key_cols: list[str], combine_fn,
 
 def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, max_bucket: int = 500,
-                  driver_dedup_pairs: int = 1_000_000):
+                  driver_dedup_pairs: int = 1_000_000,
+                  candidate_driver_rows: int = 2_000_000):
     # task-based: the sketch's state (shift tables, nibble LUT) is tiny and
     # built in microseconds — an actor pool would only add startup latency
     # (CLAUDE.md round-2: consecutive actor pools starve small sessions)
@@ -868,10 +907,31 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             "id_b": pa.array([], t),
             "hamming": pa.array([], pa.int64()),
         }))
-    pairs = survivors.groupby(["chunk", "chunk_val"]).map_groups(
-        lambda g: _simhash_pairs(g, id_col, max_hamming, max_bucket),
-        batch_format="pandas",
-    ).materialize()
+    # size-gated pair construction (same trade as minhash_lsh_pairs: the
+    # map_groups path pays ~0.15 ms per bucket; survivors are lean rows)
+    survivors = survivors.materialize()
+    if survivors.count() <= candidate_driver_rows:
+        tables = _as_tables(survivors.to_arrow_refs())
+        if not tables:
+            import ray.data as _rd0
+
+            sch = sketched.schema()
+            t = dict(zip(sch.names, sch.types))[id_col]
+            return _rd0.from_arrow(pa.table({
+                "id_a": pa.array([], t),
+                "id_b": pa.array([], t),
+                "hamming": pa.array([], pa.int64()),
+            }))
+        import ray.data as _rd1
+
+        pairs = _rd1.from_arrow(_simhash_pairs_vectorized(
+            pa.concat_tables(tables), id_col, max_hamming,
+            max_bucket)).materialize()
+    else:
+        pairs = survivors.groupby(["chunk", "chunk_val"]).map_groups(
+            lambda g: _simhash_pairs(g, id_col, max_hamming, max_bucket),
+            batch_format="pandas",
+        ).materialize()
     # pair dedup: size-gated driver pyarrow group_by vs Ray shuffle groupby
     # (same trade as minhash_lsh_pairs — pairs are bounded by candidates)
     import ray as _ray

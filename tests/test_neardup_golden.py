@@ -143,3 +143,22 @@ def test_candidate_pair_paths_identical():
     f = set(zip(fast["id_a"], fast["id_b"]))
     d = set(zip(dist["id_a"], dist["id_b"]))
     assert f == d and len(fast) == len(f) and len(dist) == len(d)
+
+
+def test_simhash_pair_paths_identical():
+    """SimHash driver-vectorized vs distributed map_groups candidate
+    construction: identical (id_a, id_b, hamming) set."""
+    import ray
+
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        simhash_pairs,
+    )
+
+    ds = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                               columns=["doc_id", "text"])
+    fast = simhash_pairs(ds, max_hamming=3).to_pandas()
+    dist = simhash_pairs(ds, max_hamming=3,
+                         candidate_driver_rows=0).to_pandas()
+    f = set(zip(fast["id_a"], fast["id_b"], fast["hamming"]))
+    d = set(zip(dist["id_a"], dist["id_b"], dist["hamming"]))
+    assert f == d and len(fast) == len(f) and len(dist) == len(d)
