@@ -175,3 +175,84 @@ def test_list_index_matches_python(rows, i):
     got = compile_value(f"body[{i}]")(t).to_pylist()
     expect = [r[i] if r is not None and len(r) > i else None for r in rows]
     assert got == expect
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3),            # band
+                  st.integers(0, 4),            # bucket
+                  st.integers(0, 30)),          # doc id (dupes possible)
+        min_size=0, max_size=60,
+    ),
+    st.integers(2, 6),                          # max_bucket
+)
+def test_candidate_pairs_vectorized_matches_per_group(rows, max_bucket):
+    """The r4 run-length pair builder vs the per-group reference
+    (_candidate_pairs) over random bucket layouts, including oversize
+    buckets and duplicate ids."""
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        _candidate_pairs,
+        _candidate_pairs_vectorized,
+    )
+
+    tbl = pa.table({
+        "band": pa.array([r[0] for r in rows], pa.int32()),
+        "bucket": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    fast = _candidate_pairs_vectorized(tbl, "doc_id", max_bucket,
+                                       ["band", "bucket"])
+    got = sorted(zip(fast.column("id_a").to_pylist(),
+                     fast.column("id_b").to_pylist()))
+
+    df = tbl.to_pandas()
+    expect = []
+    for _, g in df.groupby(["band", "bucket"], sort=False):
+        p = _candidate_pairs(g, "doc_id", max_bucket)
+        expect.extend(zip(p["id_a"].tolist(), p["id_b"].tolist()))
+    assert got == sorted(expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3),                    # chunk
+                  st.integers(0, 4),                    # chunk_val
+                  st.integers(0, 30),                   # doc id
+                  st.integers(0, 2**63 - 1)),           # simhash
+        min_size=0, max_size=60,
+    ),
+    st.integers(2, 6),
+    st.integers(0, 8),
+)
+def test_simhash_pairs_vectorized_matches_per_group(rows, max_bucket,
+                                                    max_hamming):
+    import pandas as pd
+
+    from opentelemetry_collector_contrib_ray.stages.neardup import (
+        _simhash_pairs,
+        _simhash_pairs_vectorized,
+    )
+
+    tbl = pa.table({
+        "chunk": pa.array([r[0] for r in rows], pa.int32()),
+        "chunk_val": pa.array([r[1] for r in rows], pa.int64()),
+        "doc_id": pa.array([r[2] for r in rows], pa.int64()),
+        "simhash": pa.array([r[3] for r in rows], pa.uint64()),
+    })
+    fast = _simhash_pairs_vectorized(tbl, "doc_id", max_hamming, max_bucket)
+    got = sorted(zip(fast.column("id_a").to_pylist(),
+                     fast.column("id_b").to_pylist(),
+                     fast.column("hamming").to_pylist()))
+
+    df = tbl.to_pandas()
+    expect = []
+    for _, g in df.groupby(["chunk", "chunk_val"], sort=False):
+        p = _simhash_pairs(g, "doc_id", max_hamming, max_bucket)
+        expect.extend(zip(p["id_a"].astype(int).tolist(),
+                          p["id_b"].astype(int).tolist(),
+                          p["hamming"].astype(int).tolist()))
+    assert got == sorted(expect)
