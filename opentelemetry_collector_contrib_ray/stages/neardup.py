@@ -462,8 +462,13 @@ def minhash_lsh_pairs(
     """
     sketch = MinHashSketch(id_col=id_col, text_col=text_col, num_perm=num_perm,
                            bands=bands, shingle_n=shingle_n)
+    # batch_size bundles read-sized tiny blocks into fewer vectorized
+    # batches (78-doc blocks at bench scale made the sketch dispatch-bound;
+    # -28% measured at 2048, r4); big-corpus blocks are larger than this
+    # anyway, so it is a no-op at scale
     sigs = ds.map_batches(
-        sketch, batch_format="pyarrow", zero_copy_batch=True
+        sketch, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=2048,
     ).materialize()
 
     band_rows = sigs.map_batches(
@@ -887,6 +892,7 @@ def simhash_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         SimHashSketch(id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        batch_size=2048,  # bundle tiny read blocks (see minhash_lsh_pairs)
     ).materialize()
 
     def combine(t: pa.Table) -> np.ndarray:
