@@ -228,3 +228,25 @@ def test_small_pair_gate_task_path_equals_actor_pool_path():
     f = set(zip(fast["id_a"], fast["id_b"]))
     p = set(zip(pool["id_a"], pool["id_b"]))
     assert f == p and len(fast) == len(f) and len(pool) == len(p)
+
+
+def test_knn_exclude_ids_single_block_returns_full_k():
+    """Regression (r4): exclude_ids must drop rows BEFORE the per-block
+    top-k cut — a single-block dataset otherwise spends a slot on the
+    excluded row and returns k-1 neighbors."""
+    import numpy as np
+
+    from opentelemetry_collector_contrib_ray.stages.similarity import (
+        knn_brute_force,
+    )
+
+    n, d, k = 30, 8, 10
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(n, d))
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    ).repartition(1)  # ONE block: the regression shape
+    out = knn_brute_force(ds, vecs[0][None, :], id_col="vec_id",
+                          vec_col="embedding", k=k, exclude_ids={0})
+    assert out.num_rows == k
+    assert 0 not in out.column("vec_id").to_pylist()
