@@ -1137,6 +1137,21 @@ def q_text_dedup_reps(sf_dir: str):
     return reps.select_columns(["cluster", "doc_id", "n_members"])
 
 
+def q_dataset_split(sf_dir: str):
+    """deterministic train/val/test split (stages/sample.py hash_split):
+    md5(doc_id) basis-point boundaries, 90/5/5, stable across runs and
+    partitionings; per-(split, source) row and char totals so every
+    assignment is value-checked by the CASE-arithmetic oracle."""
+    from ..stages.sample import hash_split
+
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "source", "n_chars"])
+    ds = hash_split(ds, key="doc_id",
+                    splits={"train": 0.90, "val": 0.05, "test": 0.05})
+    return count_sum(ds, keys=["split", "source"],
+                     sum_cols={"n_chars": "chars_sum"})
+
+
 def q_repetition_filter(sf_dir: str):
     """Gopher-style repetition filter (Rae et al. 2021 §A.1.1): drop
     documents whose duplicate-segment fraction exceeds 50% (word-level
@@ -1931,6 +1946,7 @@ QUERIES = {
     "perplexity_filter": q_perplexity_filter,
     "text_dedup_reps": q_text_dedup_reps,
     "repetition_filter": q_repetition_filter,
+    "dataset_split": q_dataset_split,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1940,7 +1956,6 @@ QUERIES = {
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
-    "transform_statements": q_transform_statements,
     "dedup_docs": q_dedup_docs,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -1955,6 +1970,7 @@ QUERIES = {
     # the whole catalog with nothing older than one round.)
     "parse_extract": q_parse_extract,
     "filter_errors": q_filter_errors,
+    "transform_statements": q_transform_statements,
     "route_counts": q_route_counts,
     "enrich_join": q_enrich_join,
     # (embed_neardup_ivf + delta_cumsum + value_quantiles +
@@ -2745,6 +2761,17 @@ ORACLE_SQL["repetition_filter"] = """
       FROM segs GROUP BY doc_id
     )
     SELECT doc_id, n_seg, n_uniq FROM agg WHERE 2 * (n_seg - n_uniq) <= n_seg
+"""
+
+from ..stages.sample import hash_split_oracle_case as _hs_case
+
+ORACLE_SQL["dataset_split"] = f"""
+    WITH tagged AS (
+      SELECT *, {_hs_case("doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})}
+      FROM documents
+    )
+    SELECT split, source, COUNT(*) AS row_count, SUM(n_chars) AS chars_sum
+    FROM tagged GROUP BY split, source
 """
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()

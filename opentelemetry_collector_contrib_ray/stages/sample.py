@@ -142,6 +142,45 @@ def sample_mixture(ds, group_col: str, key: str, rates: dict[str, float],
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_split(ds, key: str, splits: dict[str, float],
+               out_col: str = "split"):
+    """Deterministic train/val/test assignment — every real training-data
+    pipeline's final fan-out. Each row's split is chosen by
+    ``md5(key) % 10000`` against cumulative basis-point boundaries in the
+    given (ordered) ``splits`` dict; fractions must sum to 1. Stable
+    across runs, partitionings and cluster sizes (no RNG), and
+    SQL-reproducible via ``md5_number_upper`` CASE arithmetic — the same
+    parity contract as the samplers.
+    """
+    bp = [int(round(f * 10_000)) for f in splits.values()]
+    if sum(bp) != 10_000:
+        raise ValueError(f"split fractions must sum to 1 (got {splits})")
+    bounds = np.cumsum(bp).astype(np.uint64)  # upper bounds, last = 10000
+    names = np.array(list(splits.keys()), dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        h = md5_u64_col(batch.column(key)) % np.uint64(10_000)
+        idx = np.searchsorted(bounds, h, side="right")
+        return batch.append_column(
+            out_col, pa.array(names[idx].tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def hash_split_oracle_case(key_sql: str, splits: dict[str, float],
+                           out_col: str = "split") -> str:
+    """DuckDB CASE expression matching :func:`hash_split` exactly."""
+    bp = [int(round(f * 10_000)) for f in splits.values()]
+    bounds = np.cumsum(bp)
+    h = f"md5_number_upper(CAST({key_sql} AS VARCHAR)) % 10000"
+    arms = "".join(
+        f" WHEN {h} < {int(b)} THEN '{name}'"
+        for name, b in zip(splits.keys(), bounds)
+    )
+    return f"CASE{arms} END AS {out_col}"
+
+
 def token_budget_sample(ds, group_col: str, key: str, tok_col: str,
                         budget: int, cum_col: str = "cum_tok"):
     """Per-group TOKEN-BUDGET subset — the data-mixing op stated in token

@@ -92,3 +92,21 @@ def test_repetition_stats_counts_exact():
     # 2 distinct; last -> 4/4
     assert out.column("n_seg").to_pylist() == [5, 3, 4]
     assert out.column("n_uniq").to_pylist() == [2, 2, 4]
+
+
+def test_hash_split_partitioning_invariance_and_fractions():
+    from opentelemetry_collector_contrib_ray.stages.sample import hash_split
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet",
+                               columns=["doc_id"])
+    splits = {"train": 0.90, "val": 0.05, "test": 0.05}
+    a = hash_split(ds, "doc_id", splits).to_pandas()
+    b = hash_split(ds.repartition(7), "doc_id", splits).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.85 <= frac["train"] <= 0.95  # md5-uniform, 500 docs
+
+    with pytest.raises(ValueError):
+        hash_split(ds, "doc_id", {"train": 0.5, "val": 0.4})  # != 1
