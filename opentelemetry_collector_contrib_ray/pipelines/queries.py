@@ -2770,7 +2770,8 @@ ORACLE_SQL["dataset_split"] = f"""
       SELECT *, {_hs_case("doc_id", {"train": 0.90, "val": 0.05, "test": 0.05})}
       FROM documents
     )
-    SELECT split, source, COUNT(*) AS row_count, SUM(n_chars) AS chars_sum
+    SELECT split, source, COUNT(*) AS row_count,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
     FROM tagged GROUP BY split, source
 """
 
