@@ -137,6 +137,7 @@ OPERATOR_QUERIES = [
     "perplexity_filter",
     "text_dedup_reps",
     "repetition_filter",
+    "dataset_split",
 ]
 
 
