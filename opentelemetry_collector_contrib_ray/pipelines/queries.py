@@ -1649,7 +1649,7 @@ def q_perplexity_filter(sf_dir: str):
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     out = perplexity_filter(ds, id_col="doc_id", text_col="text",
-                            q_lo=0.05, q_hi=0.90)
+                            q_lo=0.05, q_hi=0.90, output="slim")
     return out.select_columns(["doc_id", "bpb_mdb"])
 
 

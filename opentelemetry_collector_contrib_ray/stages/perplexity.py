@@ -159,20 +159,37 @@ def perplexity_score(ds, id_col: str, text_col: str = "text",
 
 def perplexity_filter(ds, id_col: str, text_col: str = "text",
                       q_lo: float = 0.05, q_hi: float = 0.90,
-                      fit_sample: int = 4096, out: str = "bpb"):
+                      fit_sample: int = 4096, out: str = "bpb",
+                      output: str = "rows"):
     """CCNet-style perplexity band selection: score, drop degenerate
     docs (< 1 trigram window), keep rows whose decimillibit score sits
-    inside the exact global [q_lo, q_hi] quantile band. Three streaming
-    passes (score feeds both quantile and filter passes), bounded driver
-    state throughout."""
+    inside the exact global [q_lo, q_hi] quantile band.
+
+    ``output="rows"`` (default): full surviving rows — STREAMING, the
+    scoring map executes in both the quantile pass and the filter pass
+    (recompute beats materializing the text corpus at 10^12 rows).
+    ``output="slim"``: only (id, score) columns — the slim scored
+    projection (~24 B/row) materializes ONCE and both the quantile and
+    the filter read it, so scoring executes exactly once; right when the
+    caller feeds a dedup/selection decision rather than the text itself.
+    """
     scored = perplexity_score(ds, id_col, text_col,
                               fit_sample=fit_sample, out=out)
 
     def nondegenerate(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t.column("n_ctx"), 0))
 
-    scored = scored.map_batches(nondegenerate, batch_format="pyarrow",
-                                zero_copy_batch=True)
     from .quantile import quantile_band_filter
 
+    if output == "slim":
+        def slim(t: pa.Table) -> pa.Table:
+            return nondegenerate(t).select(
+                [id_col, out, out + "_mdb", "n_ctx"])
+
+        scored = scored.map_batches(slim, batch_format="pyarrow",
+                                    zero_copy_batch=True).materialize()
+        return quantile_band_filter(scored, out + "_mdb", q_lo, q_hi)
+
+    scored = scored.map_batches(nondegenerate, batch_format="pyarrow",
+                                zero_copy_batch=True)
     return quantile_band_filter(scored, out + "_mdb", q_lo, q_hi)

@@ -98,3 +98,14 @@ def test_builder_stage_registered():
     )
 
     assert "perplexity_filter" in STAGE_REGISTRY
+
+
+def test_filter_slim_output_equals_rows_output():
+    """output='slim' (score-once materialized projection) must keep the
+    identical doc set and scores as the streaming rows path."""
+    rows = perplexity_filter(_docs(), "doc_id").to_pandas()
+    slim = perplexity_filter(_docs(), "doc_id", output="slim").to_pandas()
+    r = rows.sort_values("doc_id").reset_index(drop=True)
+    s = slim.sort_values("doc_id").reset_index(drop=True)
+    assert (r["doc_id"] == s["doc_id"]).all()
+    assert (r["bpb_mdb"] == s["bpb_mdb"]).all()
