@@ -151,26 +151,29 @@ def run_suite(sf_dir: str) -> tuple[dict, dict]:
 
     import gc
 
-    runs: dict[str, list] = {name: [] for name in OPERATOR_QUERIES}
-    # rounds OUTER, queries inner: a query's repeats land minutes apart,
-    # so best-of-N dodges the host's transient steal windows (up to 4×,
-    # r4 measurement) instead of letting one window poison every repeat
-    # of the same query
-    for _ in range(max(1, BENCH_REPEAT - 1)):  # N-1 rounds over the suite
-        for name in OPERATOR_QUERIES:
+    # repeats back-to-back (queries outer): Ray reaps idle workers within
+    # seconds, so a query's SECOND run is only warm if it follows the
+    # first immediately — an interleaved-rounds variant left every run
+    # cold and inflated the whole suite ~3x (r4 measurement: same query
+    # 25x back-to-back holds 0.3s; first-after-other-queries pays 2-4s
+    # of worker respawn + reimport)
+    best_t, med_t = {}, {}
+    for name in OPERATOR_QUERIES:
+        runs = []
+        for _ in range(max(1, BENCH_REPEAT - 1)):  # N-1 runs per query
             t0 = time.perf_counter()
             res = QUERIES[name](sf_dir)
             if hasattr(res, "materialize"):
                 res.materialize()
-            runs[name].append(time.perf_counter() - t0)
+            runs.append(time.perf_counter() - t0)
             # drop the materialized refs NOW: ~30 queries x N runs in one
             # session otherwise accumulate plasma objects until late
             # queries pay spill/eviction (measured 0.85s -> 5.3s drift on
             # the 25th query, r4)
             del res
             gc.collect()
-    best_t = {n: round(min(r), 3) for n, r in runs.items()}
-    med_t = {n: round(statistics.median(r), 3) for n, r in runs.items()}
+        best_t[name] = round(min(runs), 3)
+        med_t[name] = round(statistics.median(runs), 3)
     return best_t, med_t
 
 
