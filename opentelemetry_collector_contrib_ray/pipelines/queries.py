@@ -1549,9 +1549,15 @@ def q_range_join(sf_dir: str):
     (stages/rangejoin.py — bucketed expansion + native hash join, no
     all-pairs; plain BETWEEN-join SQL oracle)."""
     from ..stages.rangejoin import range_join
+    from ..sources.tables import auto_blocks
 
+    # footer-sized read: both the left pass and the window pass scan this
+    # table, and join_ready coalesces again anyway — 64 tiny read blocks
+    # just pay dispatch twice (r4)
     ev = read_table(sf_dir, "events",
-                    columns=["event_id", "ts", "user_id", "event_type"])
+                    columns=["event_id", "ts", "user_id", "event_type"],
+                    override_num_blocks=auto_blocks(sf_dir, "events",
+                                                    rows_per_block=125_000))
     left = ev.drop_columns(["event_type"])
 
     def windows(t: pa.Table) -> pa.Table:
