@@ -138,6 +138,7 @@ OPERATOR_QUERIES = [
     "text_dedup_reps",
     "repetition_filter",
     "dataset_split",
+    "token_bigrams",
 ]
 
 

@@ -1137,6 +1137,22 @@ def q_text_dedup_reps(sf_dir: str):
     return reps.select_columns(["cluster", "doc_id", "n_members"])
 
 
+def q_token_bigrams(sf_dir: str):
+    """count-based-LM bigram statistics over the tokens payload
+    (stages/tokenstats.py token_bigram_counts): SQL-parity md5 tokenizer,
+    within-doc adjacent pairs packed to one int64 per pair, one structured
+    np.unique per block, shuffle bounded by distinct bigrams × blocks;
+    top-50 by (count desc, t1, t2)."""
+    from ..stages.tokenstats import token_bigram_counts
+    from ..stages.vocab import Md5Tokenize
+
+    V = 50_257
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(Md5Tokenize(vocab_size=V), batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return token_bigram_counts(ds, top_k=50)
+
+
 def q_dataset_split(sf_dir: str):
     """deterministic train/val/test split (stages/sample.py hash_split):
     md5(doc_id) basis-point boundaries, 90/5/5, stable across runs and
@@ -1953,6 +1969,7 @@ QUERIES = {
     "text_dedup_reps": q_text_dedup_reps,
     "repetition_filter": q_repetition_filter,
     "dataset_split": q_dataset_split,
+    "token_bigrams": q_token_bigrams,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1963,9 +1980,8 @@ QUERIES = {
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
     "dedup_docs": q_dedup_docs,
-    "dedup_clusters": q_dedup_clusters,
     "decontaminate_bloom": q_decontaminate_bloom,
-    "decontaminate": q_decontaminate,
+    "dedup_clusters": q_dedup_clusters,
     "group_by_attrs": q_group_by_attrs,
     "grok_parse": q_grok_parse,
     # ^-- driver window ends at 50 entries --------------------------------
@@ -1975,6 +1991,7 @@ QUERIES = {
     # flagship_from_config, so the union of r3+r4 driver evidence covers
     # the whole catalog with nothing older than one round.)
     "parse_extract": q_parse_extract,
+    "decontaminate": q_decontaminate,
     "filter_errors": q_filter_errors,
     "transform_statements": q_transform_statements,
     "route_counts": q_route_counts,
@@ -2779,6 +2796,20 @@ ORACLE_SQL["dataset_split"] = f"""
     SELECT split, source, COUNT(*) AS row_count,
            CAST(SUM(n_chars) AS BIGINT) AS chars_sum
     FROM tagged GROUP BY split, source
+"""
+
+ORACLE_SQL["token_bigrams"] = """
+    WITH tok AS (
+      SELECT list_transform(string_split(text, ' '),
+                 w -> CAST(md5_number_upper(w) % 50257 AS BIGINT)) AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS pr
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT pr[1] AS t1, pr[2] AS t2, COUNT(*) AS n
+    FROM pairs GROUP BY 1, 2
+    ORDER BY n DESC, t1, t2 LIMIT 50
 """
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()

@@ -32,6 +32,56 @@ class _TokenFreqPartial:
         })
 
 
+class _BigramPartial:
+    """Per-block (t1, t2, cnt) bigram partials over the tokens payload —
+    the count-based-LM / tokenizer-merge statistics primitive. Within-doc
+    adjacent pairs only (doc boundaries masked); pairs pack into one
+    int64 (t1<<32 | t2; ids are nonnegative and < 2^31) so ONE structured
+    ``np.unique`` counts the block. Shuffle is bounded by distinct
+    bigrams × blocks, never token count."""
+
+    def __init__(self, tokens_col: str):
+        self.tokens_col = tokens_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.tokens_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
+        out_schema = pa.schema([("t1", pa.int64()), ("t2", pa.int64()),
+                                ("cnt", pa.int64())])
+        if len(flat) < 2:
+            return out_schema.empty_table()
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        same = doc_of[:-1] == doc_of[1:]
+        packed = (flat[:-1] << np.int64(32)) | flat[1:]
+        u, c = np.unique(packed[same], return_counts=True)
+        return pa.table({
+            "t1": pa.array(u >> np.int64(32), pa.int64()),
+            "t2": pa.array(u & np.int64(0xFFFFFFFF), pa.int64()),
+            "cnt": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+
+def token_bigram_counts(ds, tokens_col: str = "tokens",
+                        top_k: int | None = None):
+    """(t1, t2, n) global within-doc bigram counts; optionally the top_k
+    by (count desc, t1, t2) — deterministic boundary ties."""
+    from ray.data.aggregate import Sum
+
+    partials = ds.map_batches(
+        _BigramPartial(tokens_col), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = partials.groupby(["t1", "t2"]).aggregate(
+        Sum("cnt", alias_name="n"))
+    if top_k is None:
+        return totals
+    return totals.sort(["n", "t1", "t2"],
+                       descending=[True, False, False]).limit(top_k)
+
+
 def token_frequency(ds, tokens_col: str = "tokens",
                     vocab_size: int = 65536, top_k: int | None = None):
     """(token, n) global token frequencies; optionally only the top_k by

@@ -110,3 +110,25 @@ def test_hash_split_partitioning_invariance_and_fractions():
 
     with pytest.raises(ValueError):
         hash_split(ds, "doc_id", {"train": 0.5, "val": 0.4})  # != 1
+
+
+def test_token_bigram_counts_matches_reference():
+    """token_bigram_counts vs a Python Counter over the same lists,
+    including doc-boundary masking and single-token docs."""
+    from collections import Counter
+
+    from opentelemetry_collector_contrib_ray.stages.tokenstats import (
+        token_bigram_counts,
+    )
+
+    docs = [[1, 2, 3, 2, 3], [7], [], [2, 3], [3, 3, 3]]
+    ds = ray.data.from_arrow(pa.table({
+        "tokens": pa.array(docs, pa.list_(pa.int32())),
+    })).repartition(3)
+    out = token_bigram_counts(ds).to_pandas()
+    got = {(r.t1, r.t2): r.n for r in out.itertuples()}
+    ref = Counter()
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            ref[(a, b)] += 1
+    assert got == dict(ref)
