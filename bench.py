@@ -139,6 +139,7 @@ OPERATOR_QUERIES = [
     "repetition_filter",
     "dataset_split",
     "token_bigrams",
+    "top_bigram",
 ]
 
 

@@ -1153,6 +1153,19 @@ def q_token_bigrams(sf_dir: str):
     return token_bigram_counts(ds, top_k=50)
 
 
+def q_top_bigram(sf_dir: str):
+    """Gopher top-2-gram concentration (the frequency-form repetition
+    signal beside repetition_filter's distinct-fraction form): per doc the
+    most frequent word bigram's count m (ties → lexicographically least
+    bigram string) and the characters its occurrences cover
+    (stages/textstats.py TopBigramStats — block-local, zero shuffle)."""
+    from ..stages.textstats import TopBigramStats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(TopBigramStats(), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_dataset_split(sf_dir: str):
     """deterministic train/val/test split (stages/sample.py hash_split):
     md5(doc_id) basis-point boundaries, 90/5/5, stable across runs and
@@ -1970,6 +1983,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "dataset_split": q_dataset_split,
     "token_bigrams": q_token_bigrams,
+    "top_bigram": q_top_bigram,
     "refresh_pipeline": q_refresh_pipeline,
     "otlp_roundtrip": q_otlp_roundtrip,
     # --- r4 additions with no prior driver evidence (rows-only checks) ---
@@ -1979,7 +1993,6 @@ QUERIES = {
     # --- flagship + heavy operators: re-checked every round --------------
     "flagship_from_config": q_flagship_from_config,
     "flagship_agg": q_flagship_agg,
-    "dedup_docs": q_dedup_docs,
     "decontaminate_bloom": q_decontaminate_bloom,
     "dedup_clusters": q_dedup_clusters,
     "group_by_attrs": q_group_by_attrs,
@@ -1991,6 +2004,7 @@ QUERIES = {
     # flagship_from_config, so the union of r3+r4 driver evidence covers
     # the whole catalog with nothing older than one round.)
     "parse_extract": q_parse_extract,
+    "dedup_docs": q_dedup_docs,
     "decontaminate": q_decontaminate,
     "filter_errors": q_filter_errors,
     "transform_statements": q_transform_statements,
@@ -2810,6 +2824,26 @@ ORACLE_SQL["token_bigrams"] = """
     SELECT pr[1] AS t1, pr[2] AS t2, COUNT(*) AS n
     FROM pairs GROUP BY 1, 2
     ORDER BY n DESC, t1, t2 LIMIT 50
+"""
+
+ORACLE_SQL["top_bigram"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), p AS (
+      SELECT doc_id,
+             unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS pr
+      FROM t WHERE len(w) >= 2
+    ), c AS (
+      SELECT doc_id, pr[1] || ' ' || pr[2] AS gram, COUNT(*) AS m
+      FROM p GROUP BY 1, 2
+    ), r AS (
+      SELECT doc_id, gram, m,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY m DESC, gram) AS rn
+      FROM c
+    )
+    SELECT doc_id, m, CAST(len(gram) * m AS BIGINT) AS top2_chars
+    FROM r WHERE rn = 1
 """
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()

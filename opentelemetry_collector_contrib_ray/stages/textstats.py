@@ -264,6 +264,79 @@ class RepetitionStats:
         return batch.append_column("n_uniq", pa.array(n_uniq, pa.int64()))
 
 
+class TopBigramStats:
+    """Per-document top word-2-gram concentration (the FREQUENCY form of
+    Gopher §A.1.1's repetition rules — ``RepetitionStats`` is the
+    distinct-fraction form): for each doc with ≥ 2 words, the occurrence
+    count ``m`` of its most frequent word bigram (ties → lexicographically
+    least bigram) and ``top2_chars = (len(w1) + len(w2) + 1) * m`` — the
+    characters covered by that bigram's occurrences, the numerator of
+    Gopher's top-2-gram character fraction. Docs with < 2 words emit
+    nothing (same as the SQL oracle's ``len(w) >= 2``).
+
+    Vectorized per batch: split once, one ``binary_join_element_wise``
+    builds every within-doc bigram string, one structured ``np.unique``
+    over (doc, dictionary-id) counts them, and one arrow ``sort_by``
+    (doc asc, count desc, gram asc) + run-length first-per-doc resolves
+    the argmax with exact lexicographic ties. Block-local, zero shuffle.
+    """
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            (self.id_col, batch.schema.field(self.id_col).type),
+            ("m", pa.int64()), ("top2_chars", pa.int64()),
+        ])
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(text, ""), " ")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        n_flat = len(flat)
+        if n_flat < 2:
+            return out_schema.empty_table()
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        same = doc_of[:-1] == doc_of[1:]
+        if not same.any():
+            return out_schema.empty_table()
+        idx = np.nonzero(same)[0]
+        w1 = flat.take(pa.array(idx, pa.int64()))
+        w2 = flat.take(pa.array(idx + 1, pa.int64()))
+        grams = pc.binary_join_element_wise(w1, w2, " ")
+        gram_ids = grams.dictionary_encode()
+        gid = gram_ids.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = doc_of[idx]
+        pairs = np.empty(len(gid), dtype=[("d", np.int64), ("g", np.int64)])
+        pairs["d"], pairs["g"] = docs, gid
+        uniq, cnt = np.unique(pairs, return_counts=True)
+        tbl = pa.table({
+            "d": pa.array(uniq["d"], pa.int64()),
+            "gram": gram_ids.dictionary.take(
+                pa.array(uniq["g"], pa.int64())),
+            "m": pa.array(cnt.astype(np.int64), pa.int64()),
+        }).sort_by([("d", "ascending"), ("m", "descending"),
+                    ("gram", "ascending")])
+        d_sorted = tbl.column("d").to_numpy(zero_copy_only=False)
+        first = np.nonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])[0]
+        top = tbl.take(pa.array(first, pa.int64()))
+        m = top.column("m").to_numpy(zero_copy_only=False)
+        gram_chars = pc.utf8_length(top.column("gram")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column(self.id_col).take(
+            pa.array(top.column("d").to_numpy(zero_copy_only=False),
+                     pa.int64()))
+        return pa.table({
+            self.id_col: ids,
+            "m": pa.array(m, pa.int64()),
+            "top2_chars": pa.array(gram_chars * m, pa.int64()),
+        })
+
+
 class Fingerprint:
     """62-bit content fingerprint: md5_u64(text) mod 2^62 — DuckDB-reproducible
     as ``md5_number_upper(text) % 4611686018427387904`` (62 bits keeps the

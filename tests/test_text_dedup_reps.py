@@ -132,3 +132,24 @@ def test_token_bigram_counts_matches_reference():
         for a, b in zip(d, d[1:]):
             ref[(a, b)] += 1
     assert got == dict(ref)
+
+
+def test_top_bigram_stats_hand_counts():
+    """TopBigramStats vs hand counts: tie-break to lexicographically
+    least gram, <2-word docs excluded, char coverage = len(gram)*m."""
+    from opentelemetry_collector_contrib_ray.stages.textstats import (
+        TopBigramStats,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b a b a",        # "a b" x2, "b a" x2 -> tie: "a b" wins
+            "xx yy xx yy xx",   # "xx yy" x2 -> 5*2=10 chars
+            "solo",             # <2 words: excluded
+            "p q",              # single bigram m=1, 3 chars
+        ]),
+    })
+    out = TopBigramStats()(t)
+    got = {r.doc_id: (r.m, r.top2_chars) for r in out.to_pandas().itertuples()}
+    assert got == {1: (2, 6), 2: (2, 10), 4: (1, 3)}
