@@ -1830,44 +1830,16 @@ def q_quantile_band(sf_dir: str):
 
 def q_approx_distinct_users(sf_dir: str):
     """HLL approximate COUNT(DISTINCT) per event_type — the sketch-merge
-    scale path beside the exact distinct_count (stages/sketch.py; no SQL
-    oracle: the estimate is approximate by construction; the companion
-    test bounds the relative error against the exact answer)."""
-    from ..stages.sketch import HLL
+    scale path beside the exact distinct_count (stages/sketch.py
+    hll_distinct_by_key: one md5 pass + grouped register scatter per
+    block, zero per-value Python; no SQL oracle: the estimate is
+    approximate by construction; the companion test bounds the relative
+    error against the exact answer)."""
+    from ..stages.sketch import hll_distinct_by_key
 
-    hll = HLL(p=12)
     ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
-
-    def partial(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc_
-
-        out_k, out_r = [], []
-        keys = t.column("event_type")
-        for k in pc_.unique(keys).to_pylist():
-            mask = pc_.equal(keys, k)
-            vals = t.column("user_id").filter(mask).to_pylist()
-            out_k.append(k)
-            out_r.append(hll.fold(vals).tobytes())
-        return pa.table({"event_type": pa.array(out_k, pa.string()),
-                         "regs": pa.array(out_r, pa.binary())})
-
-    import numpy as np
-    import pandas as pd
-
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        regs = hll.empty()
-        for blob in g["regs"]:
-            regs = hll.merge(regs, np.frombuffer(blob, dtype=np.uint8))
-        return pd.DataFrame({
-            "event_type": [g["event_type"].iloc[0]],
-            "n_users_est": [int(round(hll.estimate(regs)))],
-        })
-
-    partials = ds.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return partials.groupby("event_type").map_groups(
-        merge_group, batch_format="pandas"
-    )
+    return hll_distinct_by_key(ds, "event_type", "user_id", p=12,
+                               out="n_users_est")
 
 
 def q_distinct_users(sf_dir: str):

@@ -79,3 +79,22 @@ def join_ready(ds, target_rows: int = 262_144) -> "ray.data.Dataset":
     counts = ray.get([_block_rows.remote(r) for r in refs])
     keep = [r for r, c in zip(refs, counts) if c]
     return ray.data.from_arrow_refs(keep) if keep else mat
+
+
+def cheap_rows(ds) -> int | None:
+    """Row count ONLY when it is free — parquet footer metadata on a plain
+    read, or cached block metadata on an already-executed plan.
+
+    Returns ``None`` instead of triggering execution: ``ds.count()`` on a
+    mapped/selected dataset re-runs the whole upstream pipeline just to
+    produce an int (measured 1.9 s on 100k mapped events vs 3 ms on the
+    plain read). Auto-gates must treat ``None`` as "unknown — pick the
+    scale-safe path", never probe.
+    """
+    try:
+        if ds._plan.has_computed_output():
+            return ds.count()  # cached block metadata — no execution
+        meta = ds._meta_count()
+        return int(meta) if meta is not None else None
+    except Exception:
+        return None

@@ -216,10 +216,24 @@ def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
                                    id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
     ).materialize()
+
+    def _empty_result() -> pa.Table:
+        # derive the id dtype from the materialized candidate schema (free)
+        # so a string doc-id corpus gets the same empty-path schema as the
+        # populated path (ADVICE r4: hardcoded int64 broke schema-sensitive
+        # consumers like union/join)
+        id_type = pa.int64()
+        try:
+            sch = cands.schema(fetch_if_missing=False)
+            if sch is not None and id_col in sch.names:
+                id_type = sch.types[sch.names.index(id_col)]
+        except Exception:
+            pass
+        return pa.table({id_col: pa.array([], id_type),
+                         "overlap": pa.array([], pa.int64())})
+
     if cands.count() == 0:
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "overlap": pa.array([], pa.int64())}))
+        return rd.from_arrow(_empty_result())
 
     truth = rd.from_arrow(pa.table({"gram": true_grams}))
     if join_partitions is None:
@@ -228,9 +242,7 @@ def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
         truth, join_type="inner", num_partitions=join_partitions,
         on=("gram",)).materialize()
     if verified.count() == 0:  # every candidate was a false positive
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "overlap": pa.array([], pa.int64())}))
+        return rd.from_arrow(_empty_result())
 
     from .aggregate import count_sum
 

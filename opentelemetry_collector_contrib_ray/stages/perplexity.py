@@ -49,10 +49,13 @@ def _windows(texts: list) -> tuple[np.ndarray, np.ndarray, np.ndarray,
                                    np.ndarray]:
     """(tri hash, ctx hash, valid mask, per-doc window counts) for a list
     of texts, via ONE NUL-separated blob + vectorized rolling windows
-    (textstats.NBCharLangModel._featurize recipe; NUL never occurs in
-    utf-8 text so it is a safe separator)."""
-    blob = ("\x00" + "\x00".join(t or "" for t in texts)
-            + "\x00\x00").encode("utf-8", errors="replace")
+    (textstats.NBCharLangModel._featurize recipe). NUL is the separator,
+    so embedded \\x00 bytes in a document are stripped first (ADVICE r4:
+    a NUL-bearing text would add phantom separators and mis-assign every
+    later document's window counts)."""
+    blob = ("\x00" + "\x00".join(
+        (t or "").replace("\x00", "") for t in texts)
+        + "\x00\x00").encode("utf-8", errors="replace")
     b = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
     w3 = b[:-2] * 65536 + b[1:-1] * 256 + b[2:]
     w2 = b[:-2] * 256 + b[1:-1]

@@ -163,10 +163,18 @@ def range_join(
         right_suffix=right_suffix,
     )
 
-    start_out = (right_start if right_start not in
-                 {left_ts} | set(key_cols) else right_start + right_suffix)
-    end_out = (right_end if right_end not in
-               {left_ts} | set(key_cols) else right_end + right_suffix)
+    # Ray suffixes a right column when it collides with ANY left column —
+    # compute the collision set from the full (materialized, so free)
+    # tagged-left schema, not just {left_ts} | key_cols (ADVICE r4: a left
+    # column independently named like right_start made the containment
+    # filter read the unsuffixed LEFT column). Join keys are merged, not
+    # suffixed, so they are excluded.
+    keyset = set(key_cols) | {"_bucket"}
+    left_names = set(sized_l.schema().names) - keyset
+    start_out = (right_start + right_suffix if right_start in left_names
+                 else right_start)
+    end_out = (right_end + right_suffix if right_end in left_names
+               else right_end)
 
     def contains(t: pa.Table) -> pa.Table:
         ts = _epoch_us(t.column(left_ts))

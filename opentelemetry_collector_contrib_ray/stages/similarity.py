@@ -385,8 +385,12 @@ def embedding_near_dups_ivf(
     # the partitioned write emits ~input_blocks files PER CELL — many tiny
     # input blocks would quadratically inflate the block-pair task count
     # (measured: 155 blocks for 5k rows -> thousands of pair tasks);
-    # coalesce so each cell lands in O(total/target_block_rows) files
-    n_rows = slim.count()
+    # coalesce so each cell lands in O(total/target_block_rows) files.
+    # materialize the assignment ONCE and count its cached block metadata —
+    # the previous slim.count() executed the whole projection a second
+    # time just for this int (VERDICT r4 #5)
+    assigned = assigned.materialize()
+    n_rows = assigned.count()
     target_block_rows = 100_000
     assigned = assigned.repartition(
         max(1, min(256, n_rows // target_block_rows + 1)))

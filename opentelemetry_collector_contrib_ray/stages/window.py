@@ -35,6 +35,7 @@ def delta_to_cumulative(
     out_col: str = "cum_value",
     as_cents: bool = True,
     auto_bucket_threshold: int | None = 2_000_000,
+    approx_rows: int | None = None,
 ):
     """Running per-key cumulative sum in time order.
 
@@ -47,13 +48,23 @@ def delta_to_cumulative(
     a pathological key no longer lands in one giant task, and the result is
     bit-identical (see test_property bucketed≡plain).  Pass ``None`` to
     always use the plain single-task-per-key path.
+
+    The gate NEVER executes the pipeline (VERDICT r4 #1): it uses
+    ``approx_rows`` if the caller supplies one, else a free count
+    (parquet metadata / materialized blocks via
+    :func:`stages.blocks.cheap_rows`); when neither is available —
+    a lazy mapped upstream — it defaults to the sorted-scan variant,
+    which is the scale default anyway and bit-identical.
     """
-    if (auto_bucket_threshold is not None and as_cents
-            and ds.count() > auto_bucket_threshold):
-        # the sorted-scan variant bounds task size by BLOCK for any key
-        # distribution (strictly stronger than the time-bucketed one)
-        return delta_to_cumulative_sorted(
-            ds, key_cols, order_cols, value_col, out_col=out_col)
+    if auto_bucket_threshold is not None and as_cents:
+        from .blocks import cheap_rows
+
+        n = approx_rows if approx_rows is not None else cheap_rows(ds)
+        if n is None or n > auto_bucket_threshold:
+            # the sorted-scan variant bounds task size by BLOCK for any key
+            # distribution (strictly stronger than the time-bucketed one)
+            return delta_to_cumulative_sorted(
+                ds, key_cols, order_cols, value_col, out_col=out_col)
 
     def cumsum(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort")
@@ -72,9 +83,20 @@ def _time_bucketed(ds, t_col: str, time_buckets: int):
     """Append ``_tb`` (int64 coarse time bucket over the global [min, max]
     range of ``t_col``) — the shared pre-split of every skew-safe windowed
     variant: a pathological key spreads over ``time_buckets`` bounded
-    tasks instead of one giant one."""
+    tasks instead of one giant one.
+
+    Needs two logical passes (bounds, then bucketize). A plain parquet
+    read streams both passes from storage; a lazy MAPPED upstream is
+    materialized once so the bounds aggregate and the bucketize map both
+    run over cached blocks instead of re-executing the whole pipeline
+    (VERDICT r4 #1 — pinned by tests/test_gate_single_execution.py)."""
     from ray.data.aggregate import Max as AMax
     from ray.data.aggregate import Min as AMin
+
+    from .blocks import cheap_rows
+
+    if cheap_rows(ds) is None:
+        ds = ds.materialize()
 
     bounds = ds.aggregate(AMin(t_col, alias_name="lo"),
                           AMax(t_col, alias_name="hi"))
@@ -184,18 +206,24 @@ def cumulative_to_delta(
     value_col: str,
     out_col: str = "delta_value",
     auto_bucket_threshold: int | None = 2_000_000,
+    approx_rows: int | None = None,
 ):
     """Per-key first difference in time order; first row keeps its value
     (reference emits the first cumulative point as-is).
 
     Above ``auto_bucket_threshold`` total rows (single key col) the
     skew-safe bucketed variant is selected automatically (VERDICT r2 #6);
-    results are identical (property-tested)."""
-    if (auto_bucket_threshold is not None
-            and ds.count() > auto_bucket_threshold):
-        # sorted-scan variant: block-bounded tasks under any key skew
-        return cumulative_to_delta_sorted(
-            ds, key_cols, order_cols, value_col, out_col=out_col)
+    results are identical (property-tested). The gate never executes the
+    pipeline (VERDICT r4 #1): ``approx_rows`` hint, else a free metadata
+    count, else default to the sorted-scan variant."""
+    if auto_bucket_threshold is not None:
+        from .blocks import cheap_rows
+
+        n = approx_rows if approx_rows is not None else cheap_rows(ds)
+        if n is None or n > auto_bucket_threshold:
+            # sorted-scan variant: block-bounded tasks under any key skew
+            return cumulative_to_delta_sorted(
+                ds, key_cols, order_cols, value_col, out_col=out_col)
 
     def diff(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort")
@@ -288,6 +316,7 @@ def sessionize(
     gap_seconds: float,
     agg: str = "summary",
     auto_bucket_threshold: int | None = 2_000_000,
+    approx_rows: int | None = None,
 ):
     """Session windows: per key, a new session starts when the gap between
     consecutive rows exceeds ``gap_seconds`` (the classic event-time session
@@ -305,12 +334,18 @@ def sessionize(
     O(blocks) session-boundary carry). Identical results
     (property-tested).
     """
-    if auto_bucket_threshold is not None and ds.count() > auto_bucket_threshold:
-        if agg == "summary":
-            return sessionize_bucketed(ds, key_cols, order_cols, ts_col,
-                                       gap_seconds)
-        return sessionize_tag_sorted(ds, key_cols, order_cols, ts_col,
-                                     gap_seconds)
+    if auto_bucket_threshold is not None:
+        from .blocks import cheap_rows
+
+        # never execute the pipeline for the gate (VERDICT r4 #1): hint,
+        # else free metadata count, else the skew-safe variant by default
+        n = approx_rows if approx_rows is not None else cheap_rows(ds)
+        if n is None or n > auto_bucket_threshold:
+            if agg == "summary":
+                return sessionize_bucketed(ds, key_cols, order_cols, ts_col,
+                                           gap_seconds)
+            return sessionize_tag_sorted(ds, key_cols, order_cols, ts_col,
+                                         gap_seconds)
 
     def windows(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_cols, kind="mergesort").reset_index(drop=True)
@@ -417,17 +452,19 @@ def sessionize_tag_sorted(
     import ray
     import ray.data as rd
 
-    from .blocks import nonempty_blocks
+    from .blocks import nonempty_blocks, rightsize_blocks
 
-    ts_type = dict(zip(ds.schema().names, ds.schema().types))[ts_col]
+    # materialize (rightsize) BEFORE the schema probe: ds.schema() on a
+    # lazy mapped upstream executes the whole pipeline once just for the
+    # timestamp unit (VERDICT r4 #1 — pinned by
+    # tests/test_gate_single_execution.py)
+    sized = rightsize_blocks(ds)
+    ts_type = dict(zip(sized.schema().names, sized.schema().types))[ts_col]
     per_sec = ({"s": 1.0, "ms": 1e3, "us": 1e6, "ns": 1e9}[ts_type.unit]
                if pa.types.is_timestamp(ts_type) else 1e6)
     gap_us = float(gap_seconds) * per_sec
 
-    from .blocks import rightsize_blocks
-
-    sorted_ds = nonempty_blocks(
-        rightsize_blocks(ds).sort(key_cols + order_cols))
+    sorted_ds = nonempty_blocks(sized.sort(key_cols + order_cols))
     refs = sorted_ds.to_arrow_refs()
     if not refs:
         return sorted_ds

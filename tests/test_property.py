@@ -256,3 +256,24 @@ def test_simhash_pairs_vectorized_matches_per_group(rows, max_bucket,
                           p["id_b"].astype(int).tolist(),
                           p["hamming"].astype(int).tolist()))
     assert got == sorted(expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=0, max_size=200),
+       st.integers(1, 5))
+def test_hll_fold_grouped_matches_per_key(hashes, n_keys):
+    """Vectorized grouped register scatter ≡ per-key fold_hashes, and the
+    frexp-based clz is exact (the r5 HLL vectorization must not move any
+    estimate)."""
+    from opentelemetry_collector_contrib_ray.stages.sketch import HLL, _clz64
+
+    h = np.array(hashes, dtype=np.uint64)
+    ref_clz = np.array(
+        [64 - len(bin(int(v))[2:]) if v else 64 for v in h], dtype=np.uint8)
+    assert np.array_equal(_clz64(h), ref_clz)
+
+    hll = HLL(p=6)
+    keys = (h % np.uint64(n_keys)).astype(np.int64)
+    grouped = hll.fold_grouped(keys, h, n_keys)
+    for k in range(n_keys):
+        assert np.array_equal(grouped[k], hll.fold_hashes(h[keys == k])), k
