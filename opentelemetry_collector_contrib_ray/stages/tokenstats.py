@@ -199,57 +199,50 @@ class SequencePack:
         self.max_len = max_len
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # Greedy in-order packing never defers a doc, so the examples are
+        # exactly the concatenated token stream CUT at max_len boundaries —
+        # the whole op is a handful of numpy kernels (VERDICT r4 #6: the
+        # per-doc Python loop was only a constant factor, but a large one):
+        # - values = the flat stream, UNCOPIED;
+        # - a doc with tokens is counted in the example holding its LAST
+        #   token: (end-1) // max_len (a doc ending exactly on a boundary
+        #   lands in the example it filled — same formula);
+        # - a zero-length doc is counted in the example where its (empty)
+        #   position falls: start // max_len, dropped when that position
+        #   is past the last emitted example (matching the loop's
+        #   nothing-to-flush tail behavior).
         col = batch.column(self.tokens_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         flat = col.flatten().to_numpy(zero_copy_only=False)
         lens = np.diff(col.offsets.to_numpy(zero_copy_only=False))
 
-        out_tokens: list[np.ndarray] = []
-        out_docs: list[int] = []
-        cur: list[np.ndarray] = []
-        cur_len = 0
-        cur_docs = 0
+        max_len = self.max_len
+        total = int(len(flat))
+        n_ex = -(-total // max_len) if total else 0
 
-        def flush():
-            nonlocal cur, cur_len, cur_docs
-            if cur_len:
-                out_tokens.append(np.concatenate(cur) if len(cur) > 1 else cur[0])
-                out_docs.append(cur_docs)
-            cur, cur_len, cur_docs = [], 0, 0
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        nz = lens > 0
+        idx_full = (ends[nz] - 1) // max_len
+        idx_zero = starts[~nz] // max_len
+        idx_zero = idx_zero[idx_zero < n_ex]
+        n_docs = (np.bincount(idx_full, minlength=n_ex)
+                  + np.bincount(idx_zero, minlength=n_ex)).astype(np.int32)
 
-        pos = 0
-        for ln in lens.tolist():
-            seg = flat[pos:pos + ln]
-            pos += ln
-            start = 0
-            ended_in_flush = False
-            while ln - start > 0:
-                take = min(self.max_len - cur_len, ln - start)
-                cur.append(seg[start:start + take])
-                cur_len += take
-                start += take
-                if cur_len == self.max_len:
-                    if start == ln:  # doc ends exactly at the boundary —
-                        cur_docs += 1  # count it in THIS example only
-                        ended_in_flush = True
-                    flush()
-            if not ended_in_flush:
-                cur_docs += 1
-        flush()
-
-        n = len(out_tokens)
-        tok_lens = np.array([len(t) for t in out_tokens], dtype=np.int32)
-        offsets = np.concatenate(([0], np.cumsum(tok_lens))).astype(np.int32)
-        values = (np.concatenate(out_tokens) if n else
-                  np.empty(0, dtype=flat.dtype))
+        tok_lens = np.full(n_ex, max_len, dtype=np.int32)
+        if n_ex:
+            tok_lens[-1] = total - (n_ex - 1) * max_len
+        offsets = np.arange(0, n_ex + 1, dtype=np.int64) * max_len
+        if n_ex:
+            offsets[-1] = total
         return pa.table({
             "tokens": pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()),
-                pa.array(values.astype(np.int32), pa.int32()),
+                pa.array(offsets.astype(np.int32), pa.int32()),
+                pa.array(flat.astype(np.int32, copy=False), pa.int32()),
             ),
             "n_tok": pa.array(tok_lens, pa.int32()),
-            "n_docs": pa.array(np.array(out_docs, dtype=np.int32), pa.int32()),
+            "n_docs": pa.array(n_docs, pa.int32()),
         })
 
 
@@ -383,8 +376,16 @@ def repeated_ngram_counts(ds, id_col: str = "doc_id",
             id_col: pa.array([], t),
             "shared_grams": pa.array([], pa.int64()),
         }))
-    return hot.groupby(id_col).aggregate(
-        Sum("occ", alias_name="shared_grams"))
+    # partial-merge instead of a hash-shuffle groupby: the survivor set is
+    # bounded by hot pairs, and Ray's shuffle groupby costs ~1 s fixed at
+    # small scale (r5 isolated profile: 1.1 s of the 2.9 s query); "auto"
+    # gates on the materialized partial count, so huge survivor sets still
+    # take the shuffle path
+    from .aggregate import count_sum
+
+    out = count_sum(hot, keys=[id_col], sum_cols={"occ": "shared_grams"},
+                    final="auto")
+    return out.select_columns([id_col, "shared_grams"])
 
 
 class _WordGramDocPairs:
@@ -465,5 +466,13 @@ def repeated_word_ngram_counts(ds, id_col: str = "doc_id",
             id_col: pa.array([], t),
             "shared_grams": pa.array([], pa.int64()),
         }))
-    return hot.groupby(id_col).aggregate(
-        Sum("occ", alias_name="shared_grams"))
+    # partial-merge instead of a hash-shuffle groupby: the survivor set is
+    # bounded by hot pairs, and Ray's shuffle groupby costs ~1 s fixed at
+    # small scale (r5 isolated profile: 1.1 s of the 2.9 s query); "auto"
+    # gates on the materialized partial count, so huge survivor sets still
+    # take the shuffle path
+    from .aggregate import count_sum
+
+    out = count_sum(hot, keys=[id_col], sum_cols={"occ": "shared_grams"},
+                    final="auto")
+    return out.select_columns([id_col, "shared_grams"])
