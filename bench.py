@@ -140,6 +140,12 @@ OPERATOR_QUERIES = [
     "dataset_split",
     "token_bigrams",
     "top_bigram",
+    # round-5 additions — the designated scale paths (VERDICT r4 #4)
+    "decontaminate_bloom",
+    "embed_neardup_ivf",
+    "token_budget",
+    "refresh_pipeline",
+    "approx_distinct_users",
 ]
 
 

@@ -151,10 +151,21 @@ class _BloomCandidates:
 
     def __init__(self, bits_ref, n: int, k: int, id_col: str,
                  text_col: str):
-        self.bits = (ray.get(bits_ref)
-                     if isinstance(bits_ref, ray.ObjectRef) else bits_ref)
+        self.bits_ref = bits_ref
+        self._bits = None
         self.n, self.k = n, k
         self.id_col, self.text_col = id_col, text_col
+
+    @property
+    def bits(self):
+        # lazy zero-copy plasma read per worker — cheap enough that the
+        # stage runs TASK-based (the r3 cheap-state rule: an actor pool's
+        # ~2 s spin-up dominated this stage at bench scale, r5)
+        if self._bits is None:
+            self._bits = (ray.get(self.bits_ref)
+                          if isinstance(self.bits_ref, ray.ObjectRef)
+                          else self.bits_ref)
+        return self._bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
