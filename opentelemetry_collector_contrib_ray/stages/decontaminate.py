@@ -55,33 +55,57 @@ def benchmark_ngrams(bench_texts: pa.Array, n: int = 3) -> pa.Array:
     return pc.unique(grams)
 
 
+def _distinct_doc_grams(texts_col, n: int
+                        ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """DISTINCT (doc, gram) pairs of a batch, zero-loop: dictionary-encode
+    the flat gram stream, pack (doc, code) into one int64 and np.unique it.
+    Returns (doc index, gram code, distinct gram strings) — exact (no
+    hashing); the earlier pandas drop_duplicates on raw strings was the
+    hot spot of both decontamination paths."""
+    grams, doc_of = _doc_ngrams(texts_col, n)
+    if not len(grams):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pa.array([], pa.string()))
+    denc = grams.dictionary_encode()
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = denc.dictionary
+    packed = np.unique(doc_of * np.int64(len(uniq)) + codes)
+    return packed // len(uniq), packed % len(uniq), uniq
+
+
 class Decontaminate:
     """map_batches callable: adds ``overlap`` (distinct shared n-grams with
     the benchmark) and ``contaminated`` per document."""
 
     def __init__(self, bench_ref, n: int = 3, min_overlap: int = 3,
                  text_col: str = "text"):
-        self.bench = (ray.get(bench_ref)
-                      if isinstance(bench_ref, ray.ObjectRef) else bench_ref)
+        self.bench_ref = bench_ref
+        self._bench = None
         self.n = n
         self.min_overlap = min_overlap
         self.text_col = text_col
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        grams, doc_of = _doc_ngrams(batch.column(self.text_col), self.n)
-        overlap = np.zeros(batch.num_rows, dtype=np.int64)
-        if len(grams):
-            # dedupe (doc, gram) then count benchmark membership per doc
-            import pandas as pd
+    @property
+    def bench(self):
+        # lazy zero-copy plasma read — cheap enough to run TASK-based
+        # (r3 cheap-state rule; the actor pool's ~2 s spin-up dominated)
+        if self._bench is None:
+            self._bench = (ray.get(self.bench_ref)
+                           if isinstance(self.bench_ref, ray.ObjectRef)
+                           else self.bench_ref)
+        return self._bench
 
-            df = pd.DataFrame({"d": doc_of,
-                               "g": grams.to_pandas().to_numpy()})
-            df = df.drop_duplicates()
-            hit = pc.is_in(pa.array(df["g"].to_numpy(), pa.string()),
-                           value_set=self.bench).to_numpy(
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        overlap = np.zeros(batch.num_rows, dtype=np.int64)
+        d, c, uniq = _distinct_doc_grams(batch.column(self.text_col), self.n)
+        if len(uniq):
+            # membership test once per DISTINCT gram, gathered back by code
+            # (vocabulary trick, CLAUDE.md r2) — then count hits per doc
+            hit_u = pc.is_in(uniq, value_set=self.bench).to_numpy(
                 zero_copy_only=False)
-            counts = np.bincount(df["d"].to_numpy()[hit],
-                                 minlength=batch.num_rows)
+            counts = np.bincount(d[hit_u[c]], minlength=batch.num_rows)
             overlap = counts.astype(np.int64)
         batch = batch.append_column("overlap", pa.array(overlap, pa.int64()))
         return batch.append_column(
@@ -92,12 +116,12 @@ class Decontaminate:
 def decontaminate(ds, bench_texts: pa.Array, n: int = 3,
                   min_overlap: int = 3, text_col: str = "text"):
     ref = ray.put(benchmark_ngrams(bench_texts, n))
+    # task-based: per-task state is one lazy zero-copy ray.get of the gram
+    # set ref (r3 cheap-state rule — see _BloomCandidates)
     return ds.map_batches(
-        Decontaminate,
-        fn_constructor_kwargs=dict(bench_ref=ref, n=n,
-                                   min_overlap=min_overlap,
-                                   text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        Decontaminate(bench_ref=ref, n=n, min_overlap=min_overlap,
+                      text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
 
 
@@ -171,28 +195,25 @@ class _BloomCandidates:
         ids = batch.column(self.id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        grams, doc_of = _doc_ngrams(batch.column(self.text_col), self.n)
-        if not len(grams):
+        d, c, uniq = _distinct_doc_grams(batch.column(self.text_col), self.n)
+        if not len(uniq):
             return pa.table({self.id_col: ids.slice(0, 0),
                              "gram": pa.array([], pa.string())})
-        import pandas as pd
-
-        df = pd.DataFrame({"d": doc_of,
-                           "g": grams.to_pandas().to_numpy()})
-        df = df.drop_duplicates()
-        g = pa.array(df["g"].to_numpy(), pa.string())
-        maybe = bloom_contains(self.bits, g, self.k)
+        # one md5 pass per DISTINCT gram (not per (doc, gram) pair),
+        # verdicts gathered back by dictionary code
+        maybe_u = bloom_contains(self.bits, uniq, self.k)
+        keep = maybe_u[c]
         return pa.table({
-            self.id_col: ids.take(pa.array(df["d"].to_numpy()[maybe],
-                                           pa.int64())),
-            "gram": g.filter(pa.array(maybe)),
+            self.id_col: ids.take(pa.array(d[keep], pa.int64())),
+            "gram": uniq.take(pa.array(c[keep], pa.int64())),
         })
 
 
 def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
                         min_overlap: int = 3, id_col: str = "doc_id",
                         text_col: str = "text", m_bits: int = 1 << 23,
-                        k: int = 7, join_partitions: int | None = None):
+                        k: int = 7, join_partitions: int | None = None,
+                        verify_driver_rows: int = 5_000_000):
     """EXACT decontamination via a Bloom prefilter + exact verify join —
     the bounded-broadcast scale path beside :func:`decontaminate`.
 
@@ -221,11 +242,14 @@ def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
     true_grams = benchmark_ngrams(bench_texts, n)
     bits_ref = ray.put(bloom_build(true_grams, m_bits, k))
 
+    # TASK-based on purpose (r3 cheap-state rule): the per-worker state is
+    # one lazy zero-copy ray.get of the bitmap ref — an actor pool's ~2 s
+    # spin-up dominated this stage at bench scale (measured 4.3 s -> ~2 s
+    # isolated best-of-3 at sf0.1 after the switch, r5)
     cands = ds.map_batches(
-        _BloomCandidates,
-        fn_constructor_kwargs=dict(bits_ref=bits_ref, n=n, k=k,
-                                   id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8),
+        _BloomCandidates(bits_ref=bits_ref, n=n, k=k,
+                         id_col=id_col, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True,
     ).materialize()
 
     def _empty_result() -> pa.Table:
@@ -245,6 +269,33 @@ def decontaminate_bloom(ds, bench_texts: pa.Array, n: int = 3,
 
     if cands.count() == 0:
         return rd.from_arrow(_empty_result())
+
+    if cands.count() <= verify_driver_rows:
+        # driver-verify path (CLAUDE.md size-gate convention — the
+        # distributed hash join costs ~2 s FIXED at small scale): the
+        # candidate set is bounded by the gate, the true gram set already
+        # lives on this driver (it built the bitmap), so one vectorized
+        # is_in + bincount replaces the shuffle join + grouped count.
+        # Candidates are DISTINCT (doc, gram) pairs, so hits-per-doc is
+        # exactly the overlap count.
+        tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
+        if tbl.num_rows == 0:
+            return rd.from_arrow(_empty_result())
+        hit = pc.is_in(tbl.column("gram").combine_chunks(),
+                       value_set=true_grams)
+        ver = tbl.filter(hit)
+        if ver.num_rows == 0:  # every candidate was a false positive
+            return rd.from_arrow(_empty_result())
+        denc = ver.column(id_col).combine_chunks().dictionary_encode()
+        counts = np.bincount(
+            denc.indices.to_numpy(zero_copy_only=False),
+            minlength=len(denc.dictionary)).astype(np.int64)
+        flag = counts >= min_overlap
+        out = pa.table({
+            id_col: denc.dictionary.filter(pa.array(flag)),
+            "overlap": pa.array(counts[flag], pa.int64()),
+        })
+        return rd.from_arrow(out)
 
     truth = rd.from_arrow(pa.table({"gram": true_grams}))
     if join_partitions is None:

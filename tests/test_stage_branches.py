@@ -761,13 +761,17 @@ def test_decontaminate_bloom_matches_exact_and_kills_false_positives():
     want = sorted(map(tuple, exact.itertuples(index=False)))
     assert want == [(0, 4), (1, 4), (5, 6)]
 
-    # tiny bitmap -> heavy false-positive pressure on the prefilter
+    # tiny bitmap -> heavy false-positive pressure on the prefilter;
+    # verify_driver_rows=0 forces the distributed-join verify path, the
+    # default takes the driver-verify path — both must match the exact set
     for m_bits in (256, 1 << 23):
-        got = decontaminate_bloom(
-            rd.from_arrow(docs).repartition(3), bench, n=3, min_overlap=3,
-            id_col="doc_id", m_bits=m_bits, k=3).to_pandas()
-        rows = sorted(map(tuple, got.itertuples(index=False)))
-        assert rows == want, (m_bits, rows)
+        for gate in (0, 5_000_000):
+            got = decontaminate_bloom(
+                rd.from_arrow(docs).repartition(3), bench, n=3,
+                min_overlap=3, id_col="doc_id", m_bits=m_bits, k=3,
+                verify_driver_rows=gate).to_pandas()
+            rows = sorted(map(tuple, got.itertuples(index=False)))
+            assert rows == want, (m_bits, gate, rows)
 
     # membership primitive: zero false negatives by construction
     grams = pa.array([f"g{i} x{i} y{i}" for i in range(200)])
