@@ -208,7 +208,10 @@ def init_ray(num_cpus: int):
         ctx.execution_options.preserve_order = False
 
 
-BENCH_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "3"))
+# 4 => headline best-of-4; suite = 1 warm-up + best-of-3 per query.  This
+# box's steal bursts hit random queries for 2-4x (r4/r5 measurements);
+# more minima is the only structural defense.
+BENCH_REPEAT = int(os.environ.get("GRAFT_BENCH_REPEAT", "4"))
 
 
 def main_single(num_cpus: int, headline_only: bool) -> dict:
