@@ -1859,29 +1859,38 @@ def q_span_context_transform(sf_dir: str):
 
 
 def q_otlp_proto_roundtrip(sf_dir: str):
-    """fileexporter ``format: proto`` ROUND-TRIP (exporter/fileexporter/
-    marshaller.go:33-36 plog.ProtoMarshaler, size-delimited binary
-    branch): the same pdata forest as ``otlp_roundtrip`` but through the
-    hand-rolled protobuf wire codec (sources/otlpproto.py) — events ->
-    flat LogRecord columns -> ``write_otlp_proto_logs`` ->
-    ``read_otlp_proto_logs`` -> per-severity aggregate over the
-    ROUND-TRIPPED rows, checked against the same direct-from-source SQL
-    oracle.  Any wire defect (varint continuation, fixed64 timestamps,
-    AnyValue oneof, KeyValue nesting, forest grouping) breaks a column."""
+    """fileexporter ``format: proto`` ROUND-TRIP for ALL THREE SIGNALS
+    (exporter/fileexporter/marshaller.go:33-36 plog/ptrace/pmetric
+    ProtoMarshalers, size-delimited binary branch): events shape into
+    flat LogRecord / Span / NumberDataPoint rows, each leg writes through
+    its hand-rolled wire codec (sources/otlpproto.py LogsData /
+    TracesData / MetricsData), reads back, and aggregates the
+    ROUND-TRIPPED rows into one (signal, k, row_count, v_sum, chars,
+    ns_min, ns_max) table checked against a direct-from-source SQL
+    oracle.  Any wire defect — varint continuation, fixed64 timestamps,
+    sfixed64/double value oneof, Status submessage, Metric grouping,
+    forest rebuild — breaks a column of its leg."""
     import shutil
     import tempfile
 
     from ..sources.otlpproto import (read_otlp_proto_logs,
-                                     write_otlp_proto_logs)
+                                     read_otlp_proto_metrics,
+                                     read_otlp_proto_traces,
+                                     write_otlp_proto_logs,
+                                     write_otlp_proto_metrics,
+                                     write_otlp_proto_traces)
     from ..stages.aggregate import multi_agg
 
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "ts", "user_id", "event_type",
                              "props"])
 
-    def shape(t: pa.Table) -> pa.Table:
-        ns = pc.cast(pc.multiply(pc.cast(t.column("ts"), pa.int64()),
-                                 pa.scalar(1000, pa.int64())), pa.uint64())
+    def _ns(t: pa.Table) -> pa.ChunkedArray:
+        return pc.cast(pc.multiply(pc.cast(t.column("ts"), pa.int64()),
+                                   pa.scalar(1000, pa.int64())), pa.uint64())
+
+    def shape_logs(t: pa.Table) -> pa.Table:
+        ns = _ns(t)
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
         sev = pa.array((eid % 24 + 1).astype("int32"), pa.int32())
         uid = pc.cast(t.column("user_id"), pa.string())
@@ -1902,32 +1911,126 @@ def q_otlp_proto_roundtrip(sf_dir: str):
             "scope_name": pa.array(["events-gen"] * n, pa.string()),
         })
 
-    flat = ds.map_batches(shape, batch_format="pyarrow", zero_copy_batch=True)
-    tmp = tempfile.mkdtemp(prefix="otlp_pb_", dir="/tmp")
-    try:
-        write_otlp_proto_logs(flat, tmp)
+    def shape_spans(t: pa.Table) -> pa.Table:
+        import numpy as np_
 
-        def per_row(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "severity_text": t.column("severity_text"),
-                "sev": pc.cast(t.column("severity_number"), pa.int64()),
-                "ns": pc.cast(t.column("time_unix_nano"), pa.int64()),
-                "chars": pc.cast(pc.utf8_length(t.column("body")),
-                                 pa.int64()),
-            })
+        ns = _ns(t)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        start = ns.to_numpy(zero_copy_only=False).astype(np_.uint64)
+        end = start + ((eid % 1000 + 1) * 1_000_000).astype(np_.uint64)
+        n = t.num_rows
+        return pa.table({
+            "trace_id": pa.array([f"{int(e):032x}" for e in eid]),
+            "span_id": pa.array([f"{int(e):016x}" for e in eid]),
+            "parent_span_id": pa.array([None] * n, pa.string()),
+            "trace_state": t.column("props"),  # payload through the codec
+            "span_name": t.column("event_type"),
+            "span_kind": pa.array((eid % 5 + 1).astype("int32")),
+            "start_time_unix_nano": pa.array(start, pa.uint64()),
+            "end_time_unix_nano": pa.array(end, pa.uint64()),
+            "status_code": pa.array((eid % 3).astype("int32")),
+            "status_message": pa.array([None] * n, pa.string()),
+            "attributes": pa.array(["{}"] * n, pa.string()),
+            "resource_attributes": pa.array(["{}"] * n, pa.string()),
+            "scope_name": pa.array(["spans-gen"] * n, pa.string()),
+        })
 
-        back = read_otlp_proto_logs(tmp).map_batches(
-            per_row, batch_format="pyarrow", zero_copy_batch=True)
-        sums = count_sum(back, keys=["severity_text"],
-                         sum_cols={"sev": "sev_sum", "chars": "body_chars"})
-        spans = multi_agg(back, keys=["severity_text"], col="ns",
-                          ops=["min", "max"], prefix="ns")
-        # bounded: both tables have one row per event_type (~5)
-        t_sums = pa.Table.from_pylist(sums.take_all())
-        t_spans = pa.Table.from_pylist(spans.take_all())
-        return t_sums.join(t_spans, keys=["severity_text"])
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def shape_metrics(t: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        ns = _ns(t)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        even = eid % 2 == 0
+        tns = ns.to_numpy(zero_copy_only=False).astype(np_.uint64)
+        vi = np_.where(even, eid % 1000, 0).astype("int64")
+        vd = np_.where(even, 0.0, (eid % 100) / 4.0)
+        n = t.num_rows
+        return pa.table({
+            "metric_name": t.column("event_type"),
+            "metric_description": pa.array([None] * n, pa.string()),
+            "metric_unit": pa.array(["1"] * n, pa.string()),
+            "metric_type": pa.array(
+                np_.where(even, "sum", "gauge"), pa.string()),
+            "aggregation_temporality": pa.array(
+                np_.where(even, 2, 0).astype("int32")),
+            "is_monotonic": pa.array(even),
+            "start_time_unix_nano": pa.array(tns, pa.uint64()),
+            "time_unix_nano": pa.array(tns + np_.uint64(1_000_000),
+                                       pa.uint64()),
+            "value_double": pa.array(
+                np_.where(even, None, vd), pa.float64()),
+            "value_int": pa.array(
+                np_.where(even, vi, None), pa.int64()),
+            "attributes": pa.array(["{}"] * n, pa.string()),
+            "resource_attributes": pa.array(["{}"] * n, pa.string()),
+            "scope_name": pa.array(["metrics-gen"] * n, pa.string()),
+        })
+
+    def leg(flat, write_fn, read_fn, per_row, signal: str) -> pa.Table:
+        tmp = tempfile.mkdtemp(prefix=f"otlp_pb_{signal}_", dir="/tmp")
+        try:
+            write_fn(flat, tmp)
+            back = read_fn(tmp).map_batches(
+                per_row, batch_format="pyarrow", zero_copy_batch=True)
+            sums = count_sum(back, keys=["k"],
+                             sum_cols={"v": "v_sum", "chars": "chars"})
+            spans_t = multi_agg(back, keys=["k"], col="ns",
+                                ops=["min", "max"], prefix="ns")
+            # bounded: one row per event_type (~5)
+            t_sums = pa.Table.from_pylist(sums.take_all())
+            t_spans = pa.Table.from_pylist(spans_t.take_all())
+            j = t_sums.join(t_spans, keys=["k"])
+            return j.append_column(
+                "signal", pa.array([signal] * j.num_rows, pa.string()))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def logs_row(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": t.column("severity_text"),
+            "v": pc.cast(t.column("severity_number"), pa.int64()),
+            "ns": pc.cast(t.column("time_unix_nano"), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(t.column("body")), pa.int64()),
+        })
+
+    def spans_row(t: pa.Table) -> pa.Table:
+        v = pc.add(pc.multiply(pc.cast(t.column("span_kind"), pa.int64()),
+                               pa.scalar(1000, pa.int64())),
+                   pc.cast(t.column("status_code"), pa.int64()))
+        return pa.table({
+            "k": t.column("span_name"),
+            "v": v,
+            "ns": pc.cast(t.column("start_time_unix_nano"), pa.int64()),
+            "chars": pc.cast(pc.utf8_length(t.column("trace_state")),
+                             pa.int64()),
+        })
+
+    def metrics_row(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(t.column("value_double"), 0.0),
+            pa.scalar(100.0))), pa.int64())
+        v = pc.add(pc.fill_null(t.column("value_int"), 0), cents)
+        return pa.table({
+            "k": t.column("metric_name"),
+            "v": v,
+            "ns": pc.cast(t.column("time_unix_nano"), pa.int64()),
+            "chars": pa.array([0] * t.num_rows, pa.int64()),
+        })
+
+    out = pa.concat_tables([
+        leg(ds.map_batches(shape_logs, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            write_otlp_proto_logs, read_otlp_proto_logs, logs_row, "logs"),
+        leg(ds.map_batches(shape_spans, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            write_otlp_proto_traces, read_otlp_proto_traces, spans_row,
+            "spans"),
+        leg(ds.map_batches(shape_metrics, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            write_otlp_proto_metrics, read_otlp_proto_metrics, metrics_row,
+            "metrics"),
+    ])
+    return out
 
 
 def q_quantile_band(sf_dir: str):
@@ -2657,16 +2760,34 @@ ORACLE_SQL = {
                CAST(sum(event_id % 5 + 1) AS BIGINT) AS kind_sum
         FROM events GROUP BY 1, 2
     """,
-    # same direct-from-source aggregate as otlp_roundtrip: the proto and
-    # JSON exports carry identical pdata, so one oracle pins both codecs
+    # direct-from-source aggregates per signal leg: the three proto codecs
+    # (LogsData / TracesData / MetricsData) round-trip the same events
     "otlp_proto_roundtrip": """
-        SELECT event_type AS severity_text,
-               count(*) AS row_count,
-               CAST(sum(event_id % 24 + 1) AS BIGINT) AS sev_sum,
-               CAST(sum(len(props)) AS BIGINT) AS body_chars,
-               CAST(min(epoch_us(ts) * 1000) AS BIGINT) AS ns_min,
-               CAST(max(epoch_us(ts) * 1000) AS BIGINT) AS ns_max
-        FROM events GROUP BY event_type
+        WITH base AS (
+            SELECT event_id AS eid, event_type AS et, props,
+                   epoch_us(ts) * 1000 AS ns
+            FROM events
+        )
+        SELECT 'logs' AS signal, et AS k, count(*) AS row_count,
+               CAST(sum(eid % 24 + 1) AS BIGINT) AS v_sum,
+               CAST(sum(len(props)) AS BIGINT) AS chars,
+               CAST(min(ns) AS BIGINT) AS ns_min,
+               CAST(max(ns) AS BIGINT) AS ns_max
+        FROM base GROUP BY et
+        UNION ALL
+        SELECT 'spans', et, count(*),
+               CAST(sum((eid % 5 + 1) * 1000 + eid % 3) AS BIGINT),
+               CAST(sum(len(props)) AS BIGINT),
+               CAST(min(ns) AS BIGINT), CAST(max(ns) AS BIGINT)
+        FROM base GROUP BY et
+        UNION ALL
+        SELECT 'metrics', et, count(*),
+               CAST(sum(CASE WHEN eid % 2 = 0 THEN eid % 1000
+                             ELSE 25 * (eid % 100) END) AS BIGINT),
+               CAST(0 AS BIGINT),
+               CAST(min(ns + 1000000) AS BIGINT),
+               CAST(max(ns + 1000000) AS BIGINT)
+        FROM base GROUP BY et
     """,
     "refresh_pipeline": """
         WITH band AS (

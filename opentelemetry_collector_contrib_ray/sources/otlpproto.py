@@ -394,3 +394,416 @@ def read_otlp_proto_logs(paths: "str | list[str]") -> ray.data.Dataset:
     ds = ray.data.read_binary_files(paths)
     return ds.map_batches(_DecodeProtoBatch(), batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# =============================================================================
+# Traces / Metrics wire codecs — same fileexporter `format: proto` analog
+# over trace/v1/trace.proto and metrics/v1/metrics.proto (public schemas).
+# Flat column names match the OTTL span/datapoint context path sets
+# (functions/contexts.py) so context-translated statements address these
+# rows directly.
+# =============================================================================
+
+SPAN_FLAT_SCHEMA = pa.schema([
+    ("trace_id", pa.string()),
+    ("span_id", pa.string()),
+    ("parent_span_id", pa.string()),
+    ("trace_state", pa.string()),
+    ("span_name", pa.string()),
+    ("span_kind", pa.int32()),
+    ("start_time_unix_nano", pa.uint64()),
+    ("end_time_unix_nano", pa.uint64()),
+    ("status_code", pa.int32()),
+    ("status_message", pa.string()),
+    ("attributes", pa.string()),           # JSON-encoded map
+    ("resource_attributes", pa.string()),  # JSON-encoded map
+    ("scope_name", pa.string()),
+])
+
+# one row per NumberDataPoint, parent Metric denormalized onto the row
+METRIC_FLAT_SCHEMA = pa.schema([
+    ("metric_name", pa.string()),
+    ("metric_description", pa.string()),
+    ("metric_unit", pa.string()),
+    ("metric_type", pa.string()),          # "gauge" | "sum"
+    ("aggregation_temporality", pa.int32()),
+    ("is_monotonic", pa.bool_()),
+    ("start_time_unix_nano", pa.uint64()),
+    ("time_unix_nano", pa.uint64()),
+    ("value_double", pa.float64()),
+    ("value_int", pa.int64()),
+    ("attributes", pa.string()),
+    ("resource_attributes", pa.string()),
+    ("scope_name", pa.string()),
+])
+
+
+def _encode_kvs_field(field: int, attrs_json) -> bytes:
+    attrs = json.loads(attrs_json) if attrs_json else {}
+    return b"".join(
+        _len_field(field,
+                   _str_field(1, k) + _len_field(2, encode_any_value(v)))
+        for k, v in sorted(attrs.items()))
+
+
+def _decode_kvs(buf: bytes) -> dict:
+    key, value = None, None
+    for f, _w, v in _fields(buf):
+        if f == 1:
+            key = v.decode("utf-8")
+        elif f == 2:
+            value = decode_any_value(v)
+    return {key: value} if key is not None else {}
+
+
+def _forest(cols: dict, num_rows: int):
+    """rows grouped resource_attributes -> scope_name (shared by all three
+    signal encoders)."""
+    forest: dict[str, dict[str, list[int]]] = {}
+    for i in range(num_rows):
+        res_key = cols["resource_attributes"][i] or "{}"
+        forest.setdefault(res_key, {}).setdefault(
+            cols["scope_name"][i], []).append(i)
+    return forest
+
+
+def _resource_scope_wrap(forest, cols, encode_scope_items) -> bytes:
+    """Assemble <Signal>sData bytes: ResourceX{resource=1, scope_x=2}
+    around per-scope item payloads produced by ``encode_scope_items``."""
+    doc = bytearray()
+    for res_key in sorted(forest):
+        rl = bytearray()
+        res_attrs = json.loads(res_key)
+        if res_attrs:
+            rl += _len_field(1, encode_kvlist(res_attrs))
+        for scope in sorted(forest[res_key], key=lambda s: s or ""):
+            sl = bytearray()
+            if scope is not None:
+                sl += _len_field(1, _str_field(1, scope))
+            sl += encode_scope_items(cols, forest[res_key][scope])
+            rl += _len_field(2, bytes(sl))
+        doc += _len_field(1, bytes(rl))
+    return bytes(doc)
+
+
+# --- spans -------------------------------------------------------------------
+
+def _encode_span(cols: dict, i: int) -> bytes:
+    out = bytearray()
+    if cols["trace_id"][i]:
+        out += _len_field(1, bytes.fromhex(cols["trace_id"][i]))
+    if cols["span_id"][i]:
+        out += _len_field(2, bytes.fromhex(cols["span_id"][i]))
+    if cols["trace_state"][i]:
+        out += _str_field(3, cols["trace_state"][i])
+    if cols["parent_span_id"][i]:
+        out += _len_field(4, bytes.fromhex(cols["parent_span_id"][i]))
+    if cols["span_name"][i] is not None:
+        out += _str_field(5, cols["span_name"][i])
+    if cols["span_kind"][i]:
+        out += _tag(6, 0) + _varint(int(cols["span_kind"][i]))
+    if cols["start_time_unix_nano"][i]:
+        out += _fixed64(7, int(cols["start_time_unix_nano"][i]))
+    if cols["end_time_unix_nano"][i]:
+        out += _fixed64(8, int(cols["end_time_unix_nano"][i]))
+    out += _encode_kvs_field(9, cols["attributes"][i])
+    code = int(cols["status_code"][i] or 0)
+    msg = cols["status_message"][i]
+    if code or msg:
+        status = bytearray()
+        if msg:
+            status += _str_field(2, msg)
+        if code:
+            status += _tag(3, 0) + _varint(code)
+        out += _len_field(15, bytes(status))
+    return bytes(out)
+
+
+def encode_traces_data(batch: pa.Table) -> bytes:
+    """Flat span rows -> one ``TracesData`` message (trace.proto:
+    ResourceSpans=1 -> ScopeSpans{scope=1, spans=2} -> Span)."""
+    cols = {name: batch.column(name).to_pylist()
+            if name in batch.column_names else [None] * batch.num_rows
+            for name in SPAN_FLAT_SCHEMA.names}
+
+    def items(cols, idxs):
+        return b"".join(_len_field(2, _encode_span(cols, i)) for i in idxs)
+
+    return _resource_scope_wrap(_forest(cols, batch.num_rows), cols, items)
+
+
+def _decode_span(buf: bytes, res_attrs: dict, scope_name) -> dict:
+    row = {"trace_id": None, "span_id": None, "parent_span_id": None,
+           "trace_state": None, "span_name": None, "span_kind": 0,
+           "start_time_unix_nano": 0, "end_time_unix_nano": 0,
+           "status_code": 0, "status_message": None, "attributes": {},
+           "resource_attributes": res_attrs, "scope_name": scope_name}
+    for f, _w, v in _fields(buf):
+        if f == 1:
+            row["trace_id"] = v.hex()
+        elif f == 2:
+            row["span_id"] = v.hex()
+        elif f == 3:
+            row["trace_state"] = v.decode("utf-8")
+        elif f == 4:
+            row["parent_span_id"] = v.hex()
+        elif f == 5:
+            row["span_name"] = v.decode("utf-8")
+        elif f == 6:
+            row["span_kind"] = v
+        elif f == 7:
+            row["start_time_unix_nano"] = struct.unpack("<Q", v)[0]
+        elif f == 8:
+            row["end_time_unix_nano"] = struct.unpack("<Q", v)[0]
+        elif f == 9:
+            row["attributes"].update(_decode_kvs(v))
+        elif f == 15:
+            for f2, _w2, v2 in _fields(v):
+                if f2 == 2:
+                    row["status_message"] = v2.decode("utf-8")
+                elif f2 == 3:
+                    row["status_code"] = v2
+    return row
+
+
+def decode_traces_data(buf: bytes) -> list[dict]:
+    rows = []
+    for field, _w, rl in _fields(buf):
+        if field != 1:
+            continue
+        res_attrs: dict = {}
+        scopes = []
+        for f, _w2, v in _fields(rl):
+            if f == 1:
+                for f2, _w3, v2 in _fields(v):
+                    if f2 == 1:
+                        res_attrs.update(_decode_kvs(v2))
+            elif f == 2:
+                scopes.append(v)
+        for sl in scopes:
+            scope_name = None
+            spans = []
+            for f, _w2, v in _fields(sl):
+                if f == 1:
+                    for f2, _w3, v2 in _fields(v):
+                        if f2 == 1:
+                            scope_name = v2.decode("utf-8")
+                elif f == 2:
+                    spans.append(v)
+            rows.extend(_decode_span(s, res_attrs, scope_name)
+                        for s in spans)
+    return rows
+
+
+# --- metrics -----------------------------------------------------------------
+
+def _encode_number_dp(cols: dict, i: int) -> bytes:
+    out = bytearray()
+    if cols["start_time_unix_nano"][i]:
+        out += _fixed64(2, int(cols["start_time_unix_nano"][i]))
+    if cols["time_unix_nano"][i]:
+        out += _fixed64(3, int(cols["time_unix_nano"][i]))
+    if cols["value_double"][i] is not None:
+        out += _tag(4, 1) + struct.pack("<d", cols["value_double"][i])
+    elif cols["value_int"][i] is not None:
+        out += _tag(6, 1) + struct.pack("<q", cols["value_int"][i])
+    out += _encode_kvs_field(7, cols["attributes"][i])
+    return bytes(out)
+
+
+def encode_metrics_data(batch: pa.Table) -> bytes:
+    """Flat datapoint rows -> one ``MetricsData`` message (metrics.proto:
+    ResourceMetrics=1 -> ScopeMetrics{scope=1, metrics=2} -> Metric
+    {name=1, description=2, unit=3, gauge=5 | sum=7} -> NumberDataPoint).
+    Datapoints sharing (metric_name, description, unit, type,
+    temporality, monotonic) within a scope group under one Metric."""
+    cols = {name: batch.column(name).to_pylist()
+            if name in batch.column_names else [None] * batch.num_rows
+            for name in METRIC_FLAT_SCHEMA.names}
+
+    def items(cols, idxs):
+        metrics: dict[tuple, list[int]] = {}
+        for i in idxs:
+            key = (cols["metric_name"][i] or "",
+                   cols["metric_description"][i] or "",
+                   cols["metric_unit"][i] or "",
+                   cols["metric_type"][i] or "gauge",
+                   int(cols["aggregation_temporality"][i] or 0),
+                   bool(cols["is_monotonic"][i]))
+            metrics.setdefault(key, []).append(i)
+        out = bytearray()
+        for key in sorted(metrics):
+            name, desc, unit, mtype, temp, mono = key
+            m = bytearray()
+            if name:
+                m += _str_field(1, name)
+            if desc:
+                m += _str_field(2, desc)
+            if unit:
+                m += _str_field(3, unit)
+            dps = b"".join(_len_field(1, _encode_number_dp(cols, i))
+                           for i in metrics[key])
+            if mtype == "sum":
+                body = bytearray(dps)
+                if temp:
+                    body += _tag(2, 0) + _varint(temp)
+                if mono:
+                    body += _tag(3, 0) + _varint(1)
+                m += _len_field(7, bytes(body))
+            else:
+                m += _len_field(5, dps)
+            out += _len_field(2, bytes(m))
+        return bytes(out)
+
+    return _resource_scope_wrap(_forest(cols, batch.num_rows), cols, items)
+
+
+def decode_metrics_data(buf: bytes) -> list[dict]:
+    rows = []
+    for field, _w, rl in _fields(buf):
+        if field != 1:
+            continue
+        res_attrs: dict = {}
+        scopes = []
+        for f, _w2, v in _fields(rl):
+            if f == 1:
+                for f2, _w3, v2 in _fields(v):
+                    if f2 == 1:
+                        res_attrs.update(_decode_kvs(v2))
+            elif f == 2:
+                scopes.append(v)
+        for sl in scopes:
+            scope_name = None
+            metrics = []
+            for f, _w2, v in _fields(sl):
+                if f == 1:
+                    for f2, _w3, v2 in _fields(v):
+                        if f2 == 1:
+                            scope_name = v2.decode("utf-8")
+                elif f == 2:
+                    metrics.append(v)
+            for mbuf in metrics:
+                meta = {"metric_name": None, "metric_description": None,
+                        "metric_unit": None, "metric_type": "gauge",
+                        "aggregation_temporality": 0, "is_monotonic": False}
+                dps = []
+                for f, _w2, v in _fields(mbuf):
+                    if f == 1:
+                        meta["metric_name"] = v.decode("utf-8")
+                    elif f == 2:
+                        meta["metric_description"] = v.decode("utf-8")
+                    elif f == 3:
+                        meta["metric_unit"] = v.decode("utf-8")
+                    elif f in (5, 7):
+                        meta["metric_type"] = "sum" if f == 7 else "gauge"
+                        for f2, _w3, v2 in _fields(v):
+                            if f2 == 1:
+                                dps.append(v2)
+                            elif f2 == 2:
+                                meta["aggregation_temporality"] = v2
+                            elif f2 == 3:
+                                meta["is_monotonic"] = bool(v2)
+                for dp in dps:
+                    row = {**meta, "start_time_unix_nano": 0,
+                           "time_unix_nano": 0, "value_double": None,
+                           "value_int": None, "attributes": {},
+                           "resource_attributes": res_attrs,
+                           "scope_name": scope_name}
+                    for f, _w2, v in _fields(dp):
+                        if f == 2:
+                            row["start_time_unix_nano"] = \
+                                struct.unpack("<Q", v)[0]
+                        elif f == 3:
+                            row["time_unix_nano"] = struct.unpack("<Q", v)[0]
+                        elif f == 4:
+                            row["value_double"] = struct.unpack("<d", v)[0]
+                        elif f == 6:
+                            row["value_int"] = struct.unpack("<q", v)[0]
+                        elif f == 7:
+                            row["attributes"].update(_decode_kvs(v))
+                    rows.append(row)
+    return rows
+
+
+# --- Ray Data source / sink (spans + metrics) --------------------------------
+
+def _flat_rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    if not rows:
+        return schema.empty_table()
+    cols = {}
+    for f in schema:
+        if f.name in ("attributes", "resource_attributes"):
+            cols[f.name] = pa.array(
+                [json.dumps(r[f.name], sort_keys=True) for r in rows],
+                f.type)
+        else:
+            cols[f.name] = pa.array([r[f.name] for r in rows], f.type)
+    return pa.table(cols)
+
+
+class _SignalProtoWrite:
+    """Shared per-batch size-delimited writer (see OtlpProtoWrite)."""
+
+    MANIFEST_SCHEMA = OtlpProtoWrite.MANIFEST_SCHEMA
+
+    def __init__(self, out_dir: str, encode):
+        self.out_dir = out_dir
+        self.encode = encode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        if batch.num_rows == 0:
+            return self.MANIFEST_SCHEMA.empty_table()
+        payload = self.encode(batch)
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}.pb")
+        with open(path, "wb") as f:
+            f.write(_varint(len(payload)) + payload)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def write_otlp_proto_traces(ds: ray.data.Dataset, out_dir: str):
+    manifest = ds.map_batches(
+        _SignalProtoWrite(out_dir, encode_traces_data),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return manifest.materialize()
+
+
+def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str):
+    manifest = ds.map_batches(
+        _SignalProtoWrite(out_dir, encode_metrics_data),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return manifest.materialize()
+
+
+class _DecodeSignalBatch:
+    def __init__(self, decode, schema):
+        self.decode = decode
+        self.schema = schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for payload in batch.column("bytes").to_pylist():
+            pos = 0
+            while pos < len(payload):
+                ln, pos = _read_varint(payload, pos)
+                rows.extend(self.decode(payload[pos:pos + ln]))
+                pos += ln
+        return _flat_rows_to_table(rows, self.schema)
+
+
+def read_otlp_proto_traces(paths: "str | list[str]") -> ray.data.Dataset:
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(
+        _DecodeSignalBatch(decode_traces_data, SPAN_FLAT_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_otlp_proto_metrics(paths: "str | list[str]") -> ray.data.Dataset:
+    ds = ray.data.read_binary_files(paths)
+    return ds.map_batches(
+        _DecodeSignalBatch(decode_metrics_data, METRIC_FLAT_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True)

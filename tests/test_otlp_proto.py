@@ -244,3 +244,279 @@ def test_empty_proto_dataset_writes_nothing(ray_session, tmp_path):
     manifest = write_otlp_proto_logs(
         ray.data.from_arrow(FLAT_SCHEMA.empty_table()), out)
     assert manifest.count() == 0
+
+
+# --- traces / metrics codecs ---------------------------------------------
+
+def _span_table() -> pa.Table:
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import \
+        SPAN_FLAT_SCHEMA
+
+    attrs = [{"http.method": "GET", "retries": 2}, {}, {"ok": True}]
+    res = [{"service": "a"}, {"service": "a"}, {"service": "b"}]
+    return pa.table({
+        "trace_id": pa.array(["0af7651916cd43dd8448eb211c80319c",
+                              "ff" * 16, None]),
+        "span_id": pa.array(["b7ad6b7169203331", "aa" * 8, None]),
+        "parent_span_id": pa.array([None, "bb" * 8, None]),
+        "trace_state": pa.array(["congo=t61rcWkgMzE", None, ""]),
+        "span_name": pa.array(["GET /api", "PUT /api", "internal"]),
+        "span_kind": pa.array([2, 3, 0], pa.int32()),
+        "start_time_unix_nano": pa.array(
+            [1700000000000000001, 1700000000000000002, 0], pa.uint64()),
+        "end_time_unix_nano": pa.array(
+            [1700000000000001001, 0, 1700000000000003003], pa.uint64()),
+        "status_code": pa.array([2, 0, 1], pa.int32()),
+        "status_message": pa.array(["boom", None, None]),
+        "attributes": pa.array(
+            [json.dumps(a, sort_keys=True) for a in attrs]),
+        "resource_attributes": pa.array(
+            [json.dumps(r, sort_keys=True) for r in res]),
+        "scope_name": pa.array(["scope-1", None, "scope-1"]),
+    }).cast(SPAN_FLAT_SCHEMA)
+
+
+def _metric_table() -> pa.Table:
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import \
+        METRIC_FLAT_SCHEMA
+
+    return pa.table({
+        "metric_name": pa.array(["latency", "latency", "requests", "gauge0"]),
+        "metric_description": pa.array([None, None, "req count", None]),
+        "metric_unit": pa.array(["ms", "ms", "1", None]),
+        "metric_type": pa.array(["gauge", "gauge", "sum", "gauge"]),
+        "aggregation_temporality": pa.array([0, 0, 2, 0], pa.int32()),
+        "is_monotonic": pa.array([False, False, True, False]),
+        "start_time_unix_nano": pa.array(
+            [0, 0, 1700000000000000000, 0], pa.uint64()),
+        "time_unix_nano": pa.array(
+            [1700000000000000001, 1700000000000000002,
+             1700000000000000003, 1700000000000000004], pa.uint64()),
+        "value_double": pa.array([1.5, -2.25, None, 0.0], pa.float64()),
+        "value_int": pa.array([None, None, 42, None], pa.int64()),
+        "attributes": pa.array(['{"route": "/api"}', "{}", "{}", "{}"]),
+        "resource_attributes": pa.array(
+            ['{"service": "a"}', '{"service": "a"}', '{"service": "b"}',
+             "{}"]),
+        "scope_name": pa.array(["s1", "s1", "s2", None]),
+    }).cast(METRIC_FLAT_SCHEMA)
+
+
+def _sorted_by(t: pa.Table, col: str):
+    return sorted(t.to_pylist(), key=lambda r: (str(r[col]), str(r)))
+
+
+def test_traces_proto_roundtrip(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        SPAN_FLAT_SCHEMA,
+        read_otlp_proto_traces,
+        write_otlp_proto_traces,
+    )
+
+    out = str(tmp_path / "traces_pb")
+    src = _span_table()
+    manifest = write_otlp_proto_traces(
+        ray.data.from_arrow(src).repartition(2), out)
+    assert sum(r["rows"] for r in manifest.take_all()) == src.num_rows
+    back = pa.Table.from_pylist(read_otlp_proto_traces(out).take_all(),
+                                schema=SPAN_FLAT_SCHEMA)
+    # "" and None both decode as unset for proto3 strings; normalize
+    def norm(rows):
+        for r in rows:
+            if r["trace_state"] == "":
+                r["trace_state"] = None
+        return rows
+    assert norm(_sorted_by(back, "span_name")) == \
+        norm(_sorted_by(src, "span_name"))
+
+
+def test_metrics_proto_roundtrip(ray_session, tmp_path):
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        METRIC_FLAT_SCHEMA,
+        read_otlp_proto_metrics,
+        write_otlp_proto_metrics,
+    )
+
+    out = str(tmp_path / "metrics_pb")
+    src = _metric_table()
+    write_otlp_proto_metrics(ray.data.from_arrow(src), out)
+    back = pa.Table.from_pylist(read_otlp_proto_metrics(out).take_all(),
+                                schema=METRIC_FLAT_SCHEMA)
+    # proto3 unset scalars: 0.0 double and "" strings decode as absent
+    def norm(rows):
+        for r in rows:
+            if r["value_double"] == 0.0 and r["value_int"] is None:
+                r["value_double"] = 0.0  # keep
+        return rows
+    got = _sorted_by(back, "time_unix_nano")
+    want = _sorted_by(src, "time_unix_nano")
+    # gauge0's value_double 0.0 is indistinguishable from unset in proto3;
+    # the codec decodes an absent value oneof as None — accept that row
+    for g, w in zip(got, want):
+        if w["value_double"] == 0.0 and w["value_int"] is None:
+            assert g["value_double"] in (0.0, None)
+            g["value_double"] = w["value_double"]
+        if w["metric_unit"] is None:
+            assert g["metric_unit"] in (None, "")
+            g["metric_unit"] = w["metric_unit"]
+    assert got == want
+
+
+def test_traces_metrics_google_protobuf_cross_decode():
+    """Independent google.protobuf parsers (descriptors restated from the
+    public trace/metrics protos) read our bytes; our parsers read theirs."""
+    pytest.importorskip("google.protobuf")
+    from google.protobuf import (descriptor_pb2, descriptor_pool,
+                                 message_factory)
+
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_metrics_data,
+        decode_traces_data,
+        encode_metrics_data,
+        encode_traces_data,
+    )
+
+    F = descriptor_pb2.FieldDescriptorProto
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "otlp_tm_xcheck.proto"
+    fdp.package = "otlptm"
+    fdp.syntax = "proto3"
+
+    def msg(name):
+        m = fdp.message_type.add()
+        m.name = name
+        return m
+
+    def field(m, name, num, ftype, repeated=False, type_name=None):
+        f = m.field.add()
+        f.name, f.number, f.type = name, num, ftype
+        f.label = F.LABEL_REPEATED if repeated else F.LABEL_OPTIONAL
+        if type_name:
+            f.type_name = ".otlptm." + type_name
+
+    av = msg("AnyValue")
+    av.oneof_decl.add().name = "value"
+    field(av, "string_value", 1, F.TYPE_STRING)
+    field(av, "bool_value", 2, F.TYPE_BOOL)
+    field(av, "int_value", 3, F.TYPE_INT64)
+    field(av, "double_value", 4, F.TYPE_DOUBLE)
+    for f in av.field:
+        f.oneof_index = 0
+    kv = msg("KeyValue")
+    field(kv, "key", 1, F.TYPE_STRING)
+    field(kv, "value", 2, F.TYPE_MESSAGE, type_name="AnyValue")
+    scope = msg("InstrumentationScope")
+    field(scope, "name", 1, F.TYPE_STRING)
+    res = msg("Resource")
+    field(res, "attributes", 1, F.TYPE_MESSAGE, repeated=True,
+          type_name="KeyValue")
+    status = msg("Status")
+    field(status, "message", 2, F.TYPE_STRING)
+    field(status, "code", 3, F.TYPE_INT32)
+    span = msg("Span")
+    field(span, "trace_id", 1, F.TYPE_BYTES)
+    field(span, "span_id", 2, F.TYPE_BYTES)
+    field(span, "trace_state", 3, F.TYPE_STRING)
+    field(span, "parent_span_id", 4, F.TYPE_BYTES)
+    field(span, "name", 5, F.TYPE_STRING)
+    field(span, "kind", 6, F.TYPE_INT32)
+    field(span, "start_time_unix_nano", 7, F.TYPE_FIXED64)
+    field(span, "end_time_unix_nano", 8, F.TYPE_FIXED64)
+    field(span, "attributes", 9, F.TYPE_MESSAGE, repeated=True,
+          type_name="KeyValue")
+    field(span, "status", 15, F.TYPE_MESSAGE, type_name="Status")
+    ss = msg("ScopeSpans")
+    field(ss, "scope", 1, F.TYPE_MESSAGE, type_name="InstrumentationScope")
+    field(ss, "spans", 2, F.TYPE_MESSAGE, repeated=True, type_name="Span")
+    rs = msg("ResourceSpans")
+    field(rs, "resource", 1, F.TYPE_MESSAGE, type_name="Resource")
+    field(rs, "scope_spans", 2, F.TYPE_MESSAGE, repeated=True,
+          type_name="ScopeSpans")
+    td = msg("TracesData")
+    field(td, "resource_spans", 1, F.TYPE_MESSAGE, repeated=True,
+          type_name="ResourceSpans")
+
+    ndp = msg("NumberDataPoint")
+    ndp.oneof_decl.add().name = "value"
+    field(ndp, "start_time_unix_nano", 2, F.TYPE_FIXED64)
+    field(ndp, "time_unix_nano", 3, F.TYPE_FIXED64)
+    f_d = ndp.field.add()
+    f_d.name, f_d.number, f_d.type, f_d.label = "as_double", 4, F.TYPE_DOUBLE, F.LABEL_OPTIONAL
+    f_d.oneof_index = 0
+    f_i = ndp.field.add()
+    f_i.name, f_i.number, f_i.type, f_i.label = "as_int", 6, F.TYPE_SFIXED64, F.LABEL_OPTIONAL
+    f_i.oneof_index = 0
+    field(ndp, "attributes", 7, F.TYPE_MESSAGE, repeated=True,
+          type_name="KeyValue")
+    gauge = msg("Gauge")
+    field(gauge, "data_points", 1, F.TYPE_MESSAGE, repeated=True,
+          type_name="NumberDataPoint")
+    summ = msg("Sum")
+    field(summ, "data_points", 1, F.TYPE_MESSAGE, repeated=True,
+          type_name="NumberDataPoint")
+    field(summ, "aggregation_temporality", 2, F.TYPE_INT32)
+    field(summ, "is_monotonic", 3, F.TYPE_BOOL)
+    metric = msg("Metric")
+    metric.oneof_decl.add().name = "data"
+    field(metric, "name", 1, F.TYPE_STRING)
+    field(metric, "description", 2, F.TYPE_STRING)
+    field(metric, "unit", 3, F.TYPE_STRING)
+    field(metric, "gauge", 5, F.TYPE_MESSAGE, type_name="Gauge")
+    field(metric, "sum", 7, F.TYPE_MESSAGE, type_name="Sum")
+    for f in metric.field:
+        if f.name in ("gauge", "sum"):
+            f.oneof_index = 0
+    sm = msg("ScopeMetrics")
+    field(sm, "scope", 1, F.TYPE_MESSAGE, type_name="InstrumentationScope")
+    field(sm, "metrics", 2, F.TYPE_MESSAGE, repeated=True,
+          type_name="Metric")
+    rm = msg("ResourceMetrics")
+    field(rm, "resource", 1, F.TYPE_MESSAGE, type_name="Resource")
+    field(rm, "scope_metrics", 2, F.TYPE_MESSAGE, repeated=True,
+          type_name="ScopeMetrics")
+    md = msg("MetricsData")
+    field(md, "resource_metrics", 1, F.TYPE_MESSAGE, repeated=True,
+          type_name="ResourceMetrics")
+
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    get = message_factory.GetMessageClass
+    TracesData = get(pool.FindMessageTypeByName("otlptm.TracesData"))
+    MetricsData = get(pool.FindMessageTypeByName("otlptm.MetricsData"))
+
+    # spans: theirs parses ours, ours parses theirs
+    src = _span_table()
+    t = TracesData()
+    t.ParseFromString(encode_traces_data(src))
+    spans_flat = [(s, rs_, ss_) for rs_ in t.resource_spans
+                  for ss_ in rs_.scope_spans for s in ss_.spans]
+    assert len(spans_flat) == src.num_rows
+    by_name = {s.name: (s, rs_, ss_) for s, rs_, ss_ in spans_flat}
+    s0, rs0, ss0 = by_name["GET /api"]
+    assert s0.kind == 2 and s0.status.code == 2
+    assert s0.status.message == "boom"
+    assert s0.trace_id.hex() == "0af7651916cd43dd8448eb211c80319c"
+    assert s0.start_time_unix_nano == 1700000000000000001
+    back = decode_traces_data(t.SerializeToString())
+    assert len(back) == src.num_rows
+    assert {r["span_name"] for r in back} == \
+        set(src.column("span_name").to_pylist())
+
+    # metrics
+    srcm = _metric_table()
+    m = MetricsData()
+    m.ParseFromString(encode_metrics_data(srcm))
+    mets = [(mm, sm_) for rm_ in m.resource_metrics
+            for sm_ in rm_.scope_metrics for mm in sm_.metrics]
+    names = sorted(mm.name for mm, _ in mets)
+    assert names == ["gauge0", "latency", "requests"]
+    req = next(mm for mm, _ in mets if mm.name == "requests")
+    assert req.WhichOneof("data") == "sum"
+    assert req.sum.is_monotonic and req.sum.aggregation_temporality == 2
+    assert req.sum.data_points[0].as_int == 42
+    lat = next(mm for mm, _ in mets if mm.name == "latency")
+    assert lat.WhichOneof("data") == "gauge"
+    assert sorted(dp.as_double for dp in lat.gauge.data_points) == \
+        [-2.25, 1.5]
+    backm = decode_metrics_data(m.SerializeToString())
+    assert len(backm) == srcm.num_rows
