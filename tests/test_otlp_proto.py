@@ -520,3 +520,40 @@ def test_traces_metrics_google_protobuf_cross_decode():
         [-2.25, 1.5]
     backm = decode_metrics_data(m.SerializeToString())
     assert len(backm) == srcm.num_rows
+
+
+def test_unicode_and_multibyte_payloads_roundtrip():
+    """Length prefixes count BYTES, not codepoints — multi-byte UTF-8 in
+    every string position must round-trip through all three codecs."""
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        decode_logs_data,
+        decode_traces_data,
+        encode_logs_data,
+        encode_traces_data,
+    )
+
+    s = "héllo wörld — 命名 🎉"
+    log_t = pa.table({
+        "time_unix_nano": pa.array([1], pa.uint64()),
+        "observed_time_unix_nano": pa.array([0], pa.uint64()),
+        "severity_number": pa.array([9], pa.int32()),
+        "severity_text": pa.array([s]),
+        "body": pa.array([s * 3]),
+        "trace_id": pa.array([None], pa.string()),
+        "span_id": pa.array([None], pa.string()),
+        "attributes": pa.array([json.dumps({s: s}, sort_keys=True)]),
+        "resource_attributes": pa.array(
+            [json.dumps({"svc": s}, sort_keys=True)]),
+        "scope_name": pa.array([s]),
+    })
+    rows = decode_logs_data(encode_logs_data(log_t))
+    assert rows[0]["body"] == s * 3
+    assert rows[0]["severity_text"] == s
+    assert rows[0]["attributes"] == {s: s}
+    assert rows[0]["scope_name"] == s
+
+    span_t = _span_table().set_column(
+        _span_table().column_names.index("span_name"), "span_name",
+        pa.array([s, "b", "c"]))
+    back = decode_traces_data(encode_traces_data(span_t))
+    assert s in {r["span_name"] for r in back}
