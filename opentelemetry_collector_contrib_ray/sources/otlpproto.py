@@ -341,6 +341,34 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     return pa.table(cols)
 
 
+# Optional zstd file compression — the fileexporter's ``compression:
+# zstd`` analog (exporter/fileexporter/config.go:31-47). The runtime's
+# only zstd binding (pyarrow.Codec) needs the decompressed size up front,
+# so compressed shards carry an 8-byte magic + varint(uncompressed size)
+# header before the standard zstd stream of size-delimited exports;
+# readers sniff the magic, so mixed plain/compressed directories read
+# transparently.
+_ZSTD_MAGIC = b"OTLPZSTD"
+
+
+def _frame_file(payload: bytes, compression: "str | None") -> bytes:
+    if compression is None:
+        return payload
+    if compression != "zstd":
+        raise ValueError(
+            f"unsupported compression {compression!r}; one of (None, 'zstd')")
+    comp = pa.Codec("zstd").compress(payload, asbytes=True)
+    return _ZSTD_MAGIC + _varint(len(payload)) + comp
+
+
+def _unframe_file(data: bytes) -> bytes:
+    if not data.startswith(_ZSTD_MAGIC):
+        return data
+    size, pos = _read_varint(data, len(_ZSTD_MAGIC))
+    return pa.Codec("zstd").decompress(data[pos:], decompressed_size=size,
+                                       asbytes=True)
+
+
 class OtlpProtoWrite:
     """Encode flat LogRecord rows to one size-delimited ``LogsData`` export
     per batch, appended to a per-task ``.pb`` shard (resumable-output
@@ -349,8 +377,13 @@ class OtlpProtoWrite:
 
     MANIFEST_SCHEMA = pa.schema([("path", pa.string()), ("rows", pa.int64())])
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, compression: "str | None" = None):
+        if compression not in (None, "zstd"):  # fail fast, driver-side
+            raise ValueError(
+                f"unsupported compression {compression!r}; "
+                "one of (None, 'zstd')")
         self.out_dir = out_dir
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -360,19 +393,24 @@ class OtlpProtoWrite:
             return self.MANIFEST_SCHEMA.empty_table()
         payload = encode_logs_data(batch)
         os.makedirs(self.out_dir, exist_ok=True)
-        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}.pb")
+        # .pbz, not .pb.zst: ray.data.read_binary_files auto-decompresses
+        # on a .zst suffix and chokes on our size-hint header
+        ext = ".pbz" if self.compression else ".pb"
+        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}{ext}")
         with open(path, "wb") as f:
-            f.write(_varint(len(payload)) + payload)
+            f.write(_frame_file(_varint(len(payload)) + payload,
+                                self.compression))
         return pa.table({"path": pa.array([path], pa.string()),
                          "rows": pa.array([batch.num_rows], pa.int64())})
 
 
-def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str):
+def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
+                          compression: "str | None" = None):
     """Write a flat-schema log Dataset as size-delimited OTLP-proto
     ``LogsData`` files under ``out_dir``; returns the materialized shard
     manifest (bounded: one row per block)."""
-    manifest = ds.map_batches(OtlpProtoWrite(out_dir), batch_format="pyarrow",
-                              zero_copy_batch=True)
+    manifest = ds.map_batches(OtlpProtoWrite(out_dir, compression),
+                              batch_format="pyarrow", zero_copy_batch=True)
     return manifest.materialize()
 
 
@@ -380,6 +418,7 @@ class _DecodeProtoBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for payload in batch.column("bytes").to_pylist():
+            payload = _unframe_file(payload)
             pos = 0
             while pos < len(payload):
                 ln, pos = _read_varint(payload, pos)
@@ -389,8 +428,9 @@ class _DecodeProtoBatch:
 
 
 def read_otlp_proto_logs(paths: "str | list[str]") -> ray.data.Dataset:
-    """Read size-delimited OTLP-proto LogsData files into a flat
-    one-row-per-LogRecord Dataset (schema = ``otlpjson.FLAT_SCHEMA``)."""
+    """Read size-delimited OTLP-proto LogsData files (plain or
+    zstd-compressed — sniffed per file) into a flat one-row-per-LogRecord
+    Dataset (schema = ``otlpjson.FLAT_SCHEMA``)."""
     ds = ray.data.read_binary_files(paths)
     return ds.map_batches(_DecodeProtoBatch(), batch_format="pyarrow",
                           zero_copy_batch=True)
@@ -746,9 +786,15 @@ class _SignalProtoWrite:
 
     MANIFEST_SCHEMA = OtlpProtoWrite.MANIFEST_SCHEMA
 
-    def __init__(self, out_dir: str, encode):
+    def __init__(self, out_dir: str, encode,
+                 compression: "str | None" = None):
+        if compression not in (None, "zstd"):  # fail fast, driver-side
+            raise ValueError(
+                f"unsupported compression {compression!r}; "
+                "one of (None, 'zstd')")
         self.out_dir = out_dir
         self.encode = encode
+        self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import os
@@ -758,23 +804,29 @@ class _SignalProtoWrite:
             return self.MANIFEST_SCHEMA.empty_table()
         payload = self.encode(batch)
         os.makedirs(self.out_dir, exist_ok=True)
-        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}.pb")
+        # .pbz, not .pb.zst: ray.data.read_binary_files auto-decompresses
+        # on a .zst suffix and chokes on our size-hint header
+        ext = ".pbz" if self.compression else ".pb"
+        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}{ext}")
         with open(path, "wb") as f:
-            f.write(_varint(len(payload)) + payload)
+            f.write(_frame_file(_varint(len(payload)) + payload,
+                                self.compression))
         return pa.table({"path": pa.array([path], pa.string()),
                          "rows": pa.array([batch.num_rows], pa.int64())})
 
 
-def write_otlp_proto_traces(ds: ray.data.Dataset, out_dir: str):
+def write_otlp_proto_traces(ds: ray.data.Dataset, out_dir: str,
+                            compression: "str | None" = None):
     manifest = ds.map_batches(
-        _SignalProtoWrite(out_dir, encode_traces_data),
+        _SignalProtoWrite(out_dir, encode_traces_data, compression),
         batch_format="pyarrow", zero_copy_batch=True)
     return manifest.materialize()
 
 
-def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str):
+def write_otlp_proto_metrics(ds: ray.data.Dataset, out_dir: str,
+                             compression: "str | None" = None):
     manifest = ds.map_batches(
-        _SignalProtoWrite(out_dir, encode_metrics_data),
+        _SignalProtoWrite(out_dir, encode_metrics_data, compression),
         batch_format="pyarrow", zero_copy_batch=True)
     return manifest.materialize()
 
@@ -787,6 +839,7 @@ class _DecodeSignalBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
         for payload in batch.column("bytes").to_pylist():
+            payload = _unframe_file(payload)
             pos = 0
             while pos < len(payload):
                 ln, pos = _read_varint(payload, pos)

@@ -557,3 +557,32 @@ def test_unicode_and_multibyte_payloads_roundtrip():
         pa.array([s, "b", "c"]))
     back = decode_traces_data(encode_traces_data(span_t))
     assert s in {r["span_name"] for r in back}
+
+
+def test_zstd_compressed_roundtrip_and_mixed_dir(ray_session, tmp_path):
+    """fileexporter `compression: zstd` analog: compressed shards
+    round-trip identically, and a directory mixing plain + compressed
+    files reads transparently (per-file magic sniff)."""
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        read_otlp_proto_logs,
+        write_otlp_proto_logs,
+    )
+
+    out = str(tmp_path / "otlp_pb_mixed")
+    src = _flat_table()
+    write_otlp_proto_logs(ray.data.from_arrow(src.slice(0, 2)), out,
+                          compression="zstd")
+    write_otlp_proto_logs(ray.data.from_arrow(src.slice(2)), out)
+
+    import glob
+    exts = sorted({p.rsplit("export-", 1)[1][32:]
+                   for p in glob.glob(out + "/export-*")})
+    assert exts == [".pb", ".pbz"]
+
+    back = pa.Table.from_pylist(read_otlp_proto_logs(out).take_all(),
+                                schema=FLAT_SCHEMA)
+    assert _sorted_pylist(back) == _sorted_pylist(src)
+
+    with pytest.raises(ValueError, match="unsupported compression"):
+        write_otlp_proto_logs(ray.data.from_arrow(src), out,
+                              compression="gzip")
