@@ -142,6 +142,7 @@ OPERATOR_QUERIES = [
     "top_bigram",
     # round-5 additions — the designated scale paths (VERDICT r4 #4)
     "decontaminate_bloom",
+    "decontaminate",
     "embed_neardup_ivf",
     "token_budget",
     "refresh_pipeline",
