@@ -147,6 +147,7 @@ OPERATOR_QUERIES = [
     "token_budget",
     "refresh_pipeline",
     "approx_distinct_users",
+    "substring_dedup",
 ]
 
 

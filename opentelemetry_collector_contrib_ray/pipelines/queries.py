@@ -2033,6 +2033,20 @@ def q_otlp_proto_roundtrip(sf_dir: str):
     return out
 
 
+def q_substring_dedup(sf_dir: str):
+    """Exact substring (duplicated-span) dedup — Lee et al. ExactSubstr at
+    50-char windows (stages/substrdedup.py): every repeated 50-gram span
+    except its globally-first occurrence is cut; overlapping cuts merge
+    per doc.  The oracle is the full windowed SQL reformulation
+    (row_number over gram → interval merge via running-max window), so
+    the rolling hash, the exact-gram grouping, the winner rule and the
+    span merge are all value-checked."""
+    from ..stages.substrdedup import substring_dedup_cuts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return substring_dedup_cuts(ds, id_col="doc_id", text_col="text", k=50)
+
+
 def q_quantile_band(sf_dir: str):
     """percentile-trim selection: keep documents whose length sits inside
     the corpus [p10, p90] band (stages/quantile.py quantile_band_filter —
@@ -2187,6 +2201,11 @@ QUERIES = {
     # evidence every round via the entry() smoke check (same pipeline);
     # decontaminate_bloom's post-r4 changes are pinned by the both-paths
     # golden test (tests/test_stage_branches.py) + the mirror gate.
+    # substring_dedup is also new in r5 but the window is full with the
+    # 48 rotation-mandated queries + the two new codec/context queries;
+    # it is oracle-checked by the mirror gate at sf0.01 every pre-ship
+    # run and brute-force-pinned in tests/test_substrdedup.py
+    "substring_dedup": q_substring_dedup,
     "flagship_agg": q_flagship_agg,
     "flagship_from_config": q_flagship_from_config,
     "decontaminate_bloom": q_decontaminate_bloom,
@@ -2749,6 +2768,42 @@ ORACLE_SQL = {
                CAST(min(epoch_us(ts) * 1000) AS BIGINT) AS ns_min,
                CAST(max(epoch_us(ts) * 1000) AS BIGINT) AS ns_max
         FROM events GROUP BY event_type
+    """,
+    "substring_dedup": """
+        WITH pos AS (
+            SELECT doc_id, i, substr(text, i, 50) AS gram
+            FROM documents,
+                 LATERAL (SELECT unnest(generate_series(1, len(text) - 49))
+                          AS i)
+            WHERE len(text) >= 50
+        ),
+        cuts AS (
+            SELECT doc_id, i AS s, i + 49 AS e
+            FROM pos
+            QUALIFY row_number() OVER (PARTITION BY gram
+                                       ORDER BY doc_id, i) > 1
+        ),
+        ordered AS (
+            SELECT doc_id, s, e,
+                   max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prev_max
+            FROM cuts
+        ),
+        grp AS (
+            SELECT doc_id, s, e,
+                   sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+            FROM ordered
+        ),
+        merged AS (
+            SELECT doc_id, g, min(s) AS ms, max(e) AS me
+            FROM grp GROUP BY doc_id, g
+        )
+        SELECT doc_id, count(*) AS n_spans_cut,
+               CAST(sum(me - ms + 1) AS BIGINT) AS n_chars_cut
+        FROM merged GROUP BY doc_id
     """,
     "span_context_transform": """
         SELECT event_type AS span_name,
