@@ -172,10 +172,10 @@ def _cuts_from_sorted(doc: np.ndarray, pos: np.ndarray,
     return doc[keep], pos[keep]
 
 
-def _merge_spans(doc: np.ndarray, s: np.ndarray, k: int
-                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _merged_span_rows(doc: np.ndarray, s: np.ndarray, k: int
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Merge per-doc overlapping [s, s+k-1] spans (inputs unsorted).
-    Returns (doc, n_spans, n_chars) per doc with >=1 cut."""
+    Returns one row per MERGED span: (doc, ms, me) sorted by (doc, ms)."""
     if not len(doc):
         e = np.empty(0, np.int64)
         return e, e, e
@@ -196,12 +196,18 @@ def _merge_spans(doc: np.ndarray, s: np.ndarray, k: int
     prev_max[0] = np.iinfo(np.int64).min
     prev_max[1:] = run_max[:-1]
     is_new = new_doc | (s > prev_max)
-    grp = np.cumsum(is_new) - 1
     first = np.nonzero(is_new)[0]
-    ms = s[first]
-    me = np.maximum.reduceat(e, first)
-    gdoc = doc[first]
-    # per-doc aggregation of merged spans
+    return doc[first], s[first], np.maximum.reduceat(e, first)
+
+
+def _merge_spans(doc: np.ndarray, s: np.ndarray, k: int
+                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc, n_spans, n_chars) per doc with >=1 cut (see
+    :func:`_merged_span_rows`)."""
+    gdoc, ms, me = _merged_span_rows(doc, s, k)
+    if not len(gdoc):
+        e = np.empty(0, np.int64)
+        return e, e, e
     doc_breaks = np.empty(len(gdoc), dtype=bool)
     doc_breaks[0] = True
     doc_breaks[1:] = gdoc[1:] != gdoc[:-1]
@@ -212,27 +218,21 @@ def _merge_spans(doc: np.ndarray, s: np.ndarray, k: int
     return out_doc, n_spans.astype(np.int64), n_chars.astype(np.int64)
 
 
-def substring_dedup_cuts(
+def _cut_positions(
     ds,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 50,
-    dup_broadcast_rows: int = 5_000_000,
-    candidate_driver_rows: int = 2_000_000,
-    require_ascii: bool = True,
-):
-    """(id_col, n_spans_cut, n_chars_cut) per document that loses at
-    least one merged duplicated span — SQL-oracle-exact (the windowed
-    row_number/interval-merge query in pipelines/queries.py).
-
-    ``dup_broadcast_rows`` gates the dup-hash set broadcast vs semi-join;
-    ``candidate_driver_rows`` gates the driver-side winner pass vs the
-    distributed ``groupby(gram)`` (both follow the repo's size-gate
-    convention; tests pin gate=0 paths)."""
-    import ray.data as rd
-
+    id_col: str,
+    text_col: str,
+    k: int,
+    dup_broadcast_rows: int,
+    candidate_driver_rows: int,
+    require_ascii: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared pipeline: (doc, pos) of every cut occurrence (driver-side
+    arrays, bounded by actual duplication — the size-gated hazard is the
+    candidate volume, checked against ``candidate_driver_rows``)."""
     from .aggregate import count_sum
 
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     counts = count_sum(
         ds.map_batches(_HashPartial(text_col, k, require_ascii),
                        batch_format="pyarrow", zero_copy_batch=True),
@@ -245,11 +245,7 @@ def substring_dedup_cuts(
                               zero_copy_batch=True).materialize()
     n_dups = dups.count()
     if n_dups == 0:
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "n_spans_cut": pa.array([], pa.int64()),
-            "n_chars_cut": pa.array([], pa.int64()),
-        }))
+        return empty
     if n_dups > dup_broadcast_rows:
         raise NotImplementedError(
             f"{n_dups} duplicated hashes exceed dup_broadcast_rows="
@@ -267,11 +263,7 @@ def substring_dedup_cuts(
 
     n_cand = cands.count()
     if n_cand == 0:
-        return rd.from_arrow(pa.table({
-            id_col: pa.array([], pa.int64()),
-            "n_spans_cut": pa.array([], pa.int64()),
-            "n_chars_cut": pa.array([], pa.int64()),
-        }))
+        return empty
     if n_cand <= candidate_driver_rows:
         tbl = pa.concat_tables(ray.get(cands.to_arrow_refs()))
         gram = np.frombuffer(
@@ -296,18 +288,103 @@ def substring_dedup_cuts(
         cut = cands.groupby("gram").map_groups(
             group_cuts, batch_format="pandas").materialize()
         if cut.count() == 0:
-            cut_doc = np.empty(0, np.int64)
-            cut_pos = np.empty(0, np.int64)
-        else:
-            ct = pa.concat_tables(
-                [t for t in ray.get(cut.to_arrow_refs()) if t.num_rows])
-            cut_doc = ct.column(id_col).to_numpy(zero_copy_only=False)
-            cut_pos = ct.column("pos").to_numpy(zero_copy_only=False)
+            return empty
+        ct = pa.concat_tables(
+            [t for t in ray.get(cut.to_arrow_refs()) if t.num_rows])
+        cut_doc = ct.column(id_col).to_numpy(zero_copy_only=False)
+        cut_pos = ct.column("pos").to_numpy(zero_copy_only=False)
+    return cut_doc.astype(np.int64), cut_pos.astype(np.int64)
 
-    out_doc, n_spans, n_chars = _merge_spans(
-        cut_doc.astype(np.int64), cut_pos.astype(np.int64), k)
+
+def substring_dedup_cuts(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    dup_broadcast_rows: int = 5_000_000,
+    candidate_driver_rows: int = 2_000_000,
+    require_ascii: bool = True,
+):
+    """(id_col, n_spans_cut, n_chars_cut) per document that loses at
+    least one merged duplicated span — SQL-oracle-exact (the windowed
+    row_number/interval-merge query in pipelines/queries.py).
+
+    ``dup_broadcast_rows`` gates the dup-hash set broadcast vs semi-join;
+    ``candidate_driver_rows`` gates the driver-side winner pass vs the
+    distributed ``groupby(gram)`` (both follow the repo's size-gate
+    convention; tests pin gate=0 paths)."""
+    import ray.data as rd
+
+    cut_doc, cut_pos = _cut_positions(
+        ds, id_col, text_col, k, dup_broadcast_rows,
+        candidate_driver_rows, require_ascii)
+    out_doc, n_spans, n_chars = _merge_spans(cut_doc, cut_pos, k)
     return rd.from_arrow(pa.table({
         id_col: pa.array(out_doc, pa.int64()),
         "n_spans_cut": pa.array(n_spans, pa.int64()),
         "n_chars_cut": pa.array(n_chars, pa.int64()),
     }))
+
+
+class _ApplyCuts:
+    """Remove merged spans from each doc's text (lazy span-table ref;
+    task-based — the span table is bounded by docs-with-cuts)."""
+
+    def __init__(self, spans_ref, id_col: str, text_col: str):
+        self.spans_ref = spans_ref
+        self._spans = None
+        self.id_col, self.text_col = id_col, text_col
+
+    @property
+    def spans(self) -> dict:
+        if self._spans is None:
+            self._spans = (ray.get(self.spans_ref)
+                           if isinstance(self.spans_ref, ray.ObjectRef)
+                           else self.spans_ref)
+        return self._spans
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out = []
+        for d, t in zip(ids, texts):
+            spans = self.spans.get(d)
+            if not spans or t is None:
+                out.append(t)
+                continue
+            kept = []
+            prev = 0
+            for s, e in spans:
+                kept.append(t[prev:s])
+                prev = e + 1
+            kept.append(t[prev:])
+            out.append("".join(kept))
+        i = batch.column_names.index(self.text_col)
+        return batch.set_column(i, self.text_col,
+                                pa.array(out, pa.string()))
+
+
+def substring_dedup_apply(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    dup_broadcast_rows: int = 5_000_000,
+    candidate_driver_rows: int = 2_000_000,
+    require_ascii: bool = True,
+):
+    """The REMOVAL form: same dataset with every merged duplicated span
+    sliced out of ``text_col`` (docs without cuts pass through
+    unchanged).  The span table broadcasts once via ray.put — bounded by
+    docs that actually lose text, not the corpus."""
+    cut_doc, cut_pos = _cut_positions(
+        ds, id_col, text_col, k, dup_broadcast_rows,
+        candidate_driver_rows, require_ascii)
+    gdoc, ms, me = _merged_span_rows(cut_doc, cut_pos, k)
+    spans: dict = {}
+    for d, s, e in zip(gdoc.tolist(), ms.tolist(), me.tolist()):
+        spans.setdefault(d, []).append((s, e))
+    spans_ref = ray.put(spans)
+    return ds.map_batches(
+        _ApplyCuts(spans_ref, id_col, text_col),
+        batch_format="pyarrow", zero_copy_batch=True)

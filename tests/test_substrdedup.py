@@ -139,3 +139,38 @@ def test_no_duplicates_empty_result(ray_session):
     assert out.count() == 0
     sch = out.schema()
     assert sch.names == ["doc_id", "n_spans_cut", "n_chars_cut"]
+
+
+def brute_force_apply(docs: dict[int, str], k: int) -> dict[int, str]:
+    first: dict[str, tuple[int, int]] = {}
+    for d in sorted(docs):
+        t = docs[d] or ""
+        for i in range(len(t) - k + 1):
+            first.setdefault(t[i:i + k], (d, i))
+    out = {}
+    for d in sorted(docs):
+        t = docs[d] or ""
+        drop = np.zeros(len(t), dtype=bool)
+        for i in range(len(t) - k + 1):
+            if first[t[i:i + k]] != (d, i):
+                drop[i:i + k] = True
+        out[d] = "".join(c for c, x in zip(t, drop) if not x)
+    return out
+
+
+def test_apply_matches_brute_force(ray_session):
+    from opentelemetry_collector_contrib_ray.stages.substrdedup import (
+        substring_dedup_apply,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(CORPUS), pa.int64()),
+        "text": pa.array([CORPUS[d] for d in sorted(CORPUS)]),
+    })).repartition(3)
+    got = {r["doc_id"]: r["text"]
+           for r in substring_dedup_apply(ds, k=K).take_all()}
+    want = brute_force_apply(CORPUS, K)
+    assert got == want
+    assert got[2] == ""                      # full copy vanishes
+    assert got[5] == CORPUS[5]               # short doc untouched
+    assert got[7] == CORPUS[7]               # unique doc untouched
