@@ -247,10 +247,11 @@ def _cut_positions(
     if n_dups == 0:
         return empty
     if n_dups > dup_broadcast_rows:
-        raise NotImplementedError(
+        raise ValueError(
             f"{n_dups} duplicated hashes exceed dup_broadcast_rows="
-            f"{dup_broadcast_rows}; the semi-join path is intentionally "
-            "explicit — raise the gate or pre-shard the corpus")
+            f"{dup_broadcast_rows} (~{n_dups * 8 >> 20} MiB broadcast); "
+            "raise the gate if the nodes have headroom — the array is "
+            "one zero-copy plasma object per node")
     dup_arr = np.sort(np.concatenate([
         t.column("h").to_numpy(zero_copy_only=False)
         for t in ray.get(dups.to_arrow_refs()) if t.num_rows
@@ -296,12 +297,31 @@ def _cut_positions(
     return cut_doc.astype(np.int64), cut_pos.astype(np.int64)
 
 
+def _check_id_type(ds, id_col: str):
+    # best-effort: only when the schema is already known (plain reads /
+    # materialized inputs) — never force execution for a type check
+    # (the r4 lazy-input rule); a wrong type still fails loudly later
+    # in the numpy sort, just with a worse message
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return
+    if sch is None or id_col not in sch.names:
+        return
+    t = sch.types[sch.names.index(id_col)]
+    if not pa.types.is_integer(t):
+        raise ValueError(
+            f"substring_dedup: {id_col!r} must be an integer column "
+            f"(got {t}); dictionary-encode string ids upstream — the "
+            "winner ordering and span merge sort on the id")
+
+
 def substring_dedup_cuts(
     ds,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
-    dup_broadcast_rows: int = 5_000_000,
+    dup_broadcast_rows: int = 100_000_000,
     candidate_driver_rows: int = 2_000_000,
     require_ascii: bool = True,
 ):
@@ -309,12 +329,16 @@ def substring_dedup_cuts(
     least one merged duplicated span — SQL-oracle-exact (the windowed
     row_number/interval-merge query in pipelines/queries.py).
 
-    ``dup_broadcast_rows`` gates the dup-hash set broadcast vs semi-join;
+    ``dup_broadcast_rows`` gates the dup-hash set broadcast (u64 array
+    via ray.put = ONE shared-memory copy per node — 100M hashes is
+    800 MB, fine on a 128 GiB node; the explicit raise beyond it keeps
+    the limit visible instead of OOMing a worker);
     ``candidate_driver_rows`` gates the driver-side winner pass vs the
     distributed ``groupby(gram)`` (both follow the repo's size-gate
     convention; tests pin gate=0 paths)."""
     import ray.data as rd
 
+    _check_id_type(ds, id_col)
     cut_doc, cut_pos = _cut_positions(
         ds, id_col, text_col, k, dup_broadcast_rows,
         candidate_driver_rows, require_ascii)
@@ -369,7 +393,7 @@ def substring_dedup_apply(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
-    dup_broadcast_rows: int = 5_000_000,
+    dup_broadcast_rows: int = 100_000_000,
     candidate_driver_rows: int = 2_000_000,
     require_ascii: bool = True,
 ):
@@ -377,6 +401,7 @@ def substring_dedup_apply(
     sliced out of ``text_col`` (docs without cuts pass through
     unchanged).  The span table broadcasts once via ray.put — bounded by
     docs that actually lose text, not the corpus."""
+    _check_id_type(ds, id_col)
     cut_doc, cut_pos = _cut_positions(
         ds, id_col, text_col, k, dup_broadcast_rows,
         candidate_driver_rows, require_ascii)

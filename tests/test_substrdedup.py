@@ -174,3 +174,12 @@ def test_apply_matches_brute_force(ray_session):
     assert got[2] == ""                      # full copy vanishes
     assert got[5] == CORPUS[5]               # short doc untouched
     assert got[7] == CORPUS[7]               # unique doc untouched
+
+
+def test_string_id_rejected_early(ray_session):
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["a", "b"], pa.string()),
+        "text": pa.array(["x" * 60, "y" * 60]),
+    }))
+    with pytest.raises(ValueError, match="integer column"):
+        substring_dedup_cuts(ds, k=50)
