@@ -423,6 +423,17 @@ def _segment_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     return segment_dedup(ds, id_col=id_col, text_col=text_col, sep=sep)
 
 
+@register_stage("substring_dedup")
+def _substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 50):
+    """Lee et al. ExactSubstr duplicated-span REMOVAL (round 5) — docs
+    come back with every repeated k-char span (except its globally-first
+    occurrence) sliced out."""
+    from ..stages.substrdedup import substring_dedup_apply
+
+    return substring_dedup_apply(ds, id_col=id_col, text_col=text_col, k=k)
+
+
 @register_stage("md5_tokenize")
 def _md5_tokenize(ds, text_col: str = "text", out_col: str = "tokens",
                   vocab_size: int = 50_257):

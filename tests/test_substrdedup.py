@@ -183,3 +183,17 @@ def test_string_id_rejected_early(ray_session):
     }))
     with pytest.raises(ValueError, match="integer column"):
         substring_dedup_cuts(ds, k=50)
+
+
+def test_builder_stage_registered(ray_session):
+    from opentelemetry_collector_contrib_ray.pipelines.builder import (
+        STAGE_REGISTRY,
+    )
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(CORPUS), pa.int64()),
+        "text": pa.array([CORPUS[d] for d in sorted(CORPUS)]),
+    }))
+    out = STAGE_REGISTRY["substring_dedup"](ds, k=K)
+    got = {r["doc_id"]: r["text"] for r in out.take_all()}
+    assert got == brute_force_apply(CORPUS, K)
