@@ -414,16 +414,35 @@ def write_otlp_proto_logs(ds: ray.data.Dataset, out_dir: str,
     return manifest.materialize()
 
 
+def _decode_shard(payload: bytes, decode, path: str) -> list[dict]:
+    """Decode one size-delimited shard; a truncated or corrupt file (e.g.
+    a writer killed mid-write) raises a clear error NAMING the file
+    instead of a bare IndexError from the varint reader."""
+    try:
+        payload = _unframe_file(payload)
+        rows = []
+        pos = 0
+        while pos < len(payload):
+            ln, pos = _read_varint(payload, pos)
+            if pos + ln > len(payload):
+                raise ValueError(
+                    f"truncated export frame ({ln} bytes declared, "
+                    f"{len(payload) - pos} remain)")
+            rows.extend(decode(payload[pos:pos + ln]))
+            pos += ln
+        return rows
+    except Exception as e:
+        raise ValueError(f"corrupt OTLP-proto shard {path!r}: {e}") from e
+
+
 class _DecodeProtoBatch:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
-        for payload in batch.column("bytes").to_pylist():
-            payload = _unframe_file(payload)
-            pos = 0
-            while pos < len(payload):
-                ln, pos = _read_varint(payload, pos)
-                rows.extend(decode_logs_data(payload[pos:pos + ln]))
-                pos += ln
+        paths = (batch.column("path").to_pylist()
+                 if "path" in batch.column_names
+                 else [None] * batch.num_rows)
+        for payload, path in zip(batch.column("bytes").to_pylist(), paths):
+            rows.extend(_decode_shard(payload, decode_logs_data, path))
         return _rows_to_table(rows)
 
 
@@ -431,7 +450,7 @@ def read_otlp_proto_logs(paths: "str | list[str]") -> ray.data.Dataset:
     """Read size-delimited OTLP-proto LogsData files (plain or
     zstd-compressed — sniffed per file) into a flat one-row-per-LogRecord
     Dataset (schema = ``otlpjson.FLAT_SCHEMA``)."""
-    ds = ray.data.read_binary_files(paths)
+    ds = ray.data.read_binary_files(paths, include_paths=True)
     return ds.map_batches(_DecodeProtoBatch(), batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -838,25 +857,23 @@ class _DecodeSignalBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = []
-        for payload in batch.column("bytes").to_pylist():
-            payload = _unframe_file(payload)
-            pos = 0
-            while pos < len(payload):
-                ln, pos = _read_varint(payload, pos)
-                rows.extend(self.decode(payload[pos:pos + ln]))
-                pos += ln
+        paths = (batch.column("path").to_pylist()
+                 if "path" in batch.column_names
+                 else [None] * batch.num_rows)
+        for payload, path in zip(batch.column("bytes").to_pylist(), paths):
+            rows.extend(_decode_shard(payload, self.decode, path))
         return _flat_rows_to_table(rows, self.schema)
 
 
 def read_otlp_proto_traces(paths: "str | list[str]") -> ray.data.Dataset:
-    ds = ray.data.read_binary_files(paths)
+    ds = ray.data.read_binary_files(paths, include_paths=True)
     return ds.map_batches(
         _DecodeSignalBatch(decode_traces_data, SPAN_FLAT_SCHEMA),
         batch_format="pyarrow", zero_copy_batch=True)
 
 
 def read_otlp_proto_metrics(paths: "str | list[str]") -> ray.data.Dataset:
-    ds = ray.data.read_binary_files(paths)
+    ds = ray.data.read_binary_files(paths, include_paths=True)
     return ds.map_batches(
         _DecodeSignalBatch(decode_metrics_data, METRIC_FLAT_SCHEMA),
         batch_format="pyarrow", zero_copy_batch=True)

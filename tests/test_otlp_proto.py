@@ -586,3 +586,23 @@ def test_zstd_compressed_roundtrip_and_mixed_dir(ray_session, tmp_path):
     with pytest.raises(ValueError, match="unsupported compression"):
         write_otlp_proto_logs(ray.data.from_arrow(src), out,
                               compression="gzip")
+
+
+def test_truncated_shard_names_the_file(ray_session, tmp_path):
+    """A writer killed mid-write leaves a truncated shard; the reader
+    must raise naming the file, not a bare IndexError."""
+    from opentelemetry_collector_contrib_ray.sources.otlpproto import (
+        read_otlp_proto_logs,
+        write_otlp_proto_logs,
+    )
+
+    out = str(tmp_path / "otlp_pb_trunc")
+    write_otlp_proto_logs(ray.data.from_arrow(_flat_table()), out)
+    import glob
+
+    victim = glob.glob(out + "/export-*.pb")[0]
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(data[:len(data) // 2])
+    with pytest.raises(Exception, match="corrupt OTLP-proto shard"):
+        read_otlp_proto_logs(out).take_all()
