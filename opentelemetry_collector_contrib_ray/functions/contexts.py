@@ -186,11 +186,15 @@ def with_context(context: str, statements: list) -> list:
             args = (translate_path(context, args[0]),
                     translate_path(context, args[1]))
         else:
-            args = tuple(tr_val(a) if isinstance(a, (C, Col))
-                         else (translate_path(context, a)
-                               if isinstance(a, str)
-                               and a in PATH_SETS[context] else a)
-                         for a in args)
+            # other editors (replace_pattern/replace_match/append/limit/
+            # merge_maps/...) take the TARGET path first; later string
+            # args are patterns/literals and must NOT be translated even
+            # when they happen to spell a path (e.g. the regex "name")
+            args = tuple(
+                tr_val(a) if isinstance(a, (C, Col))
+                else (translate_path(context, a)
+                      if i == 0 and isinstance(a, str) else a)
+                for i, a in enumerate(args))
         where = (rewrite_expr(context, st.where)
                  if st.where is not None else None)
         out.append(Statement(st.editor, args, where))

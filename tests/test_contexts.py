@@ -122,3 +122,16 @@ def test_every_context_value_is_a_valid_flat_name():
     for ctx, mapping in PATH_SETS.items():
         for src, dst in mapping.items():
             assert "." not in dst, (ctx, src, dst)
+
+
+def test_with_context_pattern_args_not_translated():
+    """replace_pattern's regex/replacement strings must survive even when
+    they spell a context path; only the target translates."""
+    from opentelemetry_collector_contrib_ray.stages.transform import (
+        replace_pattern,
+    )
+
+    stmts = with_context("span", [
+        replace_pattern("status.message", "name", "kind"),
+    ])
+    assert stmts[0].args == ("status_message", "name", "kind")
