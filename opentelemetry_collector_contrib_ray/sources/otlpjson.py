@@ -237,3 +237,277 @@ def write_otlp_json_logs(ds: ray.data.Dataset, out_dir: str):
     manifest = ds.map_batches(OtlpJsonWrite(out_dir), batch_format="pyarrow",
                               zero_copy_batch=True)
     return manifest.materialize()
+
+
+# =============================================================================
+# Traces / Metrics OTLP-JSON — otlpjsonfilereceiver handles all three
+# signals (receiver/otlpjsonfilereceiver/file.go:41-95 unmarshals logs,
+# metrics AND traces); same proto3 JSON mapping (camelCase keys,
+# int64/uint64 as strings, trace/span ids as hex, enums as numbers).
+# Flat schemas are shared with the proto codecs (otlpproto.SPAN_FLAT_SCHEMA
+# / METRIC_FLAT_SCHEMA), so JSON and proto exports are interchangeable
+# row-for-row (pinned by tests/test_otlp_json_signals.py).
+# =============================================================================
+
+
+def flatten_otlp_traces(doc: dict) -> list[dict]:
+    """One OTLP-JSON traces export document -> flat rows (one per Span)."""
+    rows = []
+    for rs in doc.get("resourceSpans", []):
+        res_attrs = _kvlist(rs.get("resource", {}).get("attributes", []))
+        for ss in rs.get("scopeSpans", []):
+            scope_name = ss.get("scope", {}).get("name")
+            for sp in ss.get("spans", []):
+                status = sp.get("status", {})
+                rows.append({
+                    "trace_id": sp.get("traceId"),
+                    "span_id": sp.get("spanId"),
+                    "parent_span_id": sp.get("parentSpanId"),
+                    "trace_state": sp.get("traceState"),
+                    "span_name": sp.get("name"),
+                    "span_kind": int(sp.get("kind", 0)),
+                    "start_time_unix_nano": int(
+                        sp.get("startTimeUnixNano", 0)),
+                    "end_time_unix_nano": int(sp.get("endTimeUnixNano", 0)),
+                    "status_code": int(status.get("code", 0)),
+                    "status_message": status.get("message"),
+                    "attributes": json.dumps(
+                        _kvlist(sp.get("attributes", [])), sort_keys=True),
+                    "resource_attributes": json.dumps(res_attrs,
+                                                      sort_keys=True),
+                    "scope_name": scope_name,
+                })
+    return rows
+
+
+def flatten_otlp_metrics(doc: dict) -> list[dict]:
+    """One OTLP-JSON metrics export document -> flat rows (one per
+    NumberDataPoint, parent Metric denormalized)."""
+    rows = []
+    for rm in doc.get("resourceMetrics", []):
+        res_attrs = _kvlist(rm.get("resource", {}).get("attributes", []))
+        for sm in rm.get("scopeMetrics", []):
+            scope_name = sm.get("scope", {}).get("name")
+            for m in sm.get("metrics", []):
+                if "sum" in m:
+                    body, mtype = m["sum"], "sum"
+                    temp = int(body.get("aggregationTemporality", 0))
+                    mono = bool(body.get("isMonotonic", False))
+                else:
+                    body, mtype = m.get("gauge", {}), "gauge"
+                    temp, mono = 0, False
+                for dp in body.get("dataPoints", []):
+                    rows.append({
+                        "metric_name": m.get("name"),
+                        "metric_description": m.get("description"),
+                        "metric_unit": m.get("unit"),
+                        "metric_type": mtype,
+                        "aggregation_temporality": temp,
+                        "is_monotonic": mono,
+                        "start_time_unix_nano": int(
+                            dp.get("startTimeUnixNano", 0)),
+                        "time_unix_nano": int(dp.get("timeUnixNano", 0)),
+                        "value_double": (float(dp["asDouble"])
+                                         if "asDouble" in dp else None),
+                        "value_int": (int(dp["asInt"])
+                                      if "asInt" in dp else None),
+                        "attributes": json.dumps(
+                            _kvlist(dp.get("attributes", [])),
+                            sort_keys=True),
+                        "resource_attributes": json.dumps(res_attrs,
+                                                          sort_keys=True),
+                        "scope_name": scope_name,
+                    })
+    return rows
+
+
+def _json_rows_to_table(rows: list[dict], schema: pa.Schema) -> pa.Table:
+    if not rows:
+        return schema.empty_table()
+    return pa.table({f.name: pa.array([r[f.name] for r in rows], f.type)
+                     for f in schema})
+
+
+class _DecodeSignalJson:
+    def __init__(self, flatten, schema):
+        self.flatten = flatten
+        self.schema = schema
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for line in batch.column("text").to_pylist():
+            if not line or not line.strip():
+                continue
+            rows.extend(self.flatten(json.loads(line)))
+        return _json_rows_to_table(rows, self.schema)
+
+
+def read_otlp_json_traces(paths: "str | list[str]") -> ray.data.Dataset:
+    """OTLP-JSON-lines trace files -> flat one-row-per-Span Dataset
+    (schema = ``otlpproto.SPAN_FLAT_SCHEMA``)."""
+    from .otlpproto import SPAN_FLAT_SCHEMA
+
+    ds = ray.data.read_text(paths)
+    return ds.map_batches(
+        _DecodeSignalJson(flatten_otlp_traces, SPAN_FLAT_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_otlp_json_metrics(paths: "str | list[str]") -> ray.data.Dataset:
+    """OTLP-JSON-lines metric files -> flat one-row-per-datapoint Dataset
+    (schema = ``otlpproto.METRIC_FLAT_SCHEMA``)."""
+    from .otlpproto import METRIC_FLAT_SCHEMA
+
+    ds = ray.data.read_text(paths)
+    return ds.map_batches(
+        _DecodeSignalJson(flatten_otlp_metrics, METRIC_FLAT_SCHEMA),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _span_to_json(cols: dict, i: int) -> dict:
+    sp: dict = {}
+    if cols["trace_id"][i]:
+        sp["traceId"] = cols["trace_id"][i]
+    if cols["span_id"][i]:
+        sp["spanId"] = cols["span_id"][i]
+    if cols["parent_span_id"][i]:
+        sp["parentSpanId"] = cols["parent_span_id"][i]
+    if cols["trace_state"][i]:
+        sp["traceState"] = cols["trace_state"][i]
+    if cols["span_name"][i] is not None:
+        sp["name"] = cols["span_name"][i]
+    if cols["span_kind"][i]:
+        sp["kind"] = int(cols["span_kind"][i])
+    if cols["start_time_unix_nano"][i]:
+        sp["startTimeUnixNano"] = str(cols["start_time_unix_nano"][i])
+    if cols["end_time_unix_nano"][i]:
+        sp["endTimeUnixNano"] = str(cols["end_time_unix_nano"][i])
+    attrs = json.loads(cols["attributes"][i]) if cols["attributes"][i] else {}
+    if attrs:
+        sp["attributes"] = _encode_kvlist(attrs)
+    status: dict = {}
+    if cols["status_message"][i]:
+        status["message"] = cols["status_message"][i]
+    if cols["status_code"][i]:
+        status["code"] = int(cols["status_code"][i])
+    if status:
+        sp["status"] = status
+    return sp
+
+
+def _dp_to_json(cols: dict, i: int) -> dict:
+    dp: dict = {}
+    if cols["start_time_unix_nano"][i]:
+        dp["startTimeUnixNano"] = str(cols["start_time_unix_nano"][i])
+    if cols["time_unix_nano"][i]:
+        dp["timeUnixNano"] = str(cols["time_unix_nano"][i])
+    if cols["value_double"][i] is not None:
+        dp["asDouble"] = cols["value_double"][i]
+    elif cols["value_int"][i] is not None:
+        dp["asInt"] = str(cols["value_int"][i])
+    attrs = json.loads(cols["attributes"][i]) if cols["attributes"][i] else {}
+    if attrs:
+        dp["attributes"] = _encode_kvlist(attrs)
+    return dp
+
+
+class _SignalJsonWrite:
+    """Per-batch OTLP-JSON export writer for spans / datapoints — same
+    forest rebuild + shard manifest conventions as OtlpJsonWrite."""
+
+    MANIFEST_SCHEMA = OtlpJsonWrite.MANIFEST_SCHEMA
+
+    def __init__(self, out_dir: str, signal: str):
+        self.out_dir = out_dir
+        self.signal = signal  # "traces" | "metrics"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        from .otlpproto import METRIC_FLAT_SCHEMA, SPAN_FLAT_SCHEMA
+
+        if batch.num_rows == 0:
+            return self.MANIFEST_SCHEMA.empty_table()
+        schema = (SPAN_FLAT_SCHEMA if self.signal == "traces"
+                  else METRIC_FLAT_SCHEMA)
+        cols = {name: batch.column(name).to_pylist()
+                if name in batch.column_names else [None] * batch.num_rows
+                for name in schema.names}
+        forest: dict[str, dict[str, list[int]]] = {}
+        for i in range(batch.num_rows):
+            res_key = cols["resource_attributes"][i] or "{}"
+            forest.setdefault(res_key, {}).setdefault(
+                cols["scope_name"][i], []).append(i)
+
+        resources = []
+        for res_key in sorted(forest):
+            scopes = []
+            for scope in sorted(forest[res_key], key=lambda s: s or ""):
+                idxs = forest[res_key][scope]
+                if self.signal == "traces":
+                    sl: dict = {"spans": [_span_to_json(cols, i)
+                                          for i in idxs]}
+                else:
+                    metrics: dict[tuple, list[int]] = {}
+                    for i in idxs:
+                        key = (cols["metric_name"][i] or "",
+                               cols["metric_description"][i] or "",
+                               cols["metric_unit"][i] or "",
+                               cols["metric_type"][i] or "gauge",
+                               int(cols["aggregation_temporality"][i] or 0),
+                               bool(cols["is_monotonic"][i]))
+                        metrics.setdefault(key, []).append(i)
+                    mlist = []
+                    for key in sorted(metrics):
+                        name, desc, unit, mtype, temp, mono = key
+                        m: dict = {}
+                        if name:
+                            m["name"] = name
+                        if desc:
+                            m["description"] = desc
+                        if unit:
+                            m["unit"] = unit
+                        dps = [_dp_to_json(cols, i) for i in metrics[key]]
+                        if mtype == "sum":
+                            body: dict = {"dataPoints": dps}
+                            if temp:
+                                body["aggregationTemporality"] = temp
+                            if mono:
+                                body["isMonotonic"] = True
+                            m["sum"] = body
+                        else:
+                            m["gauge"] = {"dataPoints": dps}
+                        mlist.append(m)
+                    sl = {"metrics": mlist}
+                if scope is not None:
+                    sl["scope"] = {"name": scope}
+                scopes.append(sl)
+            rl: dict = {("scopeSpans" if self.signal == "traces"
+                         else "scopeMetrics"): scopes}
+            res_attrs = json.loads(res_key)
+            if res_attrs:
+                rl["resource"] = {"attributes": _encode_kvlist(res_attrs)}
+            resources.append(rl)
+        top = ("resourceSpans" if self.signal == "traces"
+               else "resourceMetrics")
+        doc = json.dumps({top: resources}, sort_keys=True,
+                         separators=(",", ":"))
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"export-{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(doc + "\n")
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([batch.num_rows], pa.int64())})
+
+
+def write_otlp_json_traces(ds: ray.data.Dataset, out_dir: str):
+    manifest = ds.map_batches(_SignalJsonWrite(out_dir, "traces"),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return manifest.materialize()
+
+
+def write_otlp_json_metrics(ds: ray.data.Dataset, out_dir: str):
+    manifest = ds.map_batches(_SignalJsonWrite(out_dir, "metrics"),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    return manifest.materialize()
