@@ -82,3 +82,15 @@ def test_json_proto_interchange_traces_metrics(ray_session, tmp_path):
                               schema=METRIC_FLAT_SCHEMA)
     assert _sorted_rows(mj, "time_unix_nano") == \
         _sorted_rows(mp, "time_unix_nano")
+
+
+def test_empty_signal_datasets_write_nothing(ray_session, tmp_path):
+    for name, write, schema in [
+        ("t_json", write_otlp_json_traces, SPAN_FLAT_SCHEMA),
+        ("m_json", write_otlp_json_metrics, METRIC_FLAT_SCHEMA),
+        ("t_pb", write_otlp_proto_traces, SPAN_FLAT_SCHEMA),
+        ("m_pb", write_otlp_proto_metrics, METRIC_FLAT_SCHEMA),
+    ]:
+        manifest = write(ray.data.from_arrow(schema.empty_table()),
+                         str(tmp_path / name))
+        assert manifest.count() == 0, name
