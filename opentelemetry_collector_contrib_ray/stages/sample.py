@@ -219,3 +219,77 @@ def token_budget_sample(ds, group_col: str, key: str, tok_col: str,
 
     return cum.map_batches(within, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+# --- reference-EXACT FNV hash-seed mode --------------------------------------
+
+_FNV_OFFSET = 2166136261
+_FNV_PRIME = 16777619
+_U32 = 0xFFFFFFFF
+_NUM_HASH_BUCKETS = 0x4000  # 2^14
+_BUCKET_MASK = _NUM_HASH_BUCKETS - 1
+
+
+def fnv1a32(data: bytes, seed: int = 0) -> int:
+    """The reference's ``computeHash`` exactly (probabilisticsampler
+    fnvhasher.go:12-18): FNV-1a over 4 little-endian seed bytes followed
+    by the value bytes."""
+    h = _FNV_OFFSET
+    for b in seed.to_bytes(4, "little") + data:
+        h = ((h ^ b) * _FNV_PRIME) & _U32
+    return h
+
+
+def fnv_scaled_rate(percentage: float) -> int:
+    """``uint32(pct * percentageScaleFactor)`` with the reference's exact
+    arithmetic (sampler_mode.go:432-436: 2^14/100 scale, truncation
+    toward zero; percents > 100 clamp to 100)."""
+    pct = min(float(percentage), 100.0)
+    return int(pct * (_NUM_HASH_BUCKETS / 100.0))
+
+
+class FnvHashSampler:
+    """Bit-exact hash-seed-mode sampler (probabilisticsamplerprocessor):
+    keep rows where ``fnv1a32(seed_le4 ++ bytes(key)) & 0x3FFF <
+    uint32(pct * 2^14/100)`` — the SAME rows the Go collector keeps for
+    the same inputs (sampler_mode.go randomnessFromBytes + hashingSampler;
+    parity pinned in tests/test_fnv_sampler.py).
+
+    FNV is a sequential byte chain (not vectorizable); the per-unique-key
+    vocabulary trick (CLAUDE.md r2) bounds the Python loop by DISTINCT
+    keys per batch, gathered back via dictionary codes."""
+
+    def __init__(self, key: str, percentage: float, hash_seed: int = 0):
+        if percentage < 0:
+            raise ValueError("percentage must be >= 0")
+        self.key = key
+        self.scaled = fnv_scaled_rate(percentage)
+        self.seed = int(hash_seed) & _U32
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.scaled == 0:  # neverSampler (sampler_mode.go:438-440)
+            return batch.slice(0, 0)
+        col = batch.column(self.key)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as pc
+
+        denc = pc.cast(col, pa.string()).dictionary_encode()
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        keep_u = np.fromiter(
+            ((fnv1a32(((s or "").encode("utf-8")), self.seed)
+              & _BUCKET_MASK) < self.scaled
+             for s in denc.dictionary.to_pylist()),
+            dtype=bool, count=len(denc.dictionary))
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(keep_u[codes]))
+
+
+def sample_dataset_fnv(ds, key: str, percentage: float, hash_seed: int = 0):
+    """Reference-exact hash-seed sampling over a key column (the md5
+    variant above stays the SQL-oracle-checkable default; this one is the
+    wire-compatible mode for parity with a running collector fleet)."""
+    return ds.map_batches(
+        FnvHashSampler(key, percentage, hash_seed),
+        batch_format="pyarrow", zero_copy_batch=True)
