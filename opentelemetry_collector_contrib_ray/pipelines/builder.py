@@ -136,9 +136,16 @@ def _route(ds, rules: list, default_sink: str = "sink-default"):
 
 
 @register_stage("sample")
-def _sample(ds, key: str, percentage: float):
-    from ..stages.sample import sample_dataset
+def _sample(ds, key: str, percentage: float, mode: str = "md5",
+            hash_seed: int = 0):
+    """``mode="md5"`` is the SQL-oracle-checkable default; ``mode="fnv"``
+    is the bit-exact probabilisticsampler hash_seed mode (round 5)."""
+    from ..stages.sample import sample_dataset, sample_dataset_fnv
 
+    if mode == "fnv":
+        return sample_dataset_fnv(ds, key, percentage, hash_seed=hash_seed)
+    if mode != "md5":
+        raise ValueError(f"sample mode must be md5|fnv, got {mode!r}")
     return sample_dataset(ds, key, percentage)
 
 

@@ -76,3 +76,21 @@ def test_partitioning_invariance(ray_session):
     b = sorted(r["k"] for r in sample_dataset_fnv(
         ray.data.from_arrow(t).repartition(7), "k", 30).take_all())
     assert a == b
+
+
+def test_builder_sample_mode_fnv(ray_session):
+    from opentelemetry_collector_contrib_ray.pipelines.builder import (
+        STAGE_REGISTRY,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array([f"id{i}" for i in range(300)])}))
+    got = sorted(r["k"] for r in STAGE_REGISTRY["sample"](
+        ds, key="k", percentage=30, mode="fnv", hash_seed=22).take_all())
+    want = sorted(r["k"] for r in sample_dataset_fnv(
+        ray.data.from_arrow(
+            pa.table({"k": pa.array([f"id{i}" for i in range(300)])})),
+        "k", 30, hash_seed=22).take_all())
+    assert got == want and 0 < len(got) < 300
+    with pytest.raises(ValueError, match="md5|fnv"):
+        STAGE_REGISTRY["sample"](ds, key="k", percentage=30, mode="xxh")
