@@ -351,6 +351,19 @@ def _cum_to_delta(ds, key_col: str, order_cols: list, value_col: str,
         value_col=value_col, out_col=out_col, time_buckets=time_buckets)
 
 
+@register_stage("metric_start_time")
+def _metric_start_time(ds, key_cols: list, order_cols: list, ts_col: str,
+                       value_col: str, strategy: str = "true_reset_point",
+                       reset_backoff_us: int = 1000):
+    """metricstarttimeprocessor: cumulative-stream start stamping (round 5)."""
+    from ..stages.starttime import metric_start_time
+
+    return metric_start_time(
+        ds, key_cols=list(key_cols), order_cols=list(order_cols),
+        ts_col=ts_col, value_col=value_col, strategy=strategy,
+        reset_backoff_us=reset_backoff_us)
+
+
 @register_stage("repeated_ngrams")
 def _repeated_ngrams(ds, id_col: str = "doc_id", text_col: str = "text",
                      k: int = 8, min_docs: int = 2):

@@ -561,6 +561,39 @@ def q_cum_to_delta(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "delta_cents"])
 
 
+def q_metric_start_time(sf_dir: str):
+    """metricstarttimeprocessor, true_reset_point strategy: per-stream
+    start timestamps with reset re-anchoring at value decreases
+    (processor/metricstarttimeprocessor internal/truereset/adjuster.go:
+    181-212). Sorted-scan skew-proof path (stages/starttime.py); integer
+    cents drive the reset comparison so the oracle is float-order-proof."""
+    from ..stages.starttime import metric_start_time
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    out = metric_start_time(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        ts_col="ts", value_col="value", strategy="true_reset_point",
+    )
+    return out.select_columns(["event_id", "user_id", "start_us"])
+
+
+def q_metric_start_subtract(sf_dir: str):
+    """metricstarttimeprocessor, subtract_initial_point strategy: drop each
+    stream's first point, rebase later values against it, re-anchor raw at
+    resets (internal/subtractinitial/adjuster.go:198-239)."""
+    from ..stages.starttime import metric_start_time
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    out = metric_start_time(
+        ds, key_cols=["user_id"], order_cols=["ts", "event_id"],
+        ts_col="ts", value_col="value", strategy="subtract_initial_point",
+    )
+    return out.select_columns(["event_id", "user_id", "start_us",
+                               "adj_cents"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2256,6 +2289,11 @@ QUERIES = {
     "pca_project": q_pca_project,
     "semdedup_reps": q_semdedup_reps,
     "token_frequency": q_token_frequency,
+    # post-window round-5 additions (driver window = first 50; these carry
+    # pytest + sf0.01 mirror-gate evidence, rotation-pinned in
+    # tests/test_rotation.py)
+    "metric_start_time": q_metric_start_time,
+    "metric_start_subtract": q_metric_start_subtract,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -2468,6 +2506,73 @@ ORACLE_SQL = {
                                             ORDER BY ts, event_id),
                    cents) AS BIGINT) AS delta_cents
         FROM c
+    """,
+    "metric_start_time": """
+        WITH o AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), m AS (
+            SELECT *,
+                   CASE WHEN lag(cents) OVER w IS NULL
+                          OR cents < lag(cents) OVER w THEN 1 ELSE 0
+                        END AS is_anchor,
+                   CASE WHEN lag(cents) OVER w IS NULL THEN 1 ELSE 0
+                        END AS is_first
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+            SELECT *,
+                   sum(is_anchor) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS aseg
+            FROM m
+        ), a AS (
+            SELECT *,
+                   first_value(epoch_us(ts)) OVER wa AS anchor_us,
+                   first_value(is_first) OVER wa AS anchor_first
+            FROM g WINDOW wa AS (PARTITION BY user_id, aseg
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CAST(CASE WHEN anchor_first = 1 THEN anchor_us
+                         ELSE anchor_us - 1000 END AS BIGINT) AS start_us
+        FROM a
+    """,
+    "metric_start_subtract": """
+        WITH o AS (
+            SELECT event_id, user_id, ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events
+        ), m AS (
+            SELECT *,
+                   CASE WHEN lag(cents) OVER w IS NULL
+                          OR cents < lag(cents) OVER w THEN 1 ELSE 0
+                        END AS is_anchor,
+                   CASE WHEN lag(cents) OVER w IS NULL THEN 1 ELSE 0
+                        END AS is_first
+            FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+            SELECT *,
+                   sum(is_anchor) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS aseg
+            FROM m
+        ), a AS (
+            SELECT *,
+                   first_value(epoch_us(ts)) OVER wa AS anchor_us,
+                   first_value(is_first) OVER wa AS anchor_first,
+                   first_value(cents) OVER wa AS anchor_cents
+            FROM g WINDOW wa AS (PARTITION BY user_id, aseg
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, user_id,
+               CAST(CASE WHEN anchor_first = 1 THEN anchor_us
+                         ELSE anchor_us - 1000 END AS BIGINT) AS start_us,
+               CAST(CASE WHEN anchor_first = 1 THEN cents - anchor_cents
+                         ELSE cents END AS BIGINT) AS adj_cents
+        FROM a WHERE is_first = 0
     """,
     "interval_last": """
         SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value
