@@ -364,6 +364,19 @@ def _metric_start_time(ds, key_cols: list, order_cols: list, ts_col: str,
         reset_backoff_us=reset_backoff_us)
 
 
+@register_stage("start_time_metric")
+def _start_time_metric(ds, name_col: str, pattern: str, key_cols: list,
+                       order_cols: list, ts_col: str, value_col: str,
+                       fallback_us: int = 0):
+    """metricstarttimeprocessor start_time_metric strategy (round 5)."""
+    from ..stages.starttime import start_time_from_metric
+
+    return start_time_from_metric(
+        ds, name_col=name_col, pattern=pattern, key_cols=list(key_cols),
+        order_cols=list(order_cols), ts_col=ts_col, value_col=value_col,
+        fallback_us=fallback_us)
+
+
 @register_stage("repeated_ngrams")
 def _repeated_ngrams(ds, id_col: str = "doc_id", text_col: str = "text",
                      k: int = 8, min_docs: int = 2):

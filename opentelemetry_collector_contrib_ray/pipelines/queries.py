@@ -594,6 +594,26 @@ def q_metric_start_subtract(sf_dir: str):
                                "adj_cents"])
 
 
+def q_start_time_metric(sf_dir: str):
+    """metricstarttimeprocessor, start_time_metric strategy: resolve ONE
+    start time from the batch (value of the name-matching metric — here
+    the earliest 'signup' event, seconds→µs), stamp every other series'
+    first point with it, re-anchor at resets
+    (internal/starttimemetric/adjuster.go:58-96)."""
+    from ..stages.starttime import start_time_from_metric
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "event_type",
+                             "value"])
+    out = start_time_from_metric(
+        ds, name_col="event_type", pattern="^signup$",
+        key_cols=["user_id", "event_type"], order_cols=["ts", "event_id"],
+        ts_col="ts", value_col="value", fallback_us=0,
+    )
+    return out.select_columns(["event_id", "user_id", "event_type",
+                               "start_us"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2294,6 +2314,7 @@ QUERIES = {
     # tests/test_rotation.py)
     "metric_start_time": q_metric_start_time,
     "metric_start_subtract": q_metric_start_subtract,
+    "start_time_metric": q_start_time_metric,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -2573,6 +2594,44 @@ ORACLE_SQL = {
                CAST(CASE WHEN anchor_first = 1 THEN cents - anchor_cents
                          ELSE cents END AS BIGINT) AS adj_cents
         FROM a WHERE is_first = 0
+    """,
+    "start_time_metric": """
+        WITH st AS (
+            SELECT CAST(round(value * 1000000, 0) AS BIGINT) AS sus
+            FROM events WHERE regexp_matches(event_type, '^signup$')
+            ORDER BY ts, event_id LIMIT 1
+        ), o AS (
+            SELECT event_id, user_id, event_type, ts,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+            FROM events WHERE NOT regexp_matches(event_type, '^signup$')
+        ), m AS (
+            SELECT *,
+                   CASE WHEN lag(cents) OVER w IS NULL
+                          OR cents < lag(cents) OVER w THEN 1 ELSE 0
+                        END AS is_anchor,
+                   CASE WHEN lag(cents) OVER w IS NULL THEN 1 ELSE 0
+                        END AS is_first
+            FROM o WINDOW w AS (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id)
+        ), g AS (
+            SELECT *,
+                   sum(is_anchor) OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS aseg
+            FROM m
+        ), a AS (
+            SELECT *,
+                   first_value(epoch_us(ts)) OVER wa AS anchor_us,
+                   first_value(is_first) OVER wa AS anchor_first
+            FROM g WINDOW wa AS (PARTITION BY user_id, event_type, aseg
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT event_id, user_id, event_type,
+               CAST(CASE WHEN anchor_first = 1
+                         THEN coalesce((SELECT sus FROM st), 0)
+                         ELSE anchor_us - 1000 END AS BIGINT) AS start_us
+        FROM a
     """,
     "interval_last": """
         SELECT event_id, user_id, date_trunc('hour', ts) AS hour, value

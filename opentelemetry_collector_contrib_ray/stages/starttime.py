@@ -61,6 +61,7 @@ def metric_start_time(
     out_value_col: str = "adj_cents",
     as_cents: bool = True,
     target_rows: int = 262_144,
+    first_start_us: int | None = None,
 ):
     """Stamp cumulative-stream start timestamps (and, for
     ``subtract_initial_point``, rebase values) per series.
@@ -72,6 +73,9 @@ def metric_start_time(
     if strategy not in (TRUE_RESET, SUBTRACT_INITIAL):
         raise ValueError(f"unknown strategy {strategy!r}")
     subtract = strategy == SUBTRACT_INITIAL
+    if first_start_us is not None and subtract:
+        raise ValueError("first_start_us is only meaningful for "
+                         "true_reset_point (start_time_metric strategy)")
 
     import ray
 
@@ -106,8 +110,12 @@ def metric_start_time(
         anchor = starts | reset
         a_idx = np.nonzero(anchor)[0]
         aseg = np.cumsum(anchor) - 1
-        # series-first anchors keep their own ts; reset anchors back off
-        anchor_start = np.where(starts[a_idx], t_us[a_idx],
+        # series-first anchors keep their own ts (or, for the
+        # start_time_metric strategy, the batch-resolved constant);
+        # reset anchors back off
+        first_anchor_ts = (t_us[a_idx] if first_start_us is None
+                           else np.int64(first_start_us))
+        anchor_start = np.where(starts[a_idx], first_anchor_ts,
                                 t_us[a_idx] - backoff)
         start = anchor_start[aseg]
 
@@ -193,7 +201,8 @@ def metric_start_time(
                 out_refs.append(fixup.remote(tbl_ref, 0, None, None, False))
             else:
                 out_refs.append(tbl_ref)
-            eff_start0, eff_ref0 = t0, c0
+            eff_start0 = t0 if first_start_us is None else first_start_us
+            eff_ref0 = c0
         if n_ge1 == 0:
             carry_start, carry_ref = eff_start0, eff_ref0
         else:
@@ -203,3 +212,76 @@ def metric_start_time(
     import ray.data as rd
 
     return rd.from_arrow_refs(out_refs)
+
+
+START_TIME_METRIC = "start_time_metric"
+
+
+def start_time_from_metric(
+    ds,
+    name_col: str,
+    pattern: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    fallback_us: int = 0,
+    value_scale: float = 1_000_000.0,
+    reset_backoff_us: int = 1000,
+    start_col: str = "start_us",
+    target_rows: int = 262_144,
+):
+    """``start_time_metric`` strategy (reference
+    internal/starttimemetric/adjuster.go:58-96): resolve ONE start time
+    from the batch — the value of the metric whose name matches
+    ``pattern`` (reference default ``process_start_time_seconds``;
+    seconds float → timestamp, here ``value * value_scale`` → µs) — then
+    stamp every OTHER series' first point with it; resets re-anchor at
+    ``point ts - 1ms`` exactly as in true_reset_point. Falls back to
+    ``fallback_us`` (the reference's approximate collector start) when no
+    metric matches.
+
+    Deterministic resolve: the matching row that is first in
+    ``order_cols`` order. The input is materialized ONCE (the same
+    rightsize barrier the sorted-scan needs), so the resolve pass reads
+    cached blocks — no upstream re-execution. The start-time metric's own
+    rows are excluded from the output (they play the reference's Gauge
+    role, which the adjuster skips)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from .blocks import rightsize_blocks
+
+    mat = rightsize_blocks(ds, target_rows=target_rows)
+    refs = mat.to_arrow_refs()
+
+    keep_cols = list(order_cols) + [value_col]
+
+    @ray.remote
+    def first_match(tbl: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(tbl.column(name_col), pattern)
+        sub = tbl.filter(m).select(keep_cols)
+        if sub.num_rows == 0:
+            return sub
+        return sub.sort_by([(c, "ascending") for c in order_cols]).slice(0, 1)
+
+    partials = [t for t in ray.get([first_match.remote(r) for r in refs])
+                if t.num_rows]
+    if partials:
+        head = pa.concat_tables(partials).sort_by(
+            [(c, "ascending") for c in order_cols]).slice(0, 1)
+        resolved = int(round(head.column(value_col)[0].as_py() * value_scale))
+    else:
+        resolved = int(fallback_us)
+
+    def drop_matches(tbl: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(tbl.column(name_col), pattern)
+        return tbl.filter(pc.invert(m))
+
+    rest = mat.map_batches(drop_matches, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return metric_start_time(
+        rest, key_cols=key_cols, order_cols=order_cols, ts_col=ts_col,
+        value_col=value_col, strategy=TRUE_RESET,
+        reset_backoff_us=reset_backoff_us, start_col=start_col,
+        target_rows=target_rows, first_start_us=resolved)

@@ -162,6 +162,65 @@ def test_single_point_series_and_monotonic_series():
     assert (s[s.k == "b"]["start_us"] == 20_000).all()
 
 
+def test_start_time_metric_resolve_and_fallback():
+    """start_time_metric: series firsts get the batch-resolved constant
+    (earliest matching row's value, seconds→µs), resets still re-anchor at
+    ts-1ms, matching rows are excluded; fallback when nothing matches."""
+    from opentelemetry_collector_contrib_ray.stages.starttime import (
+        start_time_from_metric,
+    )
+
+    t = pa.table({
+        "name": ["process_start", "m", "m", "m", "process_start"],
+        "ts": pa.array([5_000, 10_000, 20_000, 30_000, 1_000], pa.int64()),
+        "eid": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        # earliest matching row (ts=1000, eid=4) has value 7.5 → 7_500_000 µs
+        "value": pa.array([9.0, 2.0, 3.0, 1.0, 7.5], pa.float64()),
+    })
+    out = start_time_from_metric(
+        rd.from_arrow(t), name_col="name", pattern="^process_start$",
+        key_cols=["name"], order_cols=["ts", "eid"], ts_col="ts",
+        value_col="value", fallback_us=42,
+    ).to_pandas().sort_values("eid")
+    assert out["eid"].tolist() == [1, 2, 3]  # matching rows excluded
+    # first point of series 'm' → resolved constant; second continues it;
+    # third (3.0 → 1.0) is a reset → own ts - 1ms
+    assert out["start_us"].tolist() == [7_500_000, 7_500_000,
+                                        30_000 - BACKOFF]
+
+    out2 = start_time_from_metric(
+        rd.from_arrow(t), name_col="name", pattern="^nothing_matches$",
+        key_cols=["name"], order_cols=["ts", "eid"], ts_col="ts",
+        value_col="value", fallback_us=42,
+    ).to_pandas().sort_values("eid")
+    assert len(out2) == 5  # nothing excluded
+    assert out2.loc[out2.eid == 1, "start_us"].item() == 42  # fallback
+
+
+def test_start_time_metric_constant_anchor_across_blocks():
+    """first_start_us constant must survive the cross-block continuation
+    carry: a monotonic hot series over many blocks keeps the constant on
+    every row."""
+    from opentelemetry_collector_contrib_ray.stages.starttime import (
+        metric_start_time,
+    )
+
+    n = 200
+    t = pa.table({
+        "k": pa.array(["hot"] * n),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 5_000, pa.int64()),
+        "eid": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "value": pa.array(np.arange(n, dtype=np.float64) + 1.0,
+                          pa.float64()),
+    })
+    out = metric_start_time(
+        rd.from_arrow(t).repartition(8), key_cols=["k"],
+        order_cols=["ts", "eid"], ts_col="ts", value_col="value",
+        strategy=TRUE_RESET, first_start_us=777, target_rows=30,
+    ).to_pandas()
+    assert (out["start_us"] == 777).all()
+
+
 def test_timestamp_typed_ts_column():
     """timestamp[us] inputs cast to int64 µs starts (the events-table path
     the oracle checks end-to-end)."""
