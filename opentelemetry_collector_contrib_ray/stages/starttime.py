@@ -81,12 +81,22 @@ def metric_start_time(
 
     from .blocks import nonempty_blocks, rightsize_blocks
 
-    sorted_ds = nonempty_blocks(
-        rightsize_blocks(ds, target_rows=target_rows)
-        .sort(key_cols + order_cols))
+    sized = rightsize_blocks(ds, target_rows=target_rows)
+    sorted_ds = nonempty_blocks(sized.sort(key_cols + order_cols))
     refs = sorted_ds.to_arrow_refs()
-    if not refs:
-        return sorted_ds
+    if not refs or sorted_ds.count() == 0:
+        # schema-stable empty output (ADVICE r4: empty paths must match
+        # the populated path's schema for unions/joins downstream);
+        # counts here are metadata-only — everything is materialized
+        import ray.data as rd
+
+        base = sized.schema()
+        fields = list(zip(base.names, base.types))
+        fields.append((start_col, pa.int64()))
+        if subtract:
+            fields.append((out_value_col, pa.int64()))
+        empty = pa.table({n: pa.array([], t) for n, t in fields})
+        return rd.from_arrow(empty)
 
     backoff = int(reset_backoff_us)
 
