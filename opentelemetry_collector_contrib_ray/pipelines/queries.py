@@ -614,6 +614,53 @@ def q_start_time_metric(sf_dir: str):
                                "start_us"])
 
 
+def q_coralogix_transactions(sf_dir: str):
+    """coralogixprocessor transactions: per-trace root identification +
+    cgx.transaction / cgx.transaction.root propagation down the span
+    tree, SERVER/CONSUMER spans starting new transactions, orphan
+    subtrees untouched (processor/coralogixprocessor/internal/
+    transactions/transactions.go:17-100, span_tree.go:18-78).
+
+    Spans synthesized deterministically from events: traces of 8 spans
+    (trace = event_id // 8), position 0 = empty-parent root, ~1/7 of the
+    rest point at a parent id missing from the trace (orphan subtrees),
+    position-5 spans are occasionally a SECOND empty-parent span
+    (demoted-orphan path), everyone else parents onto an earlier
+    position via md5. start_us = event_id (unique, root earliest)."""
+    from ..functions.hashing import md5_u64_col
+    from ..stages.coralogix import transaction_attributes
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def mk_spans(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        trace = eid // 8
+        pos = eid % 8
+        h = md5_u64_col(t.column("event_id"))
+        base = trace * 8
+        # CASE precedence mirrors the SQL oracle exactly
+        parent = base + (h % np.maximum(pos, 1).astype(np.uint64)).astype(np.int64)
+        parent = np.where(h % 7 == 3, base + pos + 1_000_000_000, parent)
+        null_parent = (pos == 0) | ((pos == 5) & (h % 11 == 0) & ~(h % 7 == 3))
+        pmask = pa.array(~null_parent)
+        return pa.table({
+            "trace_id": pa.array(trace, pa.int64()),
+            "span_id": pa.array(eid, pa.int64()),
+            "parent_span_id": pc.if_else(
+                pmask, pa.array(parent, pa.int64()),
+                pa.scalar(None, pa.int64())),
+            "name": t.column("event_type"),
+            "span_kind": pa.array((h % 6).astype(np.int64), pa.int64()),
+            "start_us": pa.array(eid, pa.int64()),
+        })
+
+    spans = ds.map_batches(mk_spans, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = transaction_attributes(spans, target_rows=4096)
+    return out.select_columns(["trace_id", "span_id", "cgx_transaction",
+                               "cgx_transaction_root"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2315,6 +2362,7 @@ QUERIES = {
     "metric_start_time": q_metric_start_time,
     "metric_start_subtract": q_metric_start_subtract,
     "start_time_metric": q_start_time_metric,
+    "coralogix_transactions": q_coralogix_transactions,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3282,3 +3330,56 @@ ORACLE_SQL["top_bigram"] = """
 
 ORACLE_SQL["lang_id"] = _lang_id_oracle()
 NO_ORACLE.discard("lang_id")
+
+# coralogixprocessor transactions: recursive walk from each trace root;
+# reachable spans inherit the nearest transaction root's name, SERVER(2)/
+# CONSUMER(5) spans start new transactions, unreachable spans stay NULL.
+ORACLE_SQL["coralogix_transactions"] = """
+    WITH RECURSIVE spans AS (
+        SELECT CAST(event_id // 8 AS BIGINT) AS trace_id,
+               CAST(event_id AS BIGINT) AS span_id,
+               CAST(CASE
+                 WHEN event_id % 8 = 0 THEN NULL
+                 WHEN md5_number_upper(CAST(event_id AS VARCHAR)) % 7 = 3
+                   THEN (event_id // 8) * 8 + (event_id % 8) + 1000000000
+                 WHEN event_id % 8 = 5
+                      AND md5_number_upper(CAST(event_id AS VARCHAR)) % 11 = 0
+                   THEN NULL
+                 ELSE (event_id // 8) * 8
+                      + md5_number_upper(CAST(event_id AS VARCHAR))
+                        % (event_id % 8)
+               END AS BIGINT) AS parent_id,
+               event_type AS name,
+               CAST(md5_number_upper(CAST(event_id AS VARCHAR)) % 6
+                    AS BIGINT) AS kind,
+               CAST(event_id AS BIGINT) AS start_us
+        FROM events
+    ), roots AS (
+        SELECT trace_id, span_id, name FROM (
+            SELECT trace_id, span_id, name,
+                   row_number() OVER (
+                     PARTITION BY trace_id
+                     ORDER BY (parent_id IS NOT NULL), start_us, span_id
+                   ) AS rn
+            FROM spans) WHERE rn = 1
+    ), walk AS (
+        SELECT trace_id, span_id, name AS txn, TRUE AS is_root FROM roots
+        UNION ALL
+        SELECT s.trace_id, s.span_id,
+               CASE WHEN s.kind IN (2, 5) THEN s.name ELSE w.txn END,
+               s.kind IN (2, 5)
+        FROM spans s
+        JOIN walk w
+          ON s.trace_id = w.trace_id AND s.parent_id = w.span_id
+        JOIN roots r
+          ON r.trace_id = s.trace_id AND s.span_id <> r.span_id
+    )
+    SELECT s.trace_id, s.span_id,
+           w.txn AS cgx_transaction,
+           CASE WHEN w.is_root THEN TRUE ELSE NULL END
+             AS cgx_transaction_root
+    FROM spans s
+    LEFT JOIN walk w
+      ON s.trace_id = w.trace_id AND s.span_id = w.span_id
+    ORDER BY s.trace_id, s.span_id
+"""

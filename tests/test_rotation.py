@@ -55,7 +55,9 @@ def test_r5_window_covers_all_stale_evidence(catalog):
     # everything outside the window either has r4 evidence or is one of
     # the documented post-window round-5 additions
     allowed_new = {"substring_dedup", "metric_start_time",
-                   "metric_start_subtract", "start_time_metric"}
+                   "metric_start_subtract", "start_time_metric",
+                   "coralogix_transactions", "remote_tap",
+                   "sumologic_translate", "grafana_hostinfo"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
