@@ -377,6 +377,58 @@ def _start_time_metric(ds, name_col: str, pattern: str, key_cols: list,
         fallback_us=fallback_us)
 
 
+@register_stage("coralogix_transactions")
+def _coralogix_transactions(ds, trace_col: str = "trace_id",
+                            span_col: str = "span_id",
+                            parent_col: str = "parent_span_id",
+                            name_col: str = "name",
+                            kind_col: str = "span_kind",
+                            start_col: str = "start_us"):
+    """coralogixprocessor transactions feature (round 5)."""
+    from ..stages.coralogix import transaction_attributes
+
+    return transaction_attributes(
+        ds, trace_col=trace_col, span_col=span_col, parent_col=parent_col,
+        name_col=name_col, kind_col=kind_col, start_col=start_col)
+
+
+@register_stage("remote_tap")
+def _remote_tap(ds, ts_col: str, order_cols: list, limit: int = 1,
+                window_us: int = 1_000_000):
+    """remotetapprocessor: pass-through + rate-limited tap; the STAGE
+    output is the pass-through stream (the reference topology); use
+    stages.tap.remote_tap directly to consume the tapped side."""
+    from ..stages.tap import remote_tap
+
+    passthrough, _tapped = remote_tap(
+        ds, ts_col=ts_col, order_cols=list(order_cols), limit=limit,
+        window_us=window_us)
+    return passthrough
+
+
+@register_stage("sumologic")
+def _sumologic(ds, map_col: str = "attributes",
+               add_cloud_namespace: bool = True,
+               translate_attributes: bool = True):
+    """sumologicprocessor: cloud namespace + attribute translation (round 5)."""
+    from ..stages.sumologic import SumoLogic
+
+    return ds.map_batches(
+        SumoLogic(map_col=map_col, add_cloud_namespace=add_cloud_namespace,
+                  translate_attributes=translate_attributes),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register_stage("host_info")
+def _host_info(ds, identifier_cols: list, ts_col: str,
+               flush_interval_us: int = 60_000_000):
+    """grafanacloudconnector host-info metric (round 5)."""
+    from ..stages.hostinfo import host_info
+
+    return host_info(ds, identifier_cols=list(identifier_cols),
+                     ts_col=ts_col, flush_interval_us=flush_interval_us)
+
+
 @register_stage("repeated_ngrams")
 def _repeated_ngrams(ds, id_col: str = "doc_id", text_col: str = "text",
                      k: int = 8, min_docs: int = 2):

@@ -661,6 +661,118 @@ def q_coralogix_transactions(sf_dir: str):
                                "cgx_transaction_root"])
 
 
+def q_remote_tap(sf_dir: str):
+    """remotetapprocessor: rate-limited inspection tap — at most 3 events
+    per event-time HOUR, deterministically first-by-(ts, event_id); the
+    main stream passes through untouched (processor/remotetapprocessor,
+    README 'limit' = messages/sec over the websocket; event-time window
+    in the batch engine)."""
+    from ..stages.tap import remote_tap
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type"])
+    _passthrough, tapped = remote_tap(
+        ds, ts_col="ts", order_cols=["ts", "event_id"],
+        limit=3, window_us=3_600_000_000,
+    )
+    return tapped.select_columns(["event_id", "event_type", "tap_window"])
+
+
+def q_sumologic_translate(sf_dir: str):
+    """sumologicprocessor: cloud.namespace derivation + OTel→Sumo
+    attribute translation over a REAL map column, exercising both
+    collision guards (literal target key present → keep OTel name;
+    host.name vs k8s.pod.hostname first-wins) and the three mapped AWS
+    platforms (processor/sumologicprocessor
+    translate_attributes_processor.go:86-112,
+    cloud_namespace_processor.go:61-79)."""
+    from ..functions.expr import compile_value
+    from ..functions.maps import map_from_columns
+    from ..stages.sumologic import SumoLogic
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    platforms = pa.array(["aws_ec2", "aws_ecs", "aws_elastic_beanstalk",
+                          "gcp_app_engine"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id")
+        if isinstance(uid, pa.ChunkedArray):
+            uid = uid.combine_chunks()
+        uid_s = uid.cast(pa.string())
+        pre = lambda p: pc.binary_join_element_wise(p, uid_s, "")  # noqa: E731
+        e3 = pa.array(eid % 3 == 0)
+        e5 = pa.array(eid % 5 == 0)
+        null_s = pa.scalar(None, pa.string())
+        aux = pa.table({
+            "hn": pre("h"),
+            "ph": pc.if_else(e3, pre("p"), null_s),
+            "lit": pc.if_else(e5, pre("lit"), null_s),
+            "svc": t.column("event_type"),
+            "plat": pc.take(platforms, pa.array(eid % 4, pa.int64())),
+        })
+        attrs = map_from_columns(aux, {
+            "host.name": "hn", "k8s.pod.hostname": "ph", "host": "lit",
+            "service.name": "svc", "cloud.platform": "plat",
+        })
+        return pa.table({"event_id": t.column("event_id"),
+                         "attributes": attrs})
+
+    sumo = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True).map_batches(
+        SumoLogic(), batch_format="pyarrow", zero_copy_batch=True)
+
+    vals = {
+        "host": compile_value('attributes["host"]'),
+        "host_name": compile_value('attributes["host.name"]'),
+        "k8s_pod_hostname": compile_value('attributes["k8s.pod.hostname"]'),
+        "service": compile_value('attributes["service"]'),
+        "aws_service": compile_value('attributes["aws_service"]'),
+        "cloud_namespace": compile_value('attributes["cloud.namespace"]'),
+    }
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {"event_id": t.column("event_id")}
+        cols.update({k: v(t) for k, v in vals.items()})
+        return pa.table(cols)
+
+    return sumo.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_grafana_hostinfo(sf_dir: str):
+    """grafanacloudconnector: one host-info gauge row per (flush window,
+    distinct host); host = FIRST host_identifiers attribute present
+    (connector/grafanacloudconnector/connector.go:71-90,
+    host_metrics.go:15-55). host.id synthesized sparse so the
+    first-found COALESCE rule is exercised."""
+    from ..stages.hostinfo import host_info
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        hid = pa.array(np.where(eid % 7 != 0, uid % 50, -1), pa.int64())
+        host_id = pc.if_else(
+            pc.not_equal(hid, -1),
+            pc.binary_join_element_wise("host", hid.cast(pa.string()), ""),
+            pa.scalar(None, pa.string()))
+        host_name = pc.binary_join_element_wise(
+            "hn", pa.array(uid % 50).cast(pa.string()), "")
+        return pa.table({"ts": t.column("ts"), "host_id_attr": host_id,
+                         "host_name_attr": host_name})
+
+    shaped = ds.map_batches(fixture, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return host_info(
+        shaped, identifier_cols=["host_id_attr", "host_name_attr"],
+        ts_col="ts", flush_interval_us=3_600_000_000,
+    )
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2363,6 +2475,9 @@ QUERIES = {
     "metric_start_subtract": q_metric_start_subtract,
     "start_time_metric": q_start_time_metric,
     "coralogix_transactions": q_coralogix_transactions,
+    "remote_tap": q_remote_tap,
+    "sumologic_translate": q_sumologic_translate,
+    "grafana_hostinfo": q_grafana_hostinfo,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3382,4 +3497,51 @@ ORACLE_SQL["coralogix_transactions"] = """
     LEFT JOIN walk w
       ON s.trace_id = w.trace_id AND s.span_id = w.span_id
     ORDER BY s.trace_id, s.span_id
+"""
+
+# remotetapprocessor: deterministic first-3-per-hour event-time tap
+ORACLE_SQL["remote_tap"] = """
+    SELECT event_id, event_type, tap_window FROM (
+        SELECT event_id, event_type,
+               (epoch_us(ts) // 3600000000) * 3600000000 AS tap_window,
+               row_number() OVER (
+                 PARTITION BY epoch_us(ts) // 3600000000
+                 ORDER BY ts, event_id) AS rn
+        FROM events)
+    WHERE rn <= 3
+    ORDER BY event_id
+"""
+
+# sumologicprocessor: the collision guards + cloud namespace as row CASEs
+ORACLE_SQL["sumologic_translate"] = """
+    SELECT event_id,
+      CASE WHEN event_id % 5 = 0 THEN 'lit' || CAST(user_id AS VARCHAR)
+           ELSE 'h' || CAST(user_id AS VARCHAR) END AS host,
+      CASE WHEN event_id % 5 = 0
+           THEN 'h' || CAST(user_id AS VARCHAR) END AS host_name,
+      CASE WHEN event_id % 5 = 0 AND event_id % 3 = 0
+           THEN 'p' || CAST(user_id AS VARCHAR) END AS k8s_pod_hostname,
+      event_type AS service,
+      CASE CAST(event_id % 4 AS INTEGER)
+           WHEN 0 THEN 'aws_ec2' WHEN 1 THEN 'aws_ecs'
+           WHEN 2 THEN 'aws_elastic_beanstalk'
+           ELSE 'gcp_app_engine' END AS aws_service,
+      CASE CAST(event_id % 4 AS INTEGER)
+           WHEN 0 THEN 'aws/ec2' WHEN 1 THEN 'ecs'
+           WHEN 2 THEN 'ElasticBeanstalk' END AS cloud_namespace
+    FROM events
+    ORDER BY event_id
+"""
+
+# grafanacloudconnector: distinct first-found host per flush window
+ORACLE_SQL["grafana_hostinfo"] = """
+    SELECT DISTINCT
+        (epoch_us(ts) // 3600000000) * 3600000000 AS flush_window,
+        COALESCE(
+          CASE WHEN event_id % 7 <> 0
+               THEN 'host' || CAST(user_id % 50 AS VARCHAR) END,
+          'hn' || CAST(user_id % 50 AS VARCHAR)) AS host_id,
+        CAST(1 AS BIGINT) AS grafana_host_info
+    FROM events
+    ORDER BY flush_window, host_id
 """
