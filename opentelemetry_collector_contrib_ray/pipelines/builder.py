@@ -419,6 +419,16 @@ def _sumologic(ds, map_col: str = "attributes",
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register_stage("datadog_semantics")
+def _datadog_semantics(ds, override_incoming: bool = False, **cols):
+    """datadogsemanticsprocessor: datadog.*/git.* convention columns (round 5)."""
+    from ..stages.datadog import DatadogSemantics
+
+    return ds.map_batches(
+        DatadogSemantics(override_incoming=override_incoming, **cols),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register_stage("host_info")
 def _host_info(ds, identifier_cols: list, ts_col: str,
                flush_interval_us: int = 60_000_000):

@@ -773,6 +773,78 @@ def q_grafana_hostinfo(sf_dir: str):
     )
 
 
+def q_datadog_semantics(sf_dir: str):
+    """datadogsemanticsprocessor: Datadog-convention span attributes —
+    service/env/version defaults, insert-if-missing vs incoming
+    datadog.* fields, span-kind names, http code fallback chain,
+    status2Error message fallback, VCS protocol strip
+    (processor/datadogsemanticsprocessor/processor.go:20-219)."""
+    from ..stages.datadog import DatadogSemantics
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        s = pa.scalar(None, pa.string())
+
+        def arr(vals, ty=None):
+            return pa.array(vals, ty)
+
+        svc = pc.if_else(
+            pa.array(eid % 4 == 1), pa.scalar("", pa.string()),
+            pc.binary_join_element_wise(
+                "svc", arr((uid % 5).astype("int64")).cast(pa.string()), ""))
+        ver = pc.if_else(
+            pa.array(eid % 2 == 0),
+            pc.binary_join_element_wise(
+                "1.", arr((eid % 3).astype("int64")).cast(pa.string()), ""),
+            s)
+        env = pc.if_else(pa.array(eid % 3 == 0),
+                         pa.scalar("prod", pa.string()), s)
+        http = pa.array(np.where(eid % 5 == 0, 200,
+                                 np.where(eid % 5 == 1, 0, -1)), pa.int64())
+        http = pc.if_else(pc.not_equal(http, -1), http,
+                          pa.scalar(None, pa.int64()))
+        http_fb = pc.if_else(pa.array(eid % 5 == 2),
+                             pa.scalar(404, pa.int64()),
+                             pa.scalar(None, pa.int64()))
+        rev = pc.if_else(
+            pa.array(eid % 7 == 0),
+            pc.binary_join_element_wise(
+                "sha", arr(eid).cast(pa.string()), ""), s)
+        repo = pc.if_else(
+            pa.array(eid % 3 == 0), pa.scalar("https://github.com/org/repo"),
+            pc.if_else(pa.array(eid % 3 == 1),
+                       pa.scalar("git@host:repo"), s))
+        pre = pc.if_else(pa.array(eid % 10 == 0),
+                         pa.scalar("pre", pa.string()), s)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "service_name": svc, "service_version": ver,
+            "deployment_environment": env,
+            "name": t.column("event_type"),
+            "span_kind": arr((eid % 6).astype("int64"), pa.int64()),
+            "status_code": arr((eid % 3).astype("int64"), pa.int64()),
+            "status_message": pc.if_else(pa.array(eid % 2 == 0),
+                                         pa.scalar("failed"), s),
+            "http_response_status_code": http,
+            "http_status_code": http_fb,
+            "vcs_ref_head_revision": rev,
+            "vcs_repository_url_full": repo,
+            "datadog_service": pre,
+        })
+
+    out = ds.map_batches(fixture, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        DatadogSemantics(), batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns([
+        "event_id", "datadog_service", "datadog_version", "datadog_env",
+        "datadog_span_kind", "datadog_http_status_code", "datadog_error",
+        "datadog_error_msg", "git_commit_sha", "git_repository_url"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2478,6 +2550,7 @@ QUERIES = {
     "remote_tap": q_remote_tap,
     "sumologic_translate": q_sumologic_translate,
     "grafana_hostinfo": q_grafana_hostinfo,
+    "datadog_semantics": q_datadog_semantics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3529,6 +3602,37 @@ ORACLE_SQL["sumologic_translate"] = """
       CASE CAST(event_id % 4 AS INTEGER)
            WHEN 0 THEN 'aws/ec2' WHEN 1 THEN 'ecs'
            WHEN 2 THEN 'ElasticBeanstalk' END AS cloud_namespace
+    FROM events
+    ORDER BY event_id
+"""
+
+# datadogsemanticsprocessor: every rule as row CASE logic
+ORACLE_SQL["datadog_semantics"] = """
+    SELECT event_id,
+      CASE WHEN event_id % 10 = 0 THEN 'pre'
+           WHEN event_id % 4 = 1 THEN 'otlpresourcenoservicename'
+           ELSE 'svc' || CAST(user_id % 5 AS VARCHAR) END AS datadog_service,
+      CASE WHEN event_id % 2 = 0
+           THEN '1.' || CAST(event_id % 3 AS VARCHAR)
+           ELSE '' END AS datadog_version,
+      CASE WHEN event_id % 3 = 0 THEN 'prod'
+           ELSE 'default' END AS datadog_env,
+      CASE CAST(event_id % 6 AS INTEGER)
+           WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+           WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+           WHEN 4 THEN 'producer' ELSE 'consumer' END AS datadog_span_kind,
+      CASE WHEN event_id % 5 = 0 THEN '200'
+           WHEN event_id % 5 = 2 THEN '404' END AS datadog_http_status_code,
+      CASE WHEN event_id % 3 = 2 THEN CAST(1 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS datadog_error,
+      CASE WHEN event_id % 3 = 2 THEN
+           CASE WHEN event_id % 2 = 0 THEN 'failed' ELSE '' END
+           END AS datadog_error_msg,
+      CASE WHEN event_id % 7 = 0
+           THEN 'sha' || CAST(event_id AS VARCHAR) END AS git_commit_sha,
+      CASE WHEN event_id % 3 = 0 THEN 'github.com/org/repo'
+           WHEN event_id % 3 = 1 THEN 'git@host:repo'
+           END AS git_repository_url
     FROM events
     ORDER BY event_id
 """
