@@ -419,6 +419,15 @@ def _sumologic(ds, map_col: str = "attributes",
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register_stage("consistent_sample")
+def _consistent_sample(ds, percent: float, mode: str = "equalizing",
+                       **kwargs):
+    """probabilisticsampler equalizing/proportional (OTEP 235, round 5)."""
+    from ..stages.otep235 import consistent_sample
+
+    return consistent_sample(ds, percent, mode, **kwargs)
+
+
 @register_stage("datadog_semantics")
 def _datadog_semantics(ds, override_incoming: bool = False, **cols):
     """datadogsemanticsprocessor: datadog.*/git.* convention columns (round 5)."""

@@ -845,6 +845,51 @@ def q_datadog_semantics(sf_dir: str):
         "datadog_error_msg", "git_commit_sha", "git_repository_url"])
 
 
+def _consistent_sampling_fixture(sf_dir: str):
+    """events → (event_id, trace_id, tracestate) spans: md5-hex trace ids
+    (honest low-56-bit randomness on BOTH sides — DuckDB parses the same
+    hex substring) and a 6-way tracestate mix covering incoming th,
+    rv override, the inconsistency path, empty, and null."""
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        tid = pa.array([hashlib.md5(str(int(i)).encode()).hexdigest()
+                        for i in eid], pa.string())
+        states = np.array(["th:8", "th:e8", "rv:00000000000001;th:c",
+                           "rv:ffffffffffffff;th:c", "", None], object)
+        ts = pa.array(states[eid % 6], pa.string())
+        return pa.table({"event_id": t.column("event_id"),
+                         "trace_id": tid, "tracestate": ts})
+
+    return ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_consistent_sample_eq(sf_dir: str):
+    """probabilisticsampler mode=equalizing (OTEP 235): trace-id/rv
+    randomness, incoming-th consistency check, fixed-threshold raise,
+    tracestate th rewrite (sampler_mode.go:259-272, pkg/sampling)."""
+    from ..stages.otep235 import consistent_sample
+
+    ds = _consistent_sampling_fixture(sf_dir)
+    return consistent_sample(ds, 25.0, "equalizing").select_columns(
+        ["event_id", "tracestate"])
+
+
+def q_consistent_sample_prop(sf_dir: str):
+    """probabilisticsampler mode=proportional (OTEP 235): threshold =
+    P2T(incoming_prob × ratio, precision) per row
+    (sampler_mode.go:274-302)."""
+    from ..stages.otep235 import consistent_sample
+
+    ds = _consistent_sampling_fixture(sf_dir)
+    return consistent_sample(ds, 50.0, "proportional").select_columns(
+        ["event_id", "tracestate"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2551,6 +2596,8 @@ QUERIES = {
     "sumologic_translate": q_sumologic_translate,
     "grafana_hostinfo": q_grafana_hostinfo,
     "datadog_semantics": q_datadog_semantics,
+    "consistent_sample_eq": q_consistent_sample_eq,
+    "consistent_sample_prop": q_consistent_sample_prop,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3634,6 +3681,52 @@ ORACLE_SQL["datadog_semantics"] = """
            WHEN event_id % 3 = 1 THEN 'git@host:repo'
            END AS git_repository_url
     FROM events
+    ORDER BY event_id
+"""
+
+# OTEP-235 consistent sampling. Threshold integer constants below are
+# pinned to the engine's probability_to_threshold by
+# tests/test_otep235.py::test_oracle_sql_constants; randomness is the
+# big-endian low 56 bits of the md5-hex trace id on BOTH sides.
+# equalizing @25%: fixed threshold 0xc0.. = 54043195528445952;
+# incoming th:e8 = 65302194596872192 (kept, it is stricter).
+ORACLE_SQL["consistent_sample_eq"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 6 AS INTEGER) AS m,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 19, 14)
+                  AS UBIGINT) AS rnd
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m = 1 THEN 'th:e8'
+           WHEN m = 3 THEN 'th:c;rv:ffffffffffffff'
+           ELSE 'th:c' END AS tracestate
+    FROM t
+    WHERE (m IN (0, 4, 5) AND rnd >= 54043195528445952)
+       OR (m = 1 AND rnd >= 65302194596872192)
+       OR m = 3
+    ORDER BY event_id
+"""
+
+# proportional @50% precision 4: no-th rows → th 0x80.. (36028797018963968),
+# th:8 rows → 0xc0.., th:e8 rows → 0xf4.. (68679894317400064),
+# rv-max th:c row → 0xe0.. ("th:e"); the rv:..01;th:c row is inconsistent
+# (cleared + fail-closed) in both modes.
+ORACLE_SQL["consistent_sample_prop"] = """
+    WITH t AS (
+      SELECT event_id, CAST(event_id % 6 AS INTEGER) AS m,
+             CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 19, 14)
+                  AS UBIGINT) AS rnd
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m = 0 THEN 'th:c'
+           WHEN m = 1 THEN 'th:f4'
+           WHEN m = 3 THEN 'th:e;rv:ffffffffffffff'
+           ELSE 'th:8' END AS tracestate
+    FROM t
+    WHERE (m = 0 AND rnd >= 54043195528445952)
+       OR (m = 1 AND rnd >= 68679894317400064)
+       OR m = 3
+       OR (m IN (4, 5) AND rnd >= 36028797018963968)
     ORDER BY event_id
 """
 

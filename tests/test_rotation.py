@@ -58,7 +58,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "metric_start_subtract", "start_time_metric",
                    "coralogix_transactions", "remote_tap",
                    "sumologic_translate", "grafana_hostinfo",
-                   "datadog_semantics"}
+                   "datadog_semantics", "consistent_sample_eq",
+                   "consistent_sample_prop"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
