@@ -419,6 +419,31 @@ def _sumologic(ds, map_col: str = "attributes",
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register_stage("parse_statsd")
+def _parse_statsd(ds, line_col: str = "line", **kwargs):
+    """statsdreceiver line parse (round 5)."""
+    from ..stages.statsd import parse_statsd
+
+    return parse_statsd(ds, line_col, **kwargs)
+
+
+@register_stage("statsd_aggregate")
+def _statsd_aggregate(ds, line_col: str = "line",
+                      order_col: str = "order", **kwargs):
+    """statsdreceiver counter/gauge interval aggregation (round 5)."""
+    from ..stages.statsd import statsd_aggregate
+
+    return statsd_aggregate(ds, line_col, order_col, **kwargs)
+
+
+@register_stage("parse_carbon")
+def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
+    """carbonreceiver Graphite plaintext parse (round 5)."""
+    from ..stages.carbon import parse_carbon
+
+    return parse_carbon(ds, line_col, on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

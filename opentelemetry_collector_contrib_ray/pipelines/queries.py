@@ -890,6 +890,95 @@ def q_consistent_sample_prop(sf_dir: str):
         ["event_id", "tracestate"])
 
 
+def q_statsd_metrics(sf_dir: str):
+    """statsdreceiver: DogStatsD line parse + counter/gauge interval
+    aggregation (trunc-scaled @rate counters, last-write + addition-delta
+    gauges — statsd_parser.go:260-330,346-463,
+    metric_translator.go:145-172)."""
+    from ..stages.statsd import statsd_aggregate
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        name = np.char.add("m", (uid % 3).astype(str))
+        v = (eid % 97).astype(str)
+        m = eid % 10
+        nv = np.char.add(np.char.add(name, ":"), v)
+        line = np.select(
+            [m <= 1, m == 2, m == 3, m == 4, m <= 6, m == 7, m == 8],
+            [np.char.add(nv, "|c"),
+             np.char.add(nv, "|c|@0.5"),
+             np.char.add(np.char.add(np.char.add(name, ":-"), v), "|c"),
+             np.char.add(nv, "|c|#env:prod"),
+             np.char.add(nv, "|g"),
+             np.char.add(np.char.add(np.char.add(name, ":+"), v), "|g"),
+             np.char.add(np.char.add(np.char.add(name, ":-"), v), "|g")],
+            default=np.char.add(nv, "|ms"))
+        return pa.table({"event_id": t.column("event_id"),
+                         "line": pa.array(line.astype(object), pa.string())})
+
+    lines = ds.map_batches(fixture, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return statsd_aggregate(lines, "line", "event_id")
+
+
+def q_carbon_parse(sf_dir: str):
+    """carbonreceiver: Graphite plaintext lines → typed datapoints
+    (int-first value/time parse, tag semantics incl. duplicate-key
+    last-wins, strict 3-field split — path_parser_helper.go:92-147,
+    plaintext_parser.go:40-71)."""
+    from ..stages.carbon import parse_carbon
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        name = np.char.add("s.", (uid % 4).astype(str))
+        v = (eid % 89).astype(str)
+        ts = (1_700_000_000 + eid).astype(str)
+        m = eid % 6
+        tail = np.char.add(np.char.add(" ", v), np.char.add(" ", ts))
+        line = np.select(
+            [m == 0,
+             m == 1,
+             m == 2,
+             m == 3,
+             m == 4],
+            [np.char.add(name, tail),
+             np.char.add(name, np.char.add(
+                 np.char.add(np.char.add(" ", v), ".5"),
+                 np.char.add(" ", ts))),
+             np.char.add(np.char.add(np.char.add(
+                 name, ";host=h"), (uid % 3).astype(str)), tail),
+             np.char.add(np.char.add(name, ";host=h1;host=h2"), tail),
+             np.char.add(name, np.char.add(
+                 np.char.add(" ", v),
+                 np.char.add(np.char.add(" ", ts), ".25")))],
+            default=np.char.add(";bad=1", tail))
+        return pa.table({"event_id": t.column("event_id"),
+                         "line": pa.array(line.astype(object), pa.string())})
+
+    parsed = parse_carbon(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True), "line")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"),
+            "tags": serialize_tags(t.column("tags")),
+            "value_int": t.column("value_int"),
+            "value_double": t.column("value_double"),
+            "timestamp_s": t.column("timestamp_s"),
+            "timestamp_extra_ns": t.column("timestamp_extra_ns")})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2598,6 +2687,8 @@ QUERIES = {
     "datadog_semantics": q_datadog_semantics,
     "consistent_sample_eq": q_consistent_sample_eq,
     "consistent_sample_prop": q_consistent_sample_prop,
+    "statsd_metrics": q_statsd_metrics,
+    "carbon_parse": q_carbon_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3728,6 +3819,67 @@ ORACLE_SQL["consistent_sample_prop"] = """
        OR m = 3
        OR (m IN (4, 5) AND rnd >= 36028797018963968)
     ORDER BY event_id
+"""
+
+# carbonreceiver plaintext: per-line typed parse; m=5 rows are the
+# strict-format error path (empty metric name) and are dropped
+ORACLE_SQL["carbon_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 89 AS BIGINT) AS v,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             1700000000 + event_id AS ts
+      FROM events)
+    SELECT event_id,
+      's.' || CAST(user_id % 4 AS VARCHAR) AS name,
+      CASE WHEN m = 2 THEN 'host:h' || CAST(user_id % 3 AS VARCHAR)
+           WHEN m = 3 THEN 'host:h2' ELSE '' END AS tags,
+      CASE WHEN m <> 1 THEN v END AS value_int,
+      CASE WHEN m = 1 THEN CAST(v AS DOUBLE) + 0.5 END AS value_double,
+      CAST(ts AS BIGINT) AS timestamp_s,
+      CASE WHEN m = 4 THEN CAST(250000000 AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS timestamp_extra_ns
+    FROM l WHERE m <> 5
+    ORDER BY event_id
+"""
+
+# statsdreceiver: counters sum per-line trunc(value/rate); gauges =
+# last-write anchor (last non-addition line, else first line) + additions
+# after it — the closed form of the sequential Aggregate loop
+ORACLE_SQL["statsd_metrics"] = """
+    WITH l AS (
+      SELECT event_id,
+             'm' || CAST(user_id % 3 AS VARCHAR) AS name,
+             CAST(event_id % 97 AS BIGINT) AS v,
+             CAST(event_id % 10 AS INTEGER) AS m
+      FROM events),
+    c AS (
+      SELECT name, CASE WHEN m = 4 THEN 'env:prod' ELSE '' END AS tags,
+             SUM(CASE WHEN m <= 1 THEN v WHEN m = 2 THEN 2 * v
+                      WHEN m = 3 THEN -v ELSE v END) AS value
+      FROM l WHERE m <= 4 GROUP BY 1, 2),
+    g AS (
+      SELECT name, event_id,
+             CASE WHEN m = 8 THEN -v ELSE v END AS sv,
+             m IN (7, 8) AS is_add
+      FROM l WHERE m IN (5, 6, 7, 8)),
+    a AS (
+      SELECT name,
+             COALESCE(MAX(CASE WHEN NOT is_add THEN event_id END),
+                      MIN(event_id)) AS anchor
+      FROM g GROUP BY 1),
+    gv AS (
+      SELECT g.name,
+             SUM(CASE WHEN g.event_id = a.anchor THEN sv
+                      WHEN is_add AND g.event_id > a.anchor THEN sv
+                      ELSE 0 END) AS value
+      FROM g JOIN a USING (name) GROUP BY 1)
+    SELECT name, 'counter' AS metric_type, tags,
+           CAST(value AS DOUBLE) AS value FROM c
+    UNION ALL
+    SELECT name, 'gauge' AS metric_type, '' AS tags,
+           CAST(value AS DOUBLE) AS value FROM gv
+    ORDER BY name, metric_type, tags
 """
 
 # grafanacloudconnector: distinct first-found host per flush window
