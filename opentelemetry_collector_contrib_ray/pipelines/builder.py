@@ -444,6 +444,16 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("parse_wavefront")
+def _parse_wavefront(ds, line_col: str = "line", on_error: str = "drop",
+                     extract_collectd_tags: bool = False):
+    """wavefrontreceiver data-format parse (round 5)."""
+    from ..stages.wavefront import parse_wavefront
+
+    return parse_wavefront(ds, line_col, on_error=on_error,
+                           extract_collectd_tags=extract_collectd_tags)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -979,6 +979,67 @@ def q_carbon_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_wavefront_parse(sf_dir: str):
+    """wavefrontreceiver: Wavefront data-format lines → typed datapoints
+    (quoted names/values, omitted-timestamp tag fallback, collectd
+    bracket-label extraction — wavefront_parser.go:56-215,
+    internal/collectd/labels.go)."""
+    from ..stages.statsd import serialize_tags
+    from ..stages.wavefront import parse_wavefront
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        name = np.char.add("w.", (uid % 4).astype(str))
+        v = (eid % 83).astype(str)
+        ts = (1_600_000_000 + eid).astype(str)
+        src = np.char.add("source=s", (uid % 3).astype(str))
+        m = eid % 7
+        sp = np.char.add(" ", v)
+        spts = np.char.add(sp, np.char.add(" ", ts))
+        line = np.select(
+            [m == 0,
+             m == 1,
+             m == 2,
+             m == 3,
+             m == 4,
+             m == 5],
+            [np.char.add(name, spts),
+             np.char.add(np.char.add(np.char.add(
+                 name, np.char.add(sp, ".25")),
+                 np.char.add(" ", ts)), np.char.add(" ", src)),
+             np.char.add(np.char.add(np.char.add('"', name), '"'),
+                         np.char.add(spts, " k0=a k1=b")),
+             np.char.add(name, np.char.add(sp, np.char.add(
+                 np.char.add(" ", src), " env=prod"))),
+             np.char.add(name, np.char.add(spts, ' msg="hello world"')),
+             np.char.add(np.char.add(np.char.add(
+                 "w.[k=v", (eid % 2).astype(str)),
+                 np.char.add("].", (uid % 4).astype(str))), spts)],
+            default=np.char.add(name, sp))
+        return pa.table({"event_id": t.column("event_id"),
+                         "line": pa.array(line.astype(object), pa.string())})
+
+    parsed = parse_wavefront(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "line", extract_collectd_tags=True)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"),
+            "tags": serialize_tags(t.column("tags")),
+            "value_int": t.column("value_int"),
+            "value_double": t.column("value_double"),
+            "timestamp_s": t.column("timestamp_s")})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2689,6 +2750,7 @@ QUERIES = {
     "consistent_sample_prop": q_consistent_sample_prop,
     "statsd_metrics": q_statsd_metrics,
     "carbon_parse": q_carbon_parse,
+    "wavefront_parse": q_wavefront_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3818,6 +3880,33 @@ ORACLE_SQL["consistent_sample_prop"] = """
        OR (m = 1 AND rnd >= 68679894317400064)
        OR m = 3
        OR (m IN (4, 5) AND rnd >= 36028797018963968)
+    ORDER BY event_id
+"""
+
+# wavefrontreceiver: per-line typed parse with quoted names/values,
+# omitted-ts fallback (ts null), collectd [k=v] extraction; m=6 rows are
+# the missing-parts error path and are dropped
+ORACLE_SQL["wavefront_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 83 AS BIGINT) AS v,
+             CAST(event_id % 7 AS INTEGER) AS m,
+             1600000000 + event_id AS ts
+      FROM events)
+    SELECT event_id,
+      'w.' || CAST(user_id % 4 AS VARCHAR) AS name,
+      CASE WHEN m = 1 THEN 'source:s' || CAST(user_id % 3 AS VARCHAR)
+           WHEN m = 2 THEN 'k0:a,k1:b'
+           WHEN m = 3 THEN 'source:s' || CAST(user_id % 3 AS VARCHAR)
+                           || ',env:prod'
+           WHEN m = 4 THEN 'msg:hello world'
+           WHEN m = 5 THEN 'k:v' || CAST(event_id % 2 AS VARCHAR)
+           ELSE '' END AS tags,
+      CASE WHEN m = 1 THEN CAST(NULL AS BIGINT) ELSE v END AS value_int,
+      CASE WHEN m = 1 THEN CAST(v AS DOUBLE) + 0.25 END AS value_double,
+      CASE WHEN m = 3 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(ts AS BIGINT) END AS timestamp_s
+    FROM l WHERE m <> 6
     ORDER BY event_id
 """
 
