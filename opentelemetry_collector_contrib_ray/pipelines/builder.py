@@ -444,6 +444,15 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("parse_collectd")
+def _parse_collectd(ds, json_col: str = "record",
+                    default_labels: dict | None = None):
+    """collectdreceiver JSON decode (round 5)."""
+    from ..stages.collectdjson import parse_collectd
+
+    return parse_collectd(ds, json_col, default_labels=default_labels)
+
+
 @register_stage("parse_wavefront")
 def _parse_wavefront(ds, line_col: str = "line", on_error: str = "drop",
                      extract_collectd_tags: bool = False):

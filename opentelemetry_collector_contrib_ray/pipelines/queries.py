@@ -1040,6 +1040,65 @@ def q_wavefront_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_collectd_parse(sf_dir: str):
+    """collectdreceiver: write_http JSON records → per-dsname datapoint
+    fan-out with name-join and [k=v] label-extraction rules
+    (collectd.go:19-232, internal/collectd/labels.go)."""
+    from ..stages.collectdjson import parse_collectd
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        docs = []
+        for e, u in zip(eid, uid):
+            e, u = int(e), int(u)
+            v, m, h = e % 71, e % 5, f"h{u % 3}"
+            if m == 0:
+                rec = {"dsnames": ["low", "high"],
+                       "dstypes": ["gauge", "gauge"],
+                       "values": [v, v + 1], "type": "load",
+                       "plugin": "fake", "host": h, "time": e}
+            elif m == 1:
+                rec = {"dsnames": ["value"], "dstypes": ["derive"],
+                       "values": [v + 0.5], "type": "df",
+                       "type_instance": "free", "plugin": "df",
+                       "plugin_instance": "dev", "host": h, "time": e}
+            elif m == 2:
+                rec = {"dsnames": ["value"], "dstypes": ["gauge"],
+                       "values": [v], "type": "mem",
+                       "type_instance": "used[k1=a,k2=b]",
+                       "plugin": "mem", "host": "web[dc=eu]", "time": e}
+            elif m == 3:
+                rec = {"time": e, "severity": "OKAY", "message": "x",
+                       "plugin": "notify", "host": h}
+            else:
+                rec = {"dsnames": ["a", "b"], "dstypes": ["gauge", "gauge"],
+                       "values": [v, None], "type": "t",
+                       "plugin": "p", "host": h, "time": e}
+            docs.append(_json.dumps(rec))
+        return pa.table({"record": pa.array(docs, pa.string())})
+
+    parsed = parse_collectd(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True), "record")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "name": t.column("name"),
+            "is_cumulative": t.column("is_cumulative"),
+            "value_int": t.column("value_int"),
+            "value_double": t.column("value_double"),
+            "time_ns": t.column("time_ns"),
+            "labels": serialize_tags(t.column("labels"))})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2751,6 +2810,7 @@ QUERIES = {
     "statsd_metrics": q_statsd_metrics,
     "carbon_parse": q_carbon_parse,
     "wavefront_parse": q_wavefront_parse,
+    "collectd_parse": q_collectd_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3881,6 +3941,40 @@ ORACLE_SQL["consistent_sample_prop"] = """
        OR m = 3
        OR (m IN (4, 5) AND rnd >= 36028797018963968)
     ORDER BY event_id
+"""
+
+# collectdreceiver: per-dsname fan-out (m=0 → 2 rows), events (m=3) and
+# null-value slots dropped; label order follows the documented insertion
+# sequence
+ORACLE_SQL["collectd_parse"] = """
+    WITH l AS (
+      SELECT user_id AS u,
+             CAST(event_id % 71 AS BIGINT) AS v,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             event_id * CAST(1000000000 AS BIGINT) AS tns
+      FROM events)
+    SELECT 'load.low' AS name, FALSE AS is_cumulative, v AS value_int,
+           CAST(NULL AS DOUBLE) AS value_double, tns AS time_ns,
+           'plugin:fake,host:h' || CAST(u % 3 AS VARCHAR) AS labels
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT 'load.high', FALSE, v + 1, CAST(NULL AS DOUBLE), tns,
+           'plugin:fake,host:h' || CAST(u % 3 AS VARCHAR)
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT 'df.free', TRUE, CAST(NULL AS BIGINT), CAST(v AS DOUBLE) + 0.5,
+           tns, 'plugin:df,plugin_instance:dev,host:h'
+                || CAST(u % 3 AS VARCHAR) || ',dsname:value'
+    FROM l WHERE m = 1
+    UNION ALL
+    SELECT 'mem.used', FALSE, v, CAST(NULL AS DOUBLE), tns,
+           'k1:a,k2:b,plugin:mem,dc:eu,host:web,dsname:value'
+    FROM l WHERE m = 2
+    UNION ALL
+    SELECT 't.a', FALSE, v, CAST(NULL AS DOUBLE), tns,
+           'plugin:p,host:h' || CAST(u % 3 AS VARCHAR)
+    FROM l WHERE m = 4
+    ORDER BY name, time_ns
 """
 
 # wavefrontreceiver: per-line typed parse with quoted names/values,
