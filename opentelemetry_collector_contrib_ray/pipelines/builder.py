@@ -463,6 +463,16 @@ def _parse_wavefront(ds, line_col: str = "line", on_error: str = "drop",
                            extract_collectd_tags=extract_collectd_tags)
 
 
+@register_stage("parse_influx")
+def _parse_influx(ds, line_col: str = "line", precision: str = "ns",
+                  on_error: str = "drop"):
+    """influxdbreceiver line-protocol decode + untyped fan-out (round 5)."""
+    from ..stages.influx import parse_influx
+
+    return parse_influx(ds, line_col, precision=precision,
+                        on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

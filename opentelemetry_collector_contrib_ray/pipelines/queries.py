@@ -1099,6 +1099,67 @@ def q_collectd_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_influx_parse(sf_dir: str):
+    """influxdbreceiver: line-protocol decode + untyped per-field metric
+    fan-out (escapes, quoted strings, int/uint/bool/float/string field
+    types, gauge/counter/prometheus naming — receiver.go:120-205 +
+    the influx2otel unknown-schema rules)."""
+    from ..stages.influx import parse_influx
+    from ..stages.statsd import serialize_tags
+    from functools import reduce
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(eid)
+
+        def cat(*parts):
+            return reduce(np.char.add,
+                          [p if isinstance(p, np.ndarray)
+                           else np.full(n, p) for p in parts])
+
+        v = (eid % 79).astype(str)
+        v2 = (eid % 79 + 1).astype(str)
+        ts = (1_700_000_000_000_000_000 + eid).astype(str)
+        h = np.char.add("h", (uid % 3).astype(str))
+        bl = np.where(eid % 2 == 0, "t", "f")
+        m = eid % 8
+        line = np.select(
+            [m == 0, m == 1, m == 2, m == 3, m == 4, m == 5, m == 6],
+            [cat("cpu,host=", h, " usage=", v, ".5 ", ts),
+             cat("cpu load=", v, "i ", ts),
+             cat("mem,dc=eu\\,w used=", v, ",free=", v2, "i ", ts),
+             cat("prometheus,host=", h, " up=", bl, " ", ts),
+             cat('disk msg="m ', (uid % 5).astype(str), '" ', ts),
+             cat("net bytes=", v, "u"),
+             cat("srv,foo=bar gauge=", v, ".25 ", ts)],
+            default=cat(",x=1 v=1 ", ts))
+        return pa.table({"event_id": t.column("event_id"),
+                         "line": pa.array(line.astype(object), pa.string())})
+
+    parsed = parse_influx(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True), "line")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "measurement": t.column("measurement"),
+            "name": t.column("name"),
+            "metric_type": t.column("metric_type"),
+            "tags": serialize_tags(t.column("tags")),
+            "field_key": t.column("field_key"),
+            "value_double": t.column("value_double"),
+            "value_int": t.column("value_int"),
+            "value_bool": t.column("value_bool"),
+            "value_str": t.column("value_str"),
+            "timestamp_ns": t.column("timestamp_ns")})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2811,6 +2872,7 @@ QUERIES = {
     "carbon_parse": q_carbon_parse,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
+    "influx_parse": q_influx_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4076,4 +4138,48 @@ ORACLE_SQL["grafana_hostinfo"] = """
         CAST(1 AS BIGINT) AS grafana_host_info
     FROM events
     ORDER BY flush_window, host_id
+"""
+
+# influxdbreceiver: line-protocol decode + untyped per-field fan-out
+# (field 'gauge'/'counter' name the measurement; measurement
+# 'prometheus' passes the field key through; else measurement_field)
+ORACLE_SQL["influx_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 79 AS BIGINT) AS v,
+             CAST(event_id % 8 AS INTEGER) AS m,
+             CAST(1700000000000000000 + event_id AS BIGINT) AS ts
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m IN (0,1) THEN 'cpu' WHEN m=2 THEN 'mem'
+           WHEN m=3 THEN 'prometheus' WHEN m=4 THEN 'disk'
+           WHEN m=5 THEN 'net' ELSE 'srv' END AS measurement,
+      CASE WHEN m=0 THEN 'cpu_usage' WHEN m=1 THEN 'cpu_load'
+           WHEN m=2 THEN 'mem_used' WHEN m=3 THEN 'up'
+           WHEN m=4 THEN 'disk_msg' WHEN m=5 THEN 'net_bytes'
+           ELSE 'srv' END AS name,
+      'gauge' AS metric_type,
+      CASE WHEN m IN (0,3) THEN 'host:h' || CAST(user_id % 3 AS VARCHAR)
+           WHEN m=2 THEN 'dc:eu,w' WHEN m=6 THEN 'foo:bar'
+           ELSE '' END AS tags,
+      CASE WHEN m=0 THEN 'usage' WHEN m=1 THEN 'load' WHEN m=2 THEN 'used'
+           WHEN m=3 THEN 'up' WHEN m=4 THEN 'msg' WHEN m=5 THEN 'bytes'
+           ELSE 'gauge' END AS field_key,
+      CASE WHEN m=0 THEN CAST(v AS DOUBLE)+0.5
+           WHEN m=2 THEN CAST(v AS DOUBLE)
+           WHEN m=6 THEN CAST(v AS DOUBLE)+0.25 END AS value_double,
+      CASE WHEN m IN (1,5) THEN v END AS value_int,
+      CASE WHEN m=3 THEN event_id % 2 = 0 END AS value_bool,
+      CASE WHEN m=4 THEN 'm ' || CAST(user_id % 5 AS VARCHAR)
+           END AS value_str,
+      CASE WHEN m <> 5 THEN ts END AS timestamp_ns
+    FROM l WHERE m <> 7
+    UNION ALL
+    SELECT event_id, 'mem' AS measurement, 'mem_free' AS name,
+           'gauge' AS metric_type, 'dc:eu,w' AS tags, 'free' AS field_key,
+           CAST(NULL AS DOUBLE) AS value_double, v + 1 AS value_int,
+           CAST(NULL AS BOOLEAN) AS value_bool,
+           CAST(NULL AS VARCHAR) AS value_str, ts AS timestamp_ns
+    FROM l WHERE m = 2
+    ORDER BY event_id, field_key
 """
