@@ -473,6 +473,28 @@ def _parse_influx(ds, line_col: str = "line", precision: str = "ns",
                         on_error=on_error)
 
 
+@register_stage("parse_splunk_hec")
+def _parse_splunk_hec(ds, json_col: str = "event_json",
+                      signal: str = "logs", on_error: str = "drop"):
+    """splunkhecreceiver event decode, logs or metrics path (round 5)."""
+    from ..stages.splunkhec import (
+        parse_splunk_hec_logs,
+        parse_splunk_hec_metrics,
+    )
+
+    fn = (parse_splunk_hec_metrics if signal == "metrics"
+          else parse_splunk_hec_logs)
+    return fn(ds, json_col, on_error=on_error)
+
+
+@register_stage("to_splunk_hec")
+def _to_splunk_hec(ds, **kwargs):
+    """splunkhecexporter log→HEC envelope encode (round 5)."""
+    from ..stages.splunkhec import logs_to_splunk_hec
+
+    return logs_to_splunk_hec(ds, **kwargs)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

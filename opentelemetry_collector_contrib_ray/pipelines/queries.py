@@ -1160,6 +1160,145 @@ def q_influx_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_splunk_hec_roundtrip(sf_dir: str):
+    """splunkhecexporter → splunkhecreceiver whole round trip: flat log
+    rows → HEC JSON envelopes (empty-body reject, unknown-host default,
+    severity/trace fields, ms-rounded epoch time) → event decode back to
+    flat rows (logdata_to_splunk.go:54-160, splunk_to_logdata.go:32-73)."""
+    from ..stages.splunkhec import logs_to_splunk_hec, parse_splunk_hec_logs
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        et = t.column("event_type").to_pylist()
+        rows = {k: [] for k in ("event_id", "body", "time_ns", "host",
+                                "source", "sourcetype", "index",
+                                "severity_text", "severity_number",
+                                "trace_id", "k1", "k2")}
+        for e, u, ty in zip(eid, uid, et):
+            m = e % 6
+            rows["event_id"].append(e)
+            rows["body"].append("" if m == 5 else f"evt {ty}")
+            rows["time_ns"].append(
+                None if m == 4 else (1_700_000_000_000 + e) * 1_000_000)
+            rows["host"].append(None if m == 3 else f"h{u % 3}")
+            rows["source"].append(f"s{u % 2}" if m in (0, 1) else None)
+            rows["sourcetype"].append("st" if m == 1 else None)
+            rows["index"].append("idx" if m == 2 else None)
+            rows["severity_text"].append("ERROR" if m == 1 else None)
+            rows["severity_number"].append(9 if m == 2 else None)
+            rows["trace_id"].append(f"{e % 65535 + 1:032x}" if m == 0
+                                    else None)
+            rows["k1"].append(f"a{u % 2}")
+            rows["k2"].append(e % 7 + 0.5 if m == 0 else None)
+        return pa.table({
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "body": pa.array(rows["body"], pa.string()),
+            "time_ns": pa.array(rows["time_ns"], pa.int64()),
+            "host": pa.array(rows["host"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "sourcetype": pa.array(rows["sourcetype"], pa.string()),
+            "index": pa.array(rows["index"], pa.string()),
+            "severity_text": pa.array(rows["severity_text"], pa.string()),
+            "severity_number": pa.array(rows["severity_number"],
+                                        pa.int64()),
+            "trace_id": pa.array(rows["trace_id"], pa.string()),
+            "k1": pa.array(rows["k1"], pa.string()),
+            "k2": pa.array(rows["k2"], pa.float64())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True).select_columns(
+        ["event_id", "body", "time_ns", "host", "source", "sourcetype",
+         "index", "severity_text", "severity_number", "trace_id",
+         "k1", "k2"])
+    hec = logs_to_splunk_hec(
+        flat, body_col="body", time_ns_col="time_ns", host_col="host",
+        source_col="source", sourcetype_col="sourcetype",
+        index_col="index", severity_text_col="severity_text",
+        severity_number_col="severity_number", trace_id_col="trace_id",
+        fields_cols=("k1", "k2")).select_columns(
+        ["event_id", "event_json"])
+    parsed = parse_splunk_hec_logs(hec, "event_json")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "host": t.column("host"),
+            "source": t.column("source"),
+            "sourcetype": t.column("sourcetype"),
+            "index": t.column("index"),
+            "body": t.column("body"),
+            "time_ns": t.column("time_ns"),
+            "fields": serialize_tags(t.column("fields"))})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_splunk_hec_metrics(sf_dir: str):
+    """splunkhecreceiver metrics path: metric_name/_value single form,
+    metric_name:<name> multi form with label extraction, string
+    best-effort ParseFloat, regex name gate, epoch-scale timestamps
+    (splunkhec_to_metricdata.go:21-159, common.go:39,88-100)."""
+    import json as _json
+
+    from ..stages.splunkhec import parse_splunk_hec_metrics
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, v, h = e % 6, e % 71, f"h{u % 3}"
+            if m == 0:
+                doc = {"time": 1_700_000_000 + e, "host": h,
+                       "fields": {"metric_name": "cpu.idle",
+                                  "_value": v + 0.5}}
+            elif m == 1:
+                doc = {"source": "s1",
+                       "fields": {"metric_name:mem.used": v,
+                                  "metric_name:mem.free": v + 1,
+                                  "dc": "eu"}}
+            elif m == 2:
+                doc = {"time": 1_700_000_000 + e,
+                       "fields": {"metric_name:disk.io": "12.5",
+                                  "region": f"r{u % 2}"}}
+            elif m == 3:
+                doc = {"fields": {"metric_name:bad.val": "abc"}}
+            elif m == 4:
+                doc = {"fields": {"metric_name:9skip": v}}
+            else:
+                doc = {"host": h,
+                       "fields": {"metric_name": "gauge1", "_value": "7"}}
+            docs.append(_json.dumps(doc))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_json": pa.array(docs, pa.string())})
+
+    parsed = parse_splunk_hec_metrics(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "event_json")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"),
+            "value_double": t.column("value_double"),
+            "time_ns": t.column("time_ns"),
+            "host": t.column("host"),
+            "source": t.column("source"),
+            "attributes": serialize_tags(t.column("attributes"))})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -2873,6 +3012,8 @@ QUERIES = {
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
     "influx_parse": q_influx_parse,
+    "splunk_hec_roundtrip": q_splunk_hec_roundtrip,
+    "splunk_hec_metrics": q_splunk_hec_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4182,4 +4323,67 @@ ORACLE_SQL["influx_parse"] = """
            CAST(NULL AS VARCHAR) AS value_str, ts AS timestamp_ns
     FROM l WHERE m = 2
     ORDER BY event_id, field_key
+"""
+
+# splunkhec exporter→receiver round trip: empty-body reject, unknown
+# host, severity/trace fields, ms-rounded epoch float (IEEE ops match
+# numpy bit-for-bit), sorted-key fields serialization
+ORACLE_SQL["splunk_hec_roundtrip"] = """
+    WITH l AS (
+      SELECT event_id, user_id, event_type,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             'a' || CAST(user_id % 2 AS VARCHAR) AS k1
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m = 3 THEN 'unknown'
+           ELSE 'h' || CAST(user_id % 3 AS VARCHAR) END AS host,
+      CASE WHEN m IN (0,1) THEN 's' || CAST(user_id % 2 AS VARCHAR)
+           END AS source,
+      CASE WHEN m = 1 THEN 'st' END AS sourcetype,
+      CASE WHEN m = 2 THEN 'idx' END AS "index",
+      'evt ' || event_type AS body,
+      CASE WHEN m <> 4 THEN CAST(trunc(
+          (CAST((1700000000000 + event_id) * 1000000 AS DOUBLE) / 1e9)
+          * 1e9) AS BIGINT) END AS time_ns,
+      CASE WHEN m = 0 THEN 'k1:' || k1
+             || ',k2:' || CAST(CAST(event_id % 7 AS DOUBLE) + 0.5
+                               AS VARCHAR)
+             || ',trace_id:'
+             || lpad(printf('%x', event_id % 65535 + 1), 32, '0')
+           WHEN m = 1 THEN 'k1:' || k1 || ',otel.log.severity.text:ERROR'
+           WHEN m = 2 THEN 'k1:' || k1 || ',otel.log.severity.number:9'
+           ELSE 'k1:' || k1 END AS fields
+    FROM l WHERE m <> 5
+    ORDER BY event_id
+"""
+
+# splunkhecreceiver metrics path: single metric_name/_value form,
+# metric_name:<name> multi form (sorted emission), string ParseFloat,
+# regex name gate, epoch-second scaling with float truncation
+ORACLE_SQL["splunk_hec_metrics"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 71 AS BIGINT) AS v,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             CAST(trunc(CAST(1700000000 + event_id AS DOUBLE) * 1e9)
+                  AS BIGINT) AS tns,
+             'h' || CAST(user_id % 3 AS VARCHAR) AS h
+      FROM events)
+    SELECT event_id, 'cpu.idle' AS name,
+           CAST(v AS DOUBLE) + 0.5 AS value_double, tns AS time_ns,
+           h AS host, CAST(NULL AS VARCHAR) AS source,
+           '' AS attributes
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, 'mem.free', CAST(v + 1 AS DOUBLE), NULL, NULL,
+           's1', 'dc:eu' FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'mem.used', CAST(v AS DOUBLE), NULL, NULL,
+           's1', 'dc:eu' FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'disk.io', 12.5, tns, NULL, NULL,
+           'region:r' || CAST(user_id % 2 AS VARCHAR) FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, 'gauge1', 7.0, NULL, h, NULL, '' FROM l WHERE m = 5
+    ORDER BY event_id, name
 """

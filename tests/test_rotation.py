@@ -61,7 +61,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "datadog_semantics", "consistent_sample_eq",
                    "consistent_sample_prop", "statsd_metrics",
                    "carbon_parse", "wavefront_parse", "collectd_parse",
-                   "influx_parse"}
+                   "influx_parse", "splunk_hec_roundtrip",
+                   "splunk_hec_metrics"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
