@@ -495,6 +495,25 @@ def _to_splunk_hec(ds, **kwargs):
     return logs_to_splunk_hec(ds, **kwargs)
 
 
+@register_stage("parse_loki_push")
+def _parse_loki_push(ds, json_col: str = "push_json",
+                     keep_timestamp: bool = True,
+                     on_error: str = "drop"):
+    """lokireceiver push-request decode (round 5)."""
+    from ..stages.loki import parse_loki_push
+
+    return parse_loki_push(ds, json_col, keep_timestamp=keep_timestamp,
+                           on_error=on_error)
+
+
+@register_stage("to_loki_push")
+def _to_loki_push(ds, **kwargs):
+    """lokiexporter logs→push-request encode (round 5)."""
+    from ..stages.loki import logs_to_loki_push
+
+    return logs_to_loki_push(ds, **kwargs)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1299,6 +1299,86 @@ def q_splunk_hec_metrics(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_loki_roundtrip(sf_dir: str):
+    """pkg/translator/loki whole round trip: flat log rows → Loki push
+    JSON (default exporter/job/instance labels, level from severity,
+    label promotion + body removal, lokiEntry JSON encode, stream
+    grouping by LabelSet.String) → lokireceiver push decode back to
+    per-entry rows (logs_to_loki.go:49-226, convert.go:37-146,
+    encode.go:20-76, unmarshal.go:20-160, loki_to_otlp.go:19-88)."""
+    import json as _json
+
+    from ..stages.loki import logs_to_loki_push, parse_loki_push
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        cols = {k: [] for k in (
+            "body", "time_ns", "severity_number", "severity_text",
+            "trace_id", "app", "env", "eid", "service.name",
+            "service.namespace", "service.instance.id")}
+        for e, u in zip(eid, uid):
+            sn = e % 25
+            cols["body"].append(f"evt {e % 13}")
+            cols["time_ns"].append(1_700_000_000_000_000_000 + e)
+            cols["severity_number"].append(sn)
+            cols["severity_text"].append(f"SEV{sn}" if sn else None)
+            cols["trace_id"].append(
+                f"{e % 4093 + 1:032x}" if e % 2 == 0 else None)
+            cols["app"].append(f"a{u % 3}")
+            cols["env"].append(f"e{u % 2}")
+            cols["eid"].append(str(e))
+            cols["service.name"].append(f"svc{u % 2}")
+            cols["service.namespace"].append("ns")
+            cols["service.instance.id"].append(f"i{u % 2}")
+        return pa.table({k: pa.array(v, pa.int64() if k in
+                                     ("time_ns", "severity_number")
+                                     else pa.string())
+                         for k, v in cols.items()})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    push = logs_to_loki_push(
+        flat, body_col="body", time_ns_col="time_ns",
+        severity_number_col="severity_number",
+        severity_text_col="severity_text", trace_id_col="trace_id",
+        attr_cols=("app", "env", "eid"),
+        resource_cols=("service.name", "service.namespace",
+                       "service.instance.id"),
+        fmt="json", label_cols=("app",))
+    parsed = parse_loki_push(push, "push_json")
+
+    def finish(t: pa.Table) -> pa.Table:
+        bodies = t.column("body").to_pylist()
+        out = {"event_id": [], "body_text": [], "severity_text": [],
+               "trace_id": [], "env": [], "service_name": []}
+        for b in bodies:
+            entry = _json.loads(b)
+            attrs = entry.get("attributes") or {}
+            res = entry.get("resources") or {}
+            out["event_id"].append(int(attrs["eid"]))
+            out["body_text"].append(entry.get("body"))
+            out["severity_text"].append(entry.get("severity"))
+            out["trace_id"].append(entry.get("traceid"))
+            out["env"].append(attrs.get("env"))
+            out["service_name"].append(res.get("service.name"))
+        return pa.table({
+            "event_id": pa.array(out["event_id"], pa.int64()),
+            "body_text": pa.array(out["body_text"], pa.string()),
+            "severity_text": pa.array(out["severity_text"], pa.string()),
+            "trace_id": pa.array(out["trace_id"], pa.string()),
+            "env": pa.array(out["env"], pa.string()),
+            "service_name": pa.array(out["service_name"], pa.string()),
+            "labels": serialize_tags(t.column("attributes")),
+            "time_ns": t.column("time_ns")})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3014,6 +3094,7 @@ QUERIES = {
     "influx_parse": q_influx_parse,
     "splunk_hec_roundtrip": q_splunk_hec_roundtrip,
     "splunk_hec_metrics": q_splunk_hec_metrics,
+    "loki_roundtrip": q_loki_roundtrip,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4386,4 +4467,36 @@ ORACLE_SQL["splunk_hec_metrics"] = """
     UNION ALL
     SELECT event_id, 'gauge1', 7.0, NULL, h, NULL, '' FROM l WHERE m = 5
     ORDER BY event_id, name
+"""
+
+# loki exporter→receiver round trip: default labels, level table,
+# promotion removal, sorted stream labels
+ORACLE_SQL["loki_roundtrip"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 25 AS INTEGER) AS sn
+      FROM events)
+    SELECT event_id,
+      'evt ' || CAST(event_id % 13 AS VARCHAR) AS body_text,
+      CASE WHEN sn > 0 THEN 'SEV' || CAST(sn AS VARCHAR)
+           END AS severity_text,
+      CASE WHEN event_id % 2 = 0
+           THEN lpad(printf('%x', event_id % 4093 + 1), 32, '0')
+           END AS trace_id,
+      'e' || CAST(user_id % 2 AS VARCHAR) AS env,
+      'svc' || CAST(user_id % 2 AS VARCHAR) AS service_name,
+      'app:a' || CAST(user_id % 3 AS VARCHAR)
+        || ',exporter:OTLP'
+        || ',instance:i' || CAST(user_id % 2 AS VARCHAR)
+        || ',job:ns/svc' || CAST(user_id % 2 AS VARCHAR)
+        || CASE WHEN sn = 0 THEN '' ELSE ',level:' ||
+             (CASE (sn-1)//4 WHEN 0 THEN 'TRACE' WHEN 1 THEN 'DEBUG'
+                   WHEN 2 THEN 'INFO' WHEN 3 THEN 'WARN'
+                   WHEN 4 THEN 'ERROR' ELSE 'FATAL' END)
+             || (CASE (sn-1)%4 WHEN 0 THEN ''
+                      ELSE CAST((sn-1)%4 + 1 AS VARCHAR) END)
+           END AS labels,
+      CAST(1700000000000000000 + event_id AS BIGINT) AS time_ns
+    FROM l
+    ORDER BY event_id
 """

@@ -1,0 +1,401 @@
+"""lokireceiver + pkg/translator/loki analogs: Loki push JSON.
+
+Receiver parity (receiver/lokireceiver/internal/unmarshal.go:20-160,
+loki.go:159-226 and pkg/translator/loki/loki_to_otlp.go:19-88):
+
+- push JSON ``{"streams":[{"stream":{k:v,...},"values":[[ts, line,
+  {meta}?], ...]}]}``; per unmarshal.go the timestamp and line MUST be
+  JSON strings (ts an integer string, ns), the optional third element a
+  string-valued object, stream label values strings; null array
+  elements are skipped, null "values" means no entries. Any malformed
+  stream fails the WHOLE request (the receiver 400s it, loki.go:218-222)
+  — an error row here.
+- label names must be valid prom label names (the labels round-trip
+  through promql ParseMetric, loki_to_otlp.go:37-42); an invalid name
+  fails the request the same way. ``__``-prefixed labels are internal
+  and dropped (:47-50).
+- one log row per entry: body = line, attributes = labels then
+  structured metadata via PutStr (update-in-place or append — metadata
+  can overwrite a label). Go iterates the label map in random order;
+  labels are emitted in sorted-key order here (deterministic, same
+  set). keep_timestamp=True stamps the entry timestamp (time.Unix of
+  the parsed int — never Go-zero for JSON-decoded entries, so the
+  IsZero fallback is unreachable on this wire); keep_timestamp=False
+  means arrival time, which a batch engine lacks → null (same
+  documented deviation as the wavefront/influx/splunk stages).
+
+Exporter parity (pkg/translator/loki/logs_to_loki.go:49-226,
+convert.go:37-146, encode.go:20-76, utils.go:13-31):
+
+- default labels: exporter="OTLP", job = service.namespace "/"
+  service.name (name alone when no namespace), instance =
+  service.instance.id; each suppressible via default_labels_enabled.
+- label promotion: the loki.attribute.labels / loki.resource.labels
+  hints are comma lists of attribute names — flat columns here, passed
+  as config lists (label_cols / resource_label_cols); promoted
+  attributes leave the JSON body (removeAttributes).
+- level label: severity_number != 0 adds a "level" attribute
+  (TRACE..FATAL4 table, logs_to_loki.go:228-254) and hints it into the
+  label set unless the record already has a level attribute.
+- label names are normalized to prom form (otlptranslator LabelNamer:
+  invalid chars → "_", leading digit → "key_" prefix, leading single
+  "_" → "key" prefix; logs_to_loki.go:149-156).
+- entry line: format "raw" (body as string) or "json" (the lokiEntry
+  shape in Go struct-marshal order: body, traceid, spanid, severity,
+  flags, attributes, resources — omitempty, maps sorted); logfmt is
+  not ported (the engine's flat values have no nested keyvals and raw
+  and json cover the corpus; documented).
+- streams: entries grouped by LabelSet.String() (sorted keys,
+  strconv.Quote values) — grouped per block here; cross-block stream
+  merge is a downstream groupby if a single request per label set is
+  required (documented; Loki accepts repeated stream labels).
+
+Execution: per-row JSON wire decode/encode in task-based map_batches
+(same status as the OTLP-JSON reader) — block-local, zero shuffle;
+the receiver path fans out one row per entry.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+from .splunkhec import go_json_dumps
+
+import numpy as np
+import pyarrow as pa
+
+MAP_TYPE = pa.map_(pa.string(), pa.string())
+
+_LABEL_RE = re.compile(r"^[a-zA-Z_][a-zA-Z0-9_]*$")
+
+_LEVEL_BASE = {0: "UNSPECIFIED", 1: "TRACE", 5: "DEBUG", 9: "INFO",
+               13: "WARN", 17: "ERROR", 21: "FATAL"}
+
+
+def severity_level(num: int) -> str:
+    """severityNumberToLevel (logs_to_loki.go:228-254)."""
+    if num is None or not (0 <= num <= 24):
+        return "UNSPECIFIED"
+    if num == 0:
+        return "UNSPECIFIED"
+    base = ((num - 1) // 4) * 4 + 1
+    off = num - base
+    return _LEVEL_BASE[base] + (str(off + 1) if off else "")
+
+
+def normalize_label(name: str) -> str:
+    """otlptranslator LabelNamer.Build (logs_to_loki.go:151-156)."""
+    if name == "":
+        return name
+    out = re.sub(r"[^a-zA-Z0-9_]", "_", name)
+    if out[0].isdigit():
+        out = "key_" + out
+    elif out.startswith("_") and not out.startswith("__"):
+        out = "key" + out
+    return out
+
+
+def _quote(s: str) -> str:
+    """Go strconv.Quote for label values (LabelSet.String)."""
+    out = ['"']
+    for ch in s:
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ch == "\r":
+            out.append("\\r")
+        elif 0x20 <= ord(ch) < 0x7F or ord(ch) >= 0xA0:
+            out.append(ch)
+        else:
+            out.append("\\x{:02x}".format(ord(ch)))
+    out.append('"')
+    return "".join(out)
+
+
+def labelset_string(labels: dict) -> str:
+    """LabelSet.String (unmarshal.go:141-160): sorted keys,
+    {k="v", k2="v2"}."""
+    parts = [f"{k}={_quote(labels[k])}" for k in sorted(labels)]
+    return "{" + ", ".join(parts) + "}"
+
+
+# ---------------------------------------------------------------------------
+# receiver direction
+
+
+def decode_push_doc(doc: str, keep_timestamp: bool = True):
+    """One push-request JSON → list of log rows, or an error string
+    (any malformed stream fails the whole request, loki.go:218-222)."""
+    try:
+        obj = json.loads(doc)
+    except (ValueError, TypeError):
+        return "invalid push request JSON"
+    if not isinstance(obj, dict):
+        return "invalid push request JSON"
+    streams = obj.get("streams")
+    if streams is None:
+        return []
+    if not isinstance(streams, list):
+        return "streams is not an array"
+    rows = []
+    for stream in streams:
+        if not isinstance(stream, dict):
+            return "stream is not a JSON object"
+        raw_labels = stream.get("stream") or {}
+        if not isinstance(raw_labels, dict):
+            return "stream labels are not a JSON object"
+        for k, v in raw_labels.items():
+            if not isinstance(v, str):
+                return "stream label value is not a string"
+            if not _LABEL_RE.match(k):
+                return f"invalid label name {k!r}"
+        values = stream.get("values")
+        if values is None:
+            continue
+        if not isinstance(values, list):
+            return "values is not an array"
+        labels = {k: v for k, v in sorted(raw_labels.items())
+                  if not k.startswith("__")}
+        for entry in values:
+            if entry is None:
+                continue
+            if not isinstance(entry, list) or len(entry) < 2:
+                return "malformed entry"
+            ts_s, line = entry[0], entry[1]
+            if not isinstance(ts_s, str) or not isinstance(line, str):
+                return "entry timestamp/line is not a string"
+            try:
+                ts = int(ts_s)
+            except ValueError:
+                return "entry timestamp is not an integer"
+            attrs = dict(labels)
+            if len(entry) >= 3 and entry[2] is not None:
+                meta = entry[2]
+                if not isinstance(meta, dict):
+                    return "structured metadata is not a JSON object"
+                for k, v in meta.items():
+                    if not isinstance(v, str):
+                        return "structured metadata value is not a string"
+                    attrs[k] = v        # PutStr: update-or-append
+            rows.append({
+                "body": line,
+                "time_ns": ts if keep_timestamp else None,
+                "attributes": list(attrs.items())})
+    return rows
+
+
+class _ParseLokiPush:
+    def __init__(self, json_col: str, keep_timestamp: bool,
+                 on_error: str):
+        self.json_col = json_col
+        self.keep_timestamp = keep_timestamp
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch.column(self.json_col).to_pylist()
+        parent, body, tns, attrs, err = [], [], [], [], []
+        for i, doc in enumerate(docs):
+            res = decode_push_doc(doc if doc is not None else "",
+                                  self.keep_timestamp)
+            if isinstance(res, str):
+                if self.on_error == "drop":
+                    continue
+                parent.append(i)
+                body.append(None)
+                tns.append(None)
+                attrs.append([])
+                err.append(res)
+                continue
+            for row in res:
+                parent.append(i)
+                body.append(row["body"])
+                tns.append(row["time_ns"])
+                attrs.append(row["attributes"])
+                err.append(None)
+        out = batch.take(pa.array(parent, pa.int64()))
+        for name, arr in (("body", pa.array(body, pa.string())),
+                          ("time_ns", pa.array(tns, pa.int64())),
+                          ("attributes", pa.array(attrs, MAP_TYPE)),
+                          ("error", pa.array(err, pa.string()))):
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name),
+                                     name, arr)
+            else:
+                out = out.append_column(name, arr)
+        if self.on_error == "drop":
+            out = out.drop_columns(["error"])
+        return out
+
+
+def parse_loki_push(ds, json_col: str = "push_json", *,
+                    keep_timestamp: bool = True, on_error: str = "drop"):
+    """Loki push-request JSON → one log row per entry (block-local
+    fan-out, zero shuffle)."""
+    return ds.map_batches(
+        _ParseLokiPush(json_col, keep_timestamp, on_error),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# exporter direction
+
+
+def log_row_to_loki(body, time_ns, severity_number, severity_text,
+                    trace_id, span_id, flags, record_attrs: dict,
+                    resource_attrs: dict, *, fmt: str = "json",
+                    label_cols=(), resource_label_cols=(),
+                    default_labels_enabled: dict | None = None):
+    """LogToLokiEntry for one flat row. Returns (labels dict, ts_ns,
+    line) — labels normalized, promoted attrs removed from the body."""
+    dle = default_labels_enabled or {}
+    record_attrs = dict(record_attrs)
+    resource_attrs = dict(resource_attrs)
+    label_cols = list(label_cols)
+
+    # level attribute + hint (logs_to_loki.go:205-226)
+    if dle.get("level", True) and severity_number:
+        if "level" not in record_attrs:
+            record_attrs["level"] = severity_level(int(severity_number))
+        if "level" not in label_cols:
+            label_cols.append("level")
+
+    labels: dict = {}
+    if dle.get("exporter", True):
+        labels["exporter"] = "OTLP"
+    if dle.get("job", True) and resource_attrs.get("service.name"):
+        job = str(resource_attrs["service.name"])
+        ns = resource_attrs.get("service.namespace")
+        labels["job"] = f"{ns}/{job}" if ns else job
+    if dle.get("instance", True) and \
+            resource_attrs.get("service.instance.id"):
+        labels["instance"] = str(resource_attrs["service.instance.id"])
+    for c in resource_label_cols:
+        c = c.strip()
+        if c in resource_attrs and resource_attrs[c] is not None:
+            labels[c] = str(resource_attrs[c])
+    for c in label_cols:
+        c = c.strip()
+        if c in record_attrs and record_attrs[c] is not None:
+            labels[c] = str(record_attrs[c])
+
+    # removeAttributes (convert.go:139-148)
+    for k in list(record_attrs):
+        if k in labels:
+            del record_attrs[k]
+    for k in list(resource_attrs):
+        if k in labels:
+            del resource_attrs[k]
+
+    labels = {normalize_label(k): v for k, v in labels.items()}
+
+    if fmt == "raw":
+        line = "" if body is None else str(body)
+    elif fmt == "json":
+        entry: dict = {}
+        if body is not None and body != "":
+            entry["body"] = body
+        if trace_id and set(trace_id) != {"0"}:
+            entry["traceid"] = trace_id
+        if span_id and set(span_id) != {"0"}:
+            entry["spanid"] = span_id
+        if severity_text:
+            entry["severity"] = severity_text
+        if flags:
+            entry["flags"] = int(flags)
+        attrs = {k: v for k, v in record_attrs.items() if v is not None}
+        if attrs:
+            entry["attributes"] = dict(sorted(attrs.items()))
+        res = {k: v for k, v in resource_attrs.items() if v is not None}
+        if res:
+            entry["resources"] = dict(sorted(res.items()))
+        line = go_json_dumps(entry)
+    else:
+        raise ValueError(f"invalid format {fmt}")
+    return labels, (int(time_ns) if time_ns else None), line
+
+
+class _LogsToLokiPush:
+    def __init__(self, colmap: dict, attr_cols: tuple,
+                 resource_cols: tuple, fmt: str, label_cols: tuple,
+                 resource_label_cols: tuple, dle: dict | None):
+        self.colmap = colmap
+        self.attr_cols = attr_cols
+        self.resource_cols = resource_cols
+        self.fmt = fmt
+        self.label_cols = label_cols
+        self.resource_label_cols = resource_label_cols
+        self.dle = dle
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+
+        def col(key):
+            name = self.colmap.get(key)
+            if name and name in batch.column_names:
+                return batch.column(name).to_pylist()
+            return [None] * n
+
+        body = col("body")
+        tns = col("time_ns")
+        sevn = col("severity_number")
+        sevt = col("severity_text")
+        tid = col("trace_id")
+        sid = col("span_id")
+        flags = col("flags")
+        attr_vals = {c: batch.column(c).to_pylist()
+                     for c in self.attr_cols if c in batch.column_names}
+        res_vals = {c: batch.column(c).to_pylist()
+                    for c in self.resource_cols
+                    if c in batch.column_names}
+        # group entries by label-set string (stream identity)
+        streams: dict = {}
+        for i in range(n):
+            rec = {c: v[i] for c, v in attr_vals.items()}
+            res = {c: v[i] for c, v in res_vals.items()}
+            labels, ts, line = log_row_to_loki(
+                body[i], tns[i], sevn[i], sevt[i], tid[i], sid[i],
+                flags[i], rec, res, fmt=self.fmt,
+                label_cols=self.label_cols,
+                resource_label_cols=self.resource_label_cols,
+                default_labels_enabled=self.dle)
+            key = labelset_string(labels)
+            streams.setdefault(key, (labels, []))[1].append(
+                [str(ts if ts is not None else 0), line])
+        doc = go_json_dumps(
+            {"streams": [{"stream": dict(sorted(labels.items())),
+                          "values": vals}
+                         for labels, vals in
+                         (streams[k] for k in sorted(streams))]})
+        return pa.table({"push_json": pa.array([doc], pa.string())})
+
+
+def logs_to_loki_push(ds, *, body_col: str = "body",
+                      time_ns_col: str | None = None,
+                      severity_number_col: str | None = None,
+                      severity_text_col: str | None = None,
+                      trace_id_col: str | None = None,
+                      span_id_col: str | None = None,
+                      flags_col: str | None = None,
+                      attr_cols: tuple = (), resource_cols: tuple = (),
+                      fmt: str = "json", label_cols: tuple = (),
+                      resource_label_cols: tuple = (),
+                      default_labels_enabled: dict | None = None):
+    """Flat log rows → Loki push-request JSON, one request per block
+    with entries grouped into streams by label set."""
+    colmap = {"body": body_col, "time_ns": time_ns_col,
+              "severity_number": severity_number_col,
+              "severity_text": severity_text_col,
+              "trace_id": trace_id_col, "span_id": span_id_col,
+              "flags": flags_col}
+    return ds.map_batches(
+        _LogsToLokiPush(colmap, tuple(attr_cols), tuple(resource_cols),
+                        fmt, tuple(label_cols),
+                        tuple(resource_label_cols),
+                        default_labels_enabled),
+        batch_format="pyarrow", zero_copy_batch=True)

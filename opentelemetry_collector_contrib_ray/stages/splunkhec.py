@@ -93,6 +93,16 @@ def ns_to_epoch_ms_seconds(ns: int) -> float:
     return float(_F64(base) / _F64(1e9))
 
 
+def go_json_dumps(obj) -> str:
+    """encoding/json Marshal text shape: UTF-8 kept raw, HTML chars
+    escaped (&, <, > → \\u0026 \\u003c \\u003e), compact separators.
+    Safe as a global replace — those characters only occur inside JSON
+    string literals."""
+    s = json.dumps(obj, separators=(",", ":"), ensure_ascii=False)
+    return (s.replace("&", "\\u0026").replace("<", "\\u003c")
+             .replace(">", "\\u003e"))
+
+
 def go_fmt_float(v: float) -> str:
     """Go fmt %v / strconv.FormatFloat(v, 'g', -1, 64): shortest
     round-trip digits; scientific form iff the first-digit exponent is
@@ -428,7 +438,7 @@ def log_row_to_hec(body, time_ns, host, source, sourcetype, index,
     t = ns_to_epoch_ms_seconds(int(time_ns)) if time_ns else 0.0
     if t != 0.0:
         out["time"] = t
-    return json.dumps(out, separators=(",", ":"))
+    return go_json_dumps(out)
 
 
 class _LogsToHec:
