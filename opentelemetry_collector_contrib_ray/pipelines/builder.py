@@ -514,6 +514,23 @@ def _to_loki_push(ds, **kwargs):
     return logs_to_loki_push(ds, **kwargs)
 
 
+@register_stage("parse_prometheus_text")
+def _parse_prometheus_text(ds, text_col: str = "exposition",
+                           on_error: str = "drop"):
+    """prometheus text exposition decode (round 5)."""
+    from ..stages.prometheus import parse_prometheus_text
+
+    return parse_prometheus_text(ds, text_col, on_error=on_error)
+
+
+@register_stage("normalize_prom_names")
+def _normalize_prom_names(ds, **kwargs):
+    """pkg/translator/prometheus BuildCompliantName column (round 5)."""
+    from ..stages.prometheus import normalize_prom_names
+
+    return normalize_prom_names(ds, **kwargs)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

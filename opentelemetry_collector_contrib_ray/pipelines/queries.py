@@ -1379,6 +1379,100 @@ def q_loki_roundtrip(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_prom_text_parse(sf_dir: str):
+    """prometheusreceiver wire format: text exposition decode —
+    TYPE/HELP family state, histogram/summary family association,
+    label-value escapes, ±Inf values, ms timestamps (classic
+    Prometheus text format per prometheus/common expfmt)."""
+    from ..stages.prometheus import parse_prometheus_text
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, v, h = e % 5, e % 61, f"h{u % 3}"
+            ts = 1_700_000_000_000 + e
+            if m == 0:
+                doc = (f"# TYPE c0 counter\n"
+                       f'c0{{h="{h}"}} {v} {ts}\n')
+            elif m == 1:
+                doc = ("# TYPE h0 histogram\n"
+                       f'h0_bucket{{le="1"}} {v}\n'
+                       f'h0_bucket{{le="+Inf"}} {v + 1}\n'
+                       f"h0_sum {v * 2}\n"
+                       f"h0_count {v + 1}\n")
+            elif m == 2:
+                doc = (f'e0{{p="a\\\\b\\n\\"q\\""}} {v}.5\n'
+                       "# just a comment\n")
+            elif m == 3:
+                doc = ("# HELP g0 A gauge.\n"
+                       "# TYPE g0 gauge\n"
+                       f"g0 {v} {ts}\n")
+            else:
+                doc = "bad{x=} 1\n"
+            docs.append(doc)
+        return pa.table({"event_id": t.column("event_id"),
+                         "exposition": pa.array(docs, pa.string())})
+
+    parsed = parse_prometheus_text(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "exposition")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"),
+            "family": t.column("family"),
+            "type": t.column("type"),
+            "labels": serialize_tags(t.column("labels")),
+            "value": t.column("value"),
+            "timestamp_ms": t.column("timestamp_ms")})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_prom_name_normalize(sf_dir: str):
+    """pkg/translator/prometheus BuildCompliantName: unit mapping,
+    per-unit rates, _total/_ratio suffixes, forbidden-rune handling
+    (normalize_name.go:30-103, normalize_unit.go) — expected names
+    are the translator's own test vectors."""
+    from ..stages.prometheus import normalize_prom_names
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    CASES = [("system.filesystem.usage", "By", "gauge", False),
+             ("system.io", "By", "sum", True),
+             ("system.network.dropped", "{packets}", "gauge", False),
+             ("hw.gpu.memory.utilization", "1", "gauge", False),
+             ("astro.light.speed_limit", "m/s", "gauge", False),
+             ("broken.metric.success_ratio", "%", "gauge", False),
+             ("hw.cpu.speed_limit", "Hz", "gauge", False),
+             ("3.14 digits", "", "gauge", False)]
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        rows = [CASES[e % 8] for e in eid]
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array([r[0] for r in rows], pa.string()),
+            "unit": pa.array([r[1] for r in rows], pa.string()),
+            "metric_type": pa.array([r[2] for r in rows], pa.string()),
+            "monotonic": pa.array([r[3] for r in rows], pa.bool_())})
+
+    out = normalize_prom_names(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        "name", "unit", "metric_type", "monotonic")
+    return out.select_columns(
+        ["event_id", "name", "unit", "metric_type", "monotonic",
+         "prom_name"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3095,6 +3189,8 @@ QUERIES = {
     "splunk_hec_roundtrip": q_splunk_hec_roundtrip,
     "splunk_hec_metrics": q_splunk_hec_metrics,
     "loki_roundtrip": q_loki_roundtrip,
+    "prom_text_parse": q_prom_text_parse,
+    "prom_name_normalize": q_prom_name_normalize,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4497,6 +4593,71 @@ ORACLE_SQL["loki_roundtrip"] = """
                       ELSE CAST((sn-1)%4 + 1 AS VARCHAR) END)
            END AS labels,
       CAST(1700000000000000000 + event_id AS BIGINT) AS time_ns
+    FROM l
+    ORDER BY event_id
+"""
+
+# prometheus text exposition decode: family association, escapes, Inf
+ORACLE_SQL["prom_text_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 61 AS BIGINT) AS v,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(1700000000000 + event_id AS BIGINT) AS ts,
+             'h' || CAST(user_id % 3 AS VARCHAR) AS h
+      FROM events)
+    SELECT event_id, 'c0' AS name, 'c0' AS family, 'counter' AS type,
+           'h:' || h AS labels, CAST(v AS DOUBLE) AS value,
+           ts AS timestamp_ms
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, 'h0_bucket', 'h0', 'histogram', 'le:1',
+           CAST(v AS DOUBLE), NULL FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'h0_bucket', 'h0', 'histogram', 'le:+Inf',
+           CAST(v + 1 AS DOUBLE), NULL FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'h0_sum', 'h0', 'histogram', '',
+           CAST(v * 2 AS DOUBLE), NULL FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'h0_count', 'h0', 'histogram', '',
+           CAST(v + 1 AS DOUBLE), NULL FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'e0', 'e0', 'untyped',
+           'p:a\\b' || chr(10) || '"q"',
+           CAST(v AS DOUBLE) + 0.5, NULL FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, 'g0', 'g0', 'gauge', '',
+           CAST(v AS DOUBLE), ts FROM l WHERE m = 3
+    ORDER BY event_id, name, labels
+"""
+
+# prometheus BuildCompliantName over the translator's own test vectors
+ORACLE_SQL["prom_name_normalize"] = """
+    WITH l AS (
+      SELECT event_id, CAST(event_id % 8 AS INTEGER) AS m FROM events)
+    SELECT event_id,
+      CASE m WHEN 0 THEN 'system.filesystem.usage'
+             WHEN 1 THEN 'system.io'
+             WHEN 2 THEN 'system.network.dropped'
+             WHEN 3 THEN 'hw.gpu.memory.utilization'
+             WHEN 4 THEN 'astro.light.speed_limit'
+             WHEN 5 THEN 'broken.metric.success_ratio'
+             WHEN 6 THEN 'hw.cpu.speed_limit'
+             ELSE '3.14 digits' END AS name,
+      CASE m WHEN 0 THEN 'By' WHEN 1 THEN 'By' WHEN 2 THEN '{packets}'
+             WHEN 3 THEN '1' WHEN 4 THEN 'm/s' WHEN 5 THEN '%'
+             WHEN 6 THEN 'Hz' ELSE '' END AS unit,
+      CASE m WHEN 1 THEN 'sum' ELSE 'gauge' END AS metric_type,
+      m = 1 AS monotonic,
+      CASE m WHEN 0 THEN 'system_filesystem_usage_bytes'
+             WHEN 1 THEN 'system_io_bytes_total'
+             WHEN 2 THEN 'system_network_dropped'
+             WHEN 3 THEN 'hw_gpu_memory_utilization_ratio'
+             WHEN 4 THEN 'astro_light_speed_limit_meters_per_second'
+             WHEN 5 THEN 'broken_metric_success_ratio_percent'
+             WHEN 6 THEN 'hw_cpu_speed_limit_hertz'
+             ELSE '_3_14_digits' END AS prom_name
     FROM l
     ORDER BY event_id
 """
