@@ -531,6 +531,18 @@ def _normalize_prom_names(ds, **kwargs):
     return normalize_prom_names(ds, **kwargs)
 
 
+@register_stage("parse_zipkin")
+def _parse_zipkin(ds, json_col: str = "spans_json",
+                  parse_string_tags: bool = False,
+                  on_error: str = "drop"):
+    """zipkin v2 JSON span decode → flat span rows (round 5)."""
+    from ..stages.zipkin import parse_zipkin_spans
+
+    return parse_zipkin_spans(ds, json_col,
+                              parse_string_tags=parse_string_tags,
+                              on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1473,6 +1473,78 @@ def q_prom_name_normalize(sf_dir: str):
          "prom_name"])
 
 
+def q_zipkin_parse(sf_dir: str):
+    """zipkinv2 translator: JSON span decode → flat OTel span rows —
+    id padding, kind/status/tracestate tag semantics, endpoint attrs,
+    resource-convention moves, scope extraction, absent-timestamp rule
+    (to_translator.go:204-528)."""
+    import json as _json
+
+    from ..stages.zipkin import parse_zipkin_spans
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m = e % 6
+            sid, pid = f"{e + 2:016x}", f"{e + 3:016x}"
+            if m == 0:
+                sp = {"traceId": f"{e + 1:032x}", "id": sid,
+                      "parentId": pid, "kind": "SERVER", "name": "op0",
+                      "timestamp": 1_700_000_000_000_000 + e,
+                      "duration": 500,
+                      "localEndpoint": {"serviceName": "svcA",
+                                        "ipv4": f"10.0.0.{u % 200}",
+                                        "port": 8080},
+                      "remoteEndpoint": {"serviceName": "svcB"},
+                      "tags": {"http.method": "GET",
+                               "otel.status_code": "STATUS_CODE_OK"}}
+            elif m == 1:
+                sp = {"traceId": f"{e + 1:x}", "id": sid, "name": "op1",
+                      "timestamp": 1_700_000_000_000_000 + e,
+                      "duration": 10,
+                      "tags": {"span.kind": "internal",
+                               "error": "true"}}
+            elif m == 2:
+                sp = {"traceId": f"{e + 1:032x}", "id": sid,
+                      "name": "op2", "duration": 1000}
+            elif m == 3:
+                sp = {"traceId": f"{e + 1:032x}", "id": sid,
+                      "parentId": sid, "name": "op3",
+                      "timestamp": 1_700_000_000_000_000 + e,
+                      "duration": 7,
+                      "tags": {"w3c.tracestate": "k=v",
+                               "otel.status_code": "Error",
+                               "otel.status_description": "boom"}}
+            elif m == 4:
+                sp = {"traceId": f"{e + 1:032x}", "id": sid,
+                      "name": "op4",
+                      "timestamp": 1_700_000_000_000_000 + e,
+                      "duration": 3,
+                      "localEndpoint": {"serviceName": "svcC"},
+                      "tags": {"host.name": f"h{u % 3}",
+                               "otel.library.name": "lib1",
+                               "otel.library.version": "v1"}}
+            else:
+                sp = {"traceId": "xyz", "id": sid, "name": "bad"}
+            docs.append(_json.dumps([sp]))
+        return pa.table({"event_id": t.column("event_id"),
+                         "spans_json": pa.array(docs, pa.string())})
+
+    parsed = parse_zipkin_spans(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "spans_json")
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "trace_state", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "attributes", "resource_attributes",
+         "scope_name", "scope_version"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3191,6 +3263,7 @@ QUERIES = {
     "loki_roundtrip": q_loki_roundtrip,
     "prom_text_parse": q_prom_text_parse,
     "prom_name_normalize": q_prom_name_normalize,
+    "zipkin_parse": q_zipkin_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4659,5 +4732,49 @@ ORACLE_SQL["prom_name_normalize"] = """
              WHEN 6 THEN 'hw_cpu_speed_limit_hertz'
              ELSE '_3_14_digits' END AS prom_name
     FROM l
+    ORDER BY event_id
+"""
+
+# zipkinv2 JSON span decode → flat OTel span rows
+ORACLE_SQL["zipkin_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             CAST(1700000000000000 + event_id AS BIGINT) AS ts
+      FROM events)
+    SELECT event_id, tid AS trace_id, sid AS span_id,
+           CASE WHEN m = 0 THEN pid END AS parent_span_id,
+           CASE WHEN m = 3 THEN 'k=v' END AS trace_state,
+           'op' || CAST(m AS VARCHAR) AS span_name,
+           CAST(CASE WHEN m = 0 THEN 2 WHEN m = 1 THEN 1 ELSE 0 END
+                AS BIGINT) AS span_kind,
+           CASE WHEN m = 2 THEN 0 ELSE ts * 1000 END
+             AS start_time_unix_nano,
+           CASE WHEN m = 0 THEN (ts + 500) * 1000
+                WHEN m = 1 THEN (ts + 10) * 1000
+                WHEN m = 2 THEN 1000000
+                WHEN m = 3 THEN (ts + 7) * 1000
+                ELSE (ts + 3) * 1000 END AS end_time_unix_nano,
+           CAST(CASE WHEN m = 0 THEN 1 WHEN m IN (1, 3) THEN 2
+                     ELSE 0 END AS BIGINT) AS status_code,
+           CASE WHEN m = 3 THEN 'boom' END AS status_message,
+           CASE WHEN m = 0 THEN '{"http.method": "GET", '
+                  || '"net.host.ip": "10.0.0.'
+                  || CAST(user_id % 200 AS VARCHAR)
+                  || '", "net.host.port": 8080, "peer.service": "svcB"}'
+                WHEN m = 2 THEN
+                  '{"otel.zipkin.absentField.startTime": true}'
+                ELSE '{}' END AS attributes,
+           CASE WHEN m = 0 THEN '{"service.name": "svcA"}'
+                WHEN m = 4 THEN '{"host.name": "h'
+                  || CAST(user_id % 3 AS VARCHAR)
+                  || '", "service.name": "svcC"}'
+                ELSE '{}' END AS resource_attributes,
+           CASE WHEN m = 4 THEN 'lib1' END AS scope_name,
+           CASE WHEN m = 4 THEN 'v1' END AS scope_version
+    FROM l WHERE m <> 5
     ORDER BY event_id
 """
