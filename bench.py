@@ -148,6 +148,17 @@ OPERATOR_QUERIES = [
     "refresh_pipeline",
     "approx_distinct_users",
     "substring_dedup",
+    # round-5 wire-format stages (line parsers vectorized; JSON/exposition
+    # decodes are per-row wire codecs — benched honestly as such)
+    "statsd_metrics",
+    "carbon_parse",
+    "wavefront_parse",
+    "collectd_parse",
+    "influx_parse",
+    "prom_text_parse",
+    "splunk_hec_roundtrip",
+    "loki_roundtrip",
+    "zipkin_parse",
 ]
 
 

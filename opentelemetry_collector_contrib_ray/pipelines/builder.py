@@ -543,6 +543,15 @@ def _parse_zipkin(ds, json_col: str = "spans_json",
                               on_error=on_error)
 
 
+@register_stage("parse_fluent")
+def _parse_fluent(ds, bin_col: str = "event_msgpack",
+                  on_error: str = "drop"):
+    """fluentforwardreceiver msgpack event decode (round 5)."""
+    from ..stages.fluentforward import parse_fluent_events
+
+    return parse_fluent_events(ds, bin_col, on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1545,6 +1545,63 @@ def q_zipkin_parse(sf_dir: str):
          "scope_name", "scope_version"])
 
 
+def q_fluent_parse(sf_dir: str):
+    """fluentforwardreceiver: Forward-protocol msgpack decode — all
+    three carrier modes, EventTime ext, message/log body keys,
+    gzip PackedForward, chunk option (conversion.go:25-406)."""
+    import gzip as _gzip
+    import struct as _struct
+
+    import msgpack as _msgpack
+
+    from ..stages.fluentforward import parse_fluent_events
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, secs = e % 4, 1_700_000_000 + e
+            tag = f"app.a{u % 3}"
+            if m == 0:
+                ev = [tag, secs, {"message": f"m{e % 13}", "k": e % 7}]
+            elif m == 1:
+                ext = _msgpack.ExtType(0, _struct.pack(">II", secs, 500))
+                ev = [tag, [[secs, {"log": "l1", "f": 1.5}],
+                            [ext, {"message": "l2"}]]]
+            elif m == 2:
+                entries = _msgpack.packb(
+                    [secs, {"message": "p1", "b": True}])
+                ev = [tag, entries, {"chunk": f"c{e % 5}"}]
+            else:
+                entries = (_msgpack.packb([secs, {"message": "g1"}]) +
+                           _msgpack.packb([secs, {"log": "g2"}]))
+                ev = [tag, _gzip.compress(entries, mtime=0),
+                      {"compressed": "gzip"}]
+            docs.append(_msgpack.packb(ev))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_msgpack": pa.array(docs, pa.binary())})
+
+    parsed = parse_fluent_events(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "event_msgpack")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "mode": t.column("mode"),
+            "chunk": t.column("chunk"),
+            "time_ns": t.column("time_ns"),
+            "body": t.column("body"),
+            "attributes": serialize_tags(t.column("attributes"))})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3264,6 +3321,7 @@ QUERIES = {
     "prom_text_parse": q_prom_text_parse,
     "prom_name_normalize": q_prom_name_normalize,
     "zipkin_parse": q_zipkin_parse,
+    "fluent_parse": q_fluent_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4777,4 +4835,35 @@ ORACLE_SQL["zipkin_parse"] = """
            CASE WHEN m = 4 THEN 'v1' END AS scope_version
     FROM l WHERE m <> 5
     ORDER BY event_id
+"""
+
+# fluent forward msgpack decode: all three carrier modes
+ORACLE_SQL["fluent_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             CAST(1700000000 + event_id AS BIGINT) * 1000000000 AS tns,
+             'app.a' || CAST(user_id % 3 AS VARCHAR) AS tag
+      FROM events)
+    SELECT event_id, 'message' AS mode, CAST(NULL AS VARCHAR) AS chunk,
+           tns AS time_ns, 'm' || CAST(event_id % 13 AS VARCHAR) AS body,
+           'k:' || CAST(event_id % 7 AS VARCHAR) || ',fluent.tag:' || tag
+             AS attributes
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, 'forward', NULL, tns, 'l1',
+           'f:1.5,fluent.tag:' || tag FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'forward', NULL, tns + 500, 'l2',
+           'fluent.tag:' || tag FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'packedforward', 'c' || CAST(event_id % 5 AS VARCHAR),
+           tns, 'p1', 'b:true,fluent.tag:' || tag FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, 'packedforward', NULL, tns, 'g1',
+           'fluent.tag:' || tag FROM l WHERE m = 3
+    UNION ALL
+    SELECT event_id, 'packedforward', NULL, tns, 'g2',
+           'fluent.tag:' || tag FROM l WHERE m = 3
+    ORDER BY event_id, body
 """
