@@ -552,6 +552,24 @@ def _parse_fluent(ds, bin_col: str = "event_msgpack",
     return parse_fluent_events(ds, bin_col, on_error=on_error)
 
 
+@register_stage("parse_cwmetrics")
+def _parse_cwmetrics(ds, record_col: str = "record",
+                     on_error: str = "drop"):
+    """awsfirehosereceiver cwmetrics record decode (round 5)."""
+    from ..stages.firehose import parse_cwmetrics
+
+    return parse_cwmetrics(ds, record_col, on_error=on_error)
+
+
+@register_stage("parse_cwlogs")
+def _parse_cwlogs(ds, record_col: str = "record_gz",
+                  on_error: str = "drop"):
+    """awsfirehosereceiver cwlogs gzip record decode (round 5)."""
+    from ..stages.firehose import parse_cwlogs
+
+    return parse_cwlogs(ds, record_col, on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1602,6 +1602,129 @@ def q_fluent_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_cwmetrics_parse(sf_dir: str):
+    """awsfirehosereceiver cwmetrics: newline-delimited metric-stream
+    JSON → summary rows (skip-invalid-datum, AWS/ namespace split,
+    InstanceId rename, p* percentile extraction —
+    cwmetricstream/unmarshaler.go:55-220)."""
+    import json as _json
+
+    from ..stages.firehose import parse_cwmetrics
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, v = e % 4, float(e % 53)
+            base = {"metric_stream_name": "s1",
+                    "account_id": f"acct{u % 3}", "region": "us-east-1",
+                    "timestamp": 1_700_000_000_000 + e,
+                    "value": {"count": 4, "sum": v * 4, "min": v,
+                              "max": v + 2, "p95": v + 1.5,
+                              "p50.5": v + 0.25, "pbad": "x",
+                              "other": 1}}
+            if m == 0:
+                d = {**base, "namespace": "MyApp",
+                     "metric_name": "lat", "unit": "Milliseconds",
+                     "dimensions": {"InstanceId": f"i-{u % 7}",
+                                    "az": "a"}}
+                lines = [_json.dumps(d)]
+            elif m == 1:
+                d = {**base, "namespace": "AWS/EC2",
+                     "metric_name": "cpu", "unit": "Percent"}
+                lines = [_json.dumps(d)]
+            elif m == 2:
+                bad = {**base, "namespace": "X", "metric_name": "n"}
+                good = {**base, "namespace": "aws/Lambda",
+                        "metric_name": "dur", "unit": "Count"}
+                lines = [_json.dumps(bad), _json.dumps(good)]
+            else:
+                lines = ["{not json"]
+            docs.append("\n".join(lines))
+        return pa.table({"event_id": t.column("event_id"),
+                         "record": pa.array(docs, pa.string())})
+
+    parsed = parse_cwmetrics(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "record")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "account_id": t.column("account_id"),
+            "namespace": t.column("namespace"),
+            "service_namespace": t.column("service_namespace"),
+            "service_name": t.column("service_name"),
+            "metric_name": t.column("metric_name"),
+            "unit": t.column("unit"),
+            "dimensions": serialize_tags(t.column("dimensions")),
+            "timestamp_ms": t.column("timestamp_ms"),
+            "count": t.column("count"),
+            "sum": t.column("sum"),
+            "min": t.column("min"),
+            "max": t.column("max"),
+            "percentiles": serialize_tags(t.column("percentiles"))})
+
+    return parsed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_cwlogs_parse(sf_dir: str):
+    """awsfirehosereceiver cwlogs: gzip CloudWatch-Logs records →
+    per-event log rows (DATA/CONTROL message types, missing-field
+    errors — cwlog/unmarshaler.go:57-143)."""
+    import gzip as _gzip
+    import json as _json
+
+    from ..stages.firehose import parse_cwlogs
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, ts = e % 4, 1_700_000_000_000 + e
+            if m == 0:
+                doc = {"messageType": "DATA_MESSAGE",
+                       "owner": f"acct{u % 3}", "logGroup": "g1",
+                       "logStream": f"st{u % 2}",
+                       "logEvents": [
+                           {"id": "1", "timestamp": ts,
+                            "message": f"msg {e % 11}"},
+                           {"id": "2", "timestamp": ts + 1,
+                            "message": "second"}]}
+            elif m == 1:
+                doc = {"messageType": "CONTROL_MESSAGE",
+                       "logEvents": [{"timestamp": ts,
+                                      "message": "ping"}]}
+            elif m == 2:
+                doc = {"messageType": "DATA_MESSAGE", "logGroup": "g",
+                       "logStream": "s", "logEvents": []}
+            else:
+                doc = {"messageType": "DATA_MESSAGE",
+                       "owner": f"acct{u % 3}", "logGroup": "g2",
+                       "logStream": "st9",
+                       "logEvents": [{"id": "9", "timestamp": ts,
+                                      "message": "only"}]}
+            docs.append(_gzip.compress(
+                _json.dumps(doc).encode(), mtime=0))
+        return pa.table({"event_id": t.column("event_id"),
+                         "record_gz": pa.array(docs, pa.binary())})
+
+    parsed = parse_cwlogs(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "record_gz")
+    return parsed.select_columns(
+        ["event_id", "owner", "log_group", "log_stream", "time_ns",
+         "body"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3322,6 +3445,8 @@ QUERIES = {
     "prom_name_normalize": q_prom_name_normalize,
     "zipkin_parse": q_zipkin_parse,
     "fluent_parse": q_fluent_parse,
+    "cwmetrics_parse": q_cwmetrics_parse,
+    "cwlogs_parse": q_cwlogs_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -4865,5 +4990,58 @@ ORACLE_SQL["fluent_parse"] = """
     UNION ALL
     SELECT event_id, 'packedforward', NULL, tns, 'g2',
            'fluent.tag:' || tag FROM l WHERE m = 3
+    ORDER BY event_id, body
+"""
+
+# firehose cwmetrics: skip-invalid datums, AWS/ split, InstanceId rename
+ORACLE_SQL["cwmetrics_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 53 AS DOUBLE) AS v,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             CAST(1700000000000 + event_id AS BIGINT) AS ts,
+             'acct' || CAST(user_id % 3 AS VARCHAR) AS acct,
+             'p50.5:' || CAST(CAST(event_id % 53 AS DOUBLE) + 0.25
+                              AS VARCHAR)
+               || ',p95:' || CAST(CAST(event_id % 53 AS DOUBLE) + 1.5
+                                  AS VARCHAR) AS pcts
+      FROM events)
+    SELECT event_id, acct AS account_id, 'MyApp' AS namespace,
+           CAST(NULL AS VARCHAR) AS service_namespace,
+           'MyApp' AS service_name, 'lat' AS metric_name,
+           'Milliseconds' AS unit,
+           'service.instance.id:i-' || CAST(user_id % 7 AS VARCHAR)
+             || ',az:a' AS dimensions,
+           ts AS timestamp_ms, CAST(4.0 AS DOUBLE) AS count, v * 4 AS sum,
+           v AS min, v + 2 AS max, pcts AS percentiles
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, acct, 'AWS/EC2', 'AWS', 'EC2', 'cpu', 'Percent',
+           '', ts, CAST(4.0 AS DOUBLE), v * 4, v, v + 2, pcts FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, acct, 'aws/Lambda', 'aws', 'Lambda', 'dur',
+           'Count', '', ts, CAST(4.0 AS DOUBLE), v * 4, v, v + 2, pcts FROM l WHERE m = 2
+    ORDER BY event_id
+"""
+
+# firehose cwlogs: gzip DATA/CONTROL records → per-event rows
+ORACLE_SQL["cwlogs_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             CAST(1700000000000 + event_id AS BIGINT) AS ts,
+             'acct' || CAST(user_id % 3 AS VARCHAR) AS acct
+      FROM events)
+    SELECT event_id, acct AS owner, 'g1' AS log_group,
+           'st' || CAST(user_id % 2 AS VARCHAR) AS log_stream,
+           ts * 1000000 AS time_ns,
+           'msg ' || CAST(event_id % 11 AS VARCHAR) AS body
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, acct, 'g1', 'st' || CAST(user_id % 2 AS VARCHAR),
+           (ts + 1) * 1000000, 'second' FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, acct, 'g2', 'st9', ts * 1000000, 'only'
+    FROM l WHERE m = 3
     ORDER BY event_id, body
 """
