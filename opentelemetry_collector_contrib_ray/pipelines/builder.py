@@ -570,6 +570,14 @@ def _parse_cwlogs(ds, record_col: str = "record_gz",
     return parse_cwlogs(ds, record_col, on_error=on_error)
 
 
+@register_stage("to_syslog")
+def _to_syslog(ds, **kwargs):
+    """syslogexporter RFC5424/RFC3164 frame rendering (round 5)."""
+    from ..stages.syslogout import to_syslog
+
+    return to_syslog(ds, **kwargs)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1725,6 +1725,49 @@ def q_cwlogs_parse(sf_dir: str):
          "body"])
 
 
+def q_syslog_render(sf_dir: str):
+    """syslogexporter: RFC5424 + RFC3164 frame rendering — attribute
+    defaults, RFC3339Nano trimmed fractions, structured-data elements,
+    rfc3164 appname/message delimiter rules
+    (rfc5424_formatter.go:26-107, rfc3164_formatter.go:19-55)."""
+    from ..stages.syslogout import to_syslog
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        cols = {k: [] for k in ("priority", "hostname", "appname",
+                                "proc_id", "msg_id", "message",
+                                "structured_data", "time_ns")}
+        for e, u in zip(eid, uid):
+            m = e % 4
+            cols["priority"].append("34" if m == 0 else None)
+            cols["hostname"].append(f"h{u % 3}" if m != 1 else None)
+            cols["appname"].append(f"app{u % 2}" if m in (0, 3)
+                                   else None)
+            cols["proc_id"].append("p1" if m == 0 else None)
+            cols["msg_id"].append("mid" if m == 0 else None)
+            cols["message"].append("" if m == 1 else f"hello {e % 7}")
+            cols["structured_data"].append(
+                '{"ex@1":{"k":"va%d","j":"x"}}' % (u % 3)
+                if m == 2 else None)
+            cols["time_ns"].append(
+                (1_700_000_000 + e) * 1_000_000_000
+                + (e % 1000) * 1_000_000)
+        out = {"event_id": t.column("event_id")}
+        for k, v in cols.items():
+            out[k] = pa.array(v, pa.int64() if k == "time_ns"
+                              else pa.string())
+        return pa.table(out)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    r5424 = to_syslog(flat, protocol="rfc5424", out_col="syslog5424")
+    both = to_syslog(r5424, protocol="rfc3164", out_col="syslog3164")
+    return both.select_columns(["event_id", "syslog5424", "syslog3164"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3447,6 +3490,7 @@ QUERIES = {
     "fluent_parse": q_fluent_parse,
     "cwmetrics_parse": q_cwmetrics_parse,
     "cwlogs_parse": q_cwlogs_parse,
+    "syslog_render": q_syslog_render,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -5044,4 +5088,48 @@ ORACLE_SQL["cwlogs_parse"] = """
     SELECT event_id, acct, 'g2', 'st9', ts * 1000000, 'only'
     FROM l WHERE m = 3
     ORDER BY event_id, body
+"""
+
+# syslogexporter frame rendering: RFC5424 + RFC3164
+ORACLE_SQL["syslog_render"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             make_timestamp((1700000000 + event_id) * 1000000) AS t,
+             CAST(event_id % 1000 AS BIGINT) * 1000000 AS frac,
+             'h' || CAST(user_id % 3 AS VARCHAR) AS h,
+             'app' || CAST(user_id % 2 AS VARCHAR) AS app,
+             'hello ' || CAST(event_id % 7 AS VARCHAR) AS msg,
+             'va' || CAST(user_id % 3 AS VARCHAR) AS sdv
+      FROM events),
+    f AS (
+      SELECT *,
+        strftime(t, '%Y-%m-%dT%H:%M:%S')
+          || CASE WHEN frac = 0 THEN ''
+               ELSE '.' || rtrim(lpad(CAST(frac AS VARCHAR), 9, '0'),
+                                 '0') END
+          || 'Z' AS ts5424,
+        strftime(t, '%b %d %H:%M:%S') AS ts3164
+      FROM l)
+    SELECT event_id,
+      CASE m
+        WHEN 0 THEN '<34>1 ' || ts5424 || ' ' || h || ' ' || app
+          || ' p1 mid - ' || msg || chr(10)
+        WHEN 1 THEN '<165>1 ' || ts5424 || ' - - - - -' || chr(10)
+        WHEN 2 THEN '<165>1 ' || ts5424 || ' ' || h
+          || ' - - - [ex@1 j="x" k="' || sdv || '"] ' || msg || chr(10)
+        ELSE '<165>1 ' || ts5424 || ' ' || h || ' ' || app
+          || ' - - - ' || msg || chr(10)
+      END AS syslog5424,
+      CASE m
+        WHEN 0 THEN '<34>' || ts3164 || ' ' || h || ' ' || app || ': '
+          || msg || chr(10)
+        WHEN 1 THEN '<165>' || ts3164 || ' - ' || chr(10)
+        WHEN 2 THEN '<165>' || ts3164 || ' ' || h || ' ' || msg
+          || chr(10)
+        ELSE '<165>' || ts3164 || ' ' || h || ' ' || app || ': '
+          || msg || chr(10)
+      END AS syslog3164
+    FROM f
+    ORDER BY event_id
 """

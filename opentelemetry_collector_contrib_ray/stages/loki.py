@@ -46,8 +46,9 @@ convert.go:37-146, encode.go:20-76, utils.go:13-31):
   not ported (the engine's flat values have no nested keyvals and raw
   and json cover the corpus; documented).
 - streams: entries grouped by LabelSet.String() (sorted keys,
-  strconv.Quote values) — grouped per block here; cross-block stream
-  merge is a downstream groupby if a single request per label set is
+  strconv.Quote values) — grouped per max_entries slice of each block
+  here (requests should not be block-sized); cross-slice stream merge
+  is a downstream groupby if a single request per label set is
   required (documented; Loki accepts repeated stream labels).
 
 Execution: per-row JSON wire decode/encode in task-based map_batches
@@ -323,7 +324,8 @@ def log_row_to_loki(body, time_ns, severity_number, severity_text,
 class _LogsToLokiPush:
     def __init__(self, colmap: dict, attr_cols: tuple,
                  resource_cols: tuple, fmt: str, label_cols: tuple,
-                 resource_label_cols: tuple, dle: dict | None):
+                 resource_label_cols: tuple, dle: dict | None,
+                 max_entries: int):
         self.colmap = colmap
         self.attr_cols = attr_cols
         self.resource_cols = resource_cols
@@ -331,6 +333,7 @@ class _LogsToLokiPush:
         self.label_cols = label_cols
         self.resource_label_cols = resource_label_cols
         self.dle = dle
+        self.max_entries = max_entries
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -354,25 +357,30 @@ class _LogsToLokiPush:
                     for c in self.resource_cols
                     if c in batch.column_names}
         # group entries by label-set string (stream identity)
-        streams: dict = {}
-        for i in range(n):
-            rec = {c: v[i] for c, v in attr_vals.items()}
-            res = {c: v[i] for c, v in res_vals.items()}
-            labels, ts, line = log_row_to_loki(
-                body[i], tns[i], sevn[i], sevt[i], tid[i], sid[i],
-                flags[i], rec, res, fmt=self.fmt,
-                label_cols=self.label_cols,
-                resource_label_cols=self.resource_label_cols,
-                default_labels_enabled=self.dle)
-            key = labelset_string(labels)
-            streams.setdefault(key, (labels, []))[1].append(
-                [str(ts if ts is not None else 0), line])
-        doc = go_json_dumps(
-            {"streams": [{"stream": dict(sorted(labels.items())),
-                          "values": vals}
-                         for labels, vals in
-                         (streams[k] for k in sorted(streams))]})
-        return pa.table({"push_json": pa.array([doc], pa.string())})
+        docs = []
+        for lo in range(0, max(n, 1), self.max_entries):
+            hi = min(lo + self.max_entries, n)
+            if hi <= lo:
+                break
+            streams: dict = {}
+            for i in range(lo, hi):
+                rec = {c: v[i] for c, v in attr_vals.items()}
+                res = {c: v[i] for c, v in res_vals.items()}
+                labels, ts, line = log_row_to_loki(
+                    body[i], tns[i], sevn[i], sevt[i], tid[i], sid[i],
+                    flags[i], rec, res, fmt=self.fmt,
+                    label_cols=self.label_cols,
+                    resource_label_cols=self.resource_label_cols,
+                    default_labels_enabled=self.dle)
+                key = labelset_string(labels)
+                streams.setdefault(key, (labels, []))[1].append(
+                    [str(ts if ts is not None else 0), line])
+            docs.append(go_json_dumps(
+                {"streams": [{"stream": dict(sorted(labels.items())),
+                              "values": vals}
+                             for labels, vals in
+                             (streams[k] for k in sorted(streams))]}))
+        return pa.table({"push_json": pa.array(docs, pa.string())})
 
 
 def logs_to_loki_push(ds, *, body_col: str = "body",
@@ -385,9 +393,15 @@ def logs_to_loki_push(ds, *, body_col: str = "body",
                       attr_cols: tuple = (), resource_cols: tuple = (),
                       fmt: str = "json", label_cols: tuple = (),
                       resource_label_cols: tuple = (),
-                      default_labels_enabled: dict | None = None):
-    """Flat log rows → Loki push-request JSON, one request per block
-    with entries grouped into streams by label set."""
+                      default_labels_enabled: dict | None = None,
+                      max_entries: int = 8192):
+    """Flat log rows → Loki push-request JSON, one request per
+    max_entries slice of each block (requests should not be
+    block-sized), entries grouped into streams by label set within
+    each request. The slicing happens INSIDE the map function — a
+    map_batches(batch_size=...) would instead break fusion/zero-copy
+    on the upstream chain (sf0.01 measurement: 13.0 s at
+    batch_size=4096 vs 2.7 s fused)."""
     colmap = {"body": body_col, "time_ns": time_ns_col,
               "severity_number": severity_number_col,
               "severity_text": severity_text_col,
@@ -397,5 +411,5 @@ def logs_to_loki_push(ds, *, body_col: str = "body",
         _LogsToLokiPush(colmap, tuple(attr_cols), tuple(resource_cols),
                         fmt, tuple(label_cols),
                         tuple(resource_label_cols),
-                        default_labels_enabled),
+                        default_labels_enabled, max_entries),
         batch_format="pyarrow", zero_copy_batch=True)
