@@ -159,6 +159,10 @@ OPERATOR_QUERIES = [
     "splunk_hec_roundtrip",
     "loki_roundtrip",
     "zipkin_parse",
+    "fluent_parse",
+    "cwmetrics_parse",
+    "cwlogs_parse",
+    "syslog_render",
 ]
 
 

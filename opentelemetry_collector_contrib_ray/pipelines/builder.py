@@ -578,6 +578,15 @@ def _to_syslog(ds, **kwargs):
     return to_syslog(ds, **kwargs)
 
 
+@register_stage("bpe_encode")
+def _bpe_encode(ds, text_col: str = "text", **kwargs):
+    """BPE merge training + encode (training-data operator, round 5)."""
+    from ..stages.bpe import bpe_train_and_encode
+
+    out, _merges = bpe_train_and_encode(ds, text_col, **kwargs)
+    return out
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1768,6 +1768,31 @@ def q_syslog_render(sf_dir: str):
     return both.select_columns(["event_id", "syslog5424", "syslog3164"])
 
 
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer-merge training + encoding (training-data
+    operator): distributed word counts → driver merge training over
+    the bounded word table (Sennrich 2016 / the GPT-2 production
+    shape) → broadcast-rank greedy encode with per-distinct-word
+    caching. NO_ORACLE (iterative learned model); merges pinned
+    against an independent reference in tests/test_bpe.py."""
+    from ..stages.bpe import bpe_train_and_encode
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    encoded, _merges = bpe_train_and_encode(ds, "text", n_merges=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        toks = t.column("bpe_tokens")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_bpe_tokens": pc.list_value_length(toks).cast(pa.int64()),
+        })
+
+    return encoded.map_batches(finish, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3491,6 +3516,7 @@ QUERIES = {
     "cwmetrics_parse": q_cwmetrics_parse,
     "cwlogs_parse": q_cwlogs_parse,
     "syslog_render": q_syslog_render,
+    "bpe_encode": q_bpe_encode,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -3509,7 +3535,11 @@ NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              "perplexity_filter",
              # sketch-recall-bounded candidate set; decision invariants
              # pinned in tests/test_text_dedup_reps.py
-             "text_dedup_reps"}
+             "text_dedup_reps",
+             # iterative BPE merge training: no SQL equivalent; merges
+             # pinned against an independent reference implementation +
+             # partitioning-invariance test in tests/test_bpe.py
+             "bpe_encode"}
 
 _FLAGSHIP_AGG_SQL = f"""
     {CORPUS_CTES}

@@ -65,7 +65,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "splunk_hec_metrics", "loki_roundtrip",
                    "prom_text_parse", "prom_name_normalize",
                    "zipkin_parse", "fluent_parse",
-                   "cwmetrics_parse", "cwlogs_parse", "syslog_render"}
+                   "cwmetrics_parse", "cwlogs_parse", "syslog_render",
+                   "bpe_encode"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
