@@ -163,6 +163,7 @@ OPERATOR_QUERIES = [
     "cwmetrics_parse",
     "cwlogs_parse",
     "syslog_render",
+    "bpe_encode",
 ]
 
 

@@ -587,6 +587,16 @@ def _bpe_encode(ds, text_col: str = "text", **kwargs):
     return out
 
 
+@register_stage("parse_azure_logs")
+def _parse_azure_logs(ds, json_col: str = "export_json",
+                      time_formats: tuple = (), on_error: str = "drop"):
+    """azurelogs resource-log export decode (round 5)."""
+    from ..stages.azure import parse_azure_logs
+
+    return parse_azure_logs(ds, json_col, time_formats=time_formats,
+                            on_error=on_error)
+
+
 @register_stage("consistent_sample")
 def _consistent_sample(ds, percent: float, mode: str = "equalizing",
                        **kwargs):

@@ -1793,6 +1793,87 @@ def q_bpe_encode(sf_dir: str):
                                zero_copy_batch=True)
 
 
+def q_azure_logs_parse(sf_dir: str):
+    """azurelogs translator: diagnostic-export records → log rows —
+    FrontDoorAccessLog structured mapping (putInt/handleTime/URI/
+    security-protocol/destination/NoError rules), raw-body path with
+    the per-category property-rename tables, severity names, skipped
+    bad timestamps (resourcelogs_to_logs.go:83-330, category_logs.go,
+    property_names.go)."""
+    import json as _json
+    from datetime import datetime as _dt, timezone as _tz
+
+    from ..stages.azure import parse_azure_logs
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, v = e % 6, e % 91
+            epoch = 1_700_000_000 + e
+            ts = _dt.fromtimestamp(epoch, tz=_tz.utc).strftime(
+                "%Y-%m-%dT%H:%M:%S") + f".{e % 1000:03d}Z"
+            if m == 0:
+                rec = {"time": ts, "resourceId": f"/r/{u % 3}",
+                       "category": "FrontDoorAccessLog",
+                       "operationName": "op0",
+                       "properties": {
+                           "requestBytes": "100",
+                           "responseBytes": str(v),
+                           "clientPort": "55",
+                           "httpStatusCode": "200",
+                           "timeToFirstByte": "0.154",
+                           "timeTaken": "1.5",
+                           "requestUri":
+                               f"https://ex.com:8080/p?x={u % 2}",
+                           "securityProtocol": "TLS 1.2",
+                           "endpoint": "ep:443",
+                           "errorInfo": "NoError",
+                           "httpMethod": "GET",
+                           "clientIp": "1.2.3.4"}}
+            elif m == 1:
+                rec = {"time": ts, "resourceId": f"/r/{u % 3}",
+                       "category": "MyCustomLog",
+                       "operationName": "op1",
+                       "correlationId": f"c{u % 4}",
+                       "durationMs": 42, "resultType": "Succeeded",
+                       "location": "westeu", "tenantId": "t1",
+                       "callerIpAddress": "9.9.9.9",
+                       "properties": {"foo": "bar", "n": 7}}
+            elif m == 2:
+                rec = {"time": ts, "resourceId": f"/r/{u % 3}",
+                       "category": "AppServiceHTTPLogs",
+                       "operationName": "op2",
+                       "properties": {"CsMethod": "GET",
+                                      "ScStatus": "200",
+                                      "TimeTaken": 250,
+                                      "Other": "x"}}
+            elif m == 3:
+                rec = {"time": "garbage", "resourceId": "/r/x",
+                       "category": "Min", "operationName": ""}
+            elif m == 4:
+                rec = {"time": ts, "resourceId": f"/r/{u % 3}",
+                       "category": "Min", "operationName": "",
+                       "Level": "Informational"}
+            else:
+                rec = {"time": ts, "resourceId": f"/r/{u % 3}",
+                       "category": "Min", "operationName": "",
+                       "Level": 2}
+            docs.append(_json.dumps({"records": [rec]}))
+        return pa.table({"event_id": t.column("event_id"),
+                         "export_json": pa.array(docs, pa.string())})
+
+    parsed = parse_azure_logs(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "export_json")
+    return parsed.select_columns(
+        ["event_id", "resource_id", "category", "time_ns",
+         "severity_number", "severity_text", "attributes", "body"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3517,6 +3598,7 @@ QUERIES = {
     "cwlogs_parse": q_cwlogs_parse,
     "syslog_render": q_syslog_render,
     "bpe_encode": q_bpe_encode,
+    "azure_logs_parse": q_azure_logs_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -5161,5 +5243,67 @@ ORACLE_SQL["syslog_render"] = """
           || msg || chr(10)
       END AS syslog3164
     FROM f
+    ORDER BY event_id
+"""
+
+# azurelogs: FrontDoorAccessLog structured mapping + raw-body path
+ORACLE_SQL["azure_logs_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 91 AS BIGINT) AS v,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             CAST(1700000000 + event_id AS BIGINT) * 1000000000
+               + CAST(event_id % 1000 AS BIGINT) * 1000000 AS tns,
+             '/r/' || CAST(user_id % 3 AS VARCHAR) AS rid,
+             CAST(user_id % 2 AS VARCHAR) AS x
+      FROM events)
+    SELECT event_id, rid AS resource_id,
+           'FrontDoorAccessLog' AS category, tns AS time_ns,
+           CAST(0 AS BIGINT) AS severity_number,
+           CAST(NULL AS VARCHAR) AS severity_text,
+           '{"azure.category": "FrontDoorAccessLog", '
+             || '"azure.operation.name": "op0", '
+             || '"azure.time_to_first_byte": 154, '
+             || '"client.address": "1.2.3.4", "client.port": 55, '
+             || '"destination.address": "ep", "destination.port": 443, '
+             || '"duration": 1500, "http.request.method": "GET", '
+             || '"http.request.size": 100, "http.response.size": '
+             || CAST(v AS VARCHAR) || ', '
+             || '"http.response.status_code": 200, '
+             || '"tls.protocol.name": "TLS", '
+             || '"tls.protocol.version": "1.2", '
+             || '"url.original": "https://ex.com:8080/p?x=' || x
+             || '", "url.path": "/p", "url.port": 8080, '
+             || '"url.query": "x=' || x || '", "url.scheme": "https"}'
+             AS attributes,
+           CAST(NULL AS VARCHAR) AS body
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, rid, 'MyCustomLog', tns, 0, NULL, '{}',
+           '{"category": "MyCustomLog", "cloud.region": "westeu", '
+             || '"correlation.id": "c' || CAST(user_id % 4 AS VARCHAR)
+             || '", "duration": 42, '
+             || '"network.peer.address": "9.9.9.9", '
+             || '"operation.name": "op1", '
+             || '"properties": {"foo": "bar", "n": 7.0}, '
+             || '"result.type": "Succeeded", "tenant.id": "t1"}'
+    FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, rid, 'AppServiceHTTPLogs', tns, 0, NULL, '{}',
+           '{"category": "AppServiceHTTPLogs", '
+             || '"http.request.method": "GET", '
+             || '"http.response.status_code": 200, '
+             || '"http.server.request.duration": 0.25, '
+             || '"operation.name": "op2", '
+             || '"properties": {"Other": "x"}}'
+    FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, rid, 'Min', tns, 9, 'Informational', '{}',
+           '{"category": "Min", "operation.name": ""}'
+    FROM l WHERE m = 4
+    UNION ALL
+    SELECT event_id, rid, 'Min', tns, 2, '2', '{}',
+           '{"category": "Min", "operation.name": ""}'
+    FROM l WHERE m = 5
     ORDER BY event_id
 """
