@@ -543,6 +543,15 @@ def _parse_zipkin(ds, json_col: str = "spans_json",
                               on_error=on_error)
 
 
+@register_stage("parse_jaeger")
+def _parse_jaeger(ds, json_col: str = "batch_json",
+                  on_error: str = "drop"):
+    """jaeger model.Batch JSON span decode → flat span rows (round 5)."""
+    from ..stages.jaeger import parse_jaeger_batches
+
+    return parse_jaeger_batches(ds, json_col, on_error=on_error)
+
+
 @register_stage("parse_fluent")
 def _parse_fluent(ds, bin_col: str = "event_msgpack",
                   on_error: str = "drop"):

@@ -1545,6 +1545,124 @@ def q_zipkin_parse(sf_dir: str):
          "scope_name", "scope_version"])
 
 
+def q_jaeger_parse(sf_dir: str):
+    """jaeger translator: model.Batch JSON decode → flat OTel span rows
+    — big-endian id pairs, ParentSpanID rule (ChildOf-then-FollowsFrom),
+    reference links with opentracing.ref_type, the status tag table,
+    scope/tracestate extraction, process→resource with hostname /
+    jaeger.version translation, span-process regroup precedence
+    (pkg/translator/jaeger/jaegerproto_to_traces.go)."""
+    import json as _json
+
+    from ..stages.jaeger import parse_jaeger_batches
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m = e % 8
+            hi, lo, sid, pid, qid = e + 1, e + 2, e + 3, e + 4, e + 5
+            ts = 1_700_000_000_000_000_000 + e
+            span = {"traceIdHigh": hi, "traceIdLow": lo, "spanId": sid,
+                    "operationName": f"op-j{m}", "startTime": ts,
+                    "duration": 1000 + m}
+            batch = {"spans": [span]}
+            if m == 0:
+                batch["process"] = {
+                    "serviceName": "svc-j0",
+                    "tags": [{"key": "int-attr", "vType": "INT64",
+                              "vInt64": 123}]}
+                span["tags"] = [
+                    {"key": "span.kind", "vType": "STRING",
+                     "vStr": "client"},
+                    {"key": "error", "vType": "BOOL", "vBool": True},
+                    {"key": "otel.status_code", "vType": "STRING",
+                     "vStr": "ERROR"},
+                    {"key": "otel.status_description",
+                     "vType": "STRING", "vStr": "status-cancelled"},
+                    {"key": "w3c.tracestate", "vType": "STRING",
+                     "vStr": "last=abc"}]
+                span["logs"] = [{"timestamp": ts + 5, "fields": [
+                    {"key": "event", "vType": "STRING", "vStr": "ev-a"},
+                    {"key": "k", "vType": "STRING", "vStr": "v"}]}]
+                span["references"] = [
+                    {"traceIdHigh": hi, "traceIdLow": lo, "spanId": pid,
+                     "refType": "CHILD_OF"}]
+            elif m == 1:
+                batch["process"] = {
+                    "serviceName": "svc-j1",
+                    "tags": [{"key": "hostname", "vType": "STRING",
+                              "vStr": f"h{u % 3}"}]}
+                span["tags"] = [
+                    {"key": "span.kind", "vType": "STRING",
+                     "vStr": "server"},
+                    {"key": "http.status_code", "vType": "INT64",
+                     "vInt64": 404},
+                    {"key": "http.status_message", "vType": "STRING",
+                     "vStr": "NF"}]
+            elif m == 2:
+                span["tags"] = [
+                    {"key": "otel.status_code", "vType": "STRING",
+                     "vStr": "OK"},
+                    {"key": "otel.status_description",
+                     "vType": "STRING", "vStr": "fine"}]
+                span["references"] = [
+                    {"traceIdHigh": hi, "traceIdLow": lo, "spanId": pid,
+                     "refType": "FOLLOWS_FROM"}]
+            elif m == 3:
+                span["tags"] = [
+                    {"key": "otel.scope.name", "vType": "STRING",
+                     "vStr": "lib-x"},
+                    {"key": "otel.scope.version", "vType": "STRING",
+                     "vStr": "1.0"}]
+                span["references"] = [
+                    {"traceIdHigh": hi, "traceIdLow": lo, "spanId": pid,
+                     "refType": "CHILD_OF"},
+                    {"traceIdHigh": hi, "traceIdLow": lo, "spanId": qid,
+                     "refType": "CHILD_OF"}]
+            elif m == 4:
+                batch["process"] = {"serviceName": "svc-j4"}
+                span["process"] = {
+                    "serviceName": "span-svc",
+                    "tags": [{"key": "jaeger.version",
+                              "vType": "STRING", "vStr": "1.2"}]}
+                span["tags"] = [
+                    {"key": "span.kind", "vType": "STRING",
+                     "vStr": "producer"},
+                    {"key": "http.status_code", "vType": "STRING",
+                     "vStr": "500"}]
+            elif m == 5:
+                batch["process"] = {
+                    "serviceName": "OTLPResourceNoServiceName"}
+                span["tags"] = [
+                    {"key": "b", "vType": "BOOL", "vBool": True},
+                    {"key": "i", "vType": "INT64", "vInt64": e % 7},
+                    {"key": "f", "vType": "FLOAT64", "vFloat64": 1.5},
+                    {"key": "bin", "vType": "BINARY", "vBinary": "QUJD"},
+                    {"key": "u", "vType": "WAT"}]
+            if m == 6:
+                docs.append("not-jaeger")
+            elif m == 7:
+                docs.append(_json.dumps({"spans": [None, {}]}))
+            else:
+                docs.append(_json.dumps(batch))
+        return pa.table({"event_id": t.column("event_id"),
+                         "batch_json": pa.array(docs, pa.string())})
+
+    parsed = parse_jaeger_batches(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "batch_json")
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "trace_state", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "attributes", "resource_attributes",
+         "scope_name", "scope_version", "events", "links"])
+
+
 def q_fluent_parse(sf_dir: str):
     """fluentforwardreceiver: Forward-protocol msgpack decode — all
     three carrier modes, EventTime ext, message/log body keys,
@@ -3593,6 +3711,7 @@ QUERIES = {
     "prom_text_parse": q_prom_text_parse,
     "prom_name_normalize": q_prom_name_normalize,
     "zipkin_parse": q_zipkin_parse,
+    "jaeger_parse": q_jaeger_parse,
     "fluent_parse": q_fluent_parse,
     "cwmetrics_parse": q_cwmetrics_parse,
     "cwlogs_parse": q_cwlogs_parse,
@@ -5115,6 +5234,68 @@ ORACLE_SQL["zipkin_parse"] = """
            CASE WHEN m = 4 THEN 'lib1' END AS scope_name,
            CASE WHEN m = 4 THEN 'v1' END AS scope_version
     FROM l WHERE m <> 5
+    ORDER BY event_id
+"""
+
+# jaeger model-JSON span decode → flat OTel span rows
+ORACLE_SQL["jaeger_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 8 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 16, '0')
+               || lpad(printf('%x', event_id + 2), 16, '0') AS tid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 4), 16, '0') AS pid,
+             lpad(printf('%x', event_id + 5), 16, '0') AS qid,
+             CAST(1700000000000000000 + event_id AS BIGINT) AS ts
+      FROM events)
+    SELECT event_id, tid AS trace_id, sid AS span_id,
+           CASE WHEN m IN (0, 2, 3) THEN pid END AS parent_span_id,
+           CASE WHEN m = 0 THEN 'last=abc' END AS trace_state,
+           'op-j' || CAST(m AS VARCHAR) AS span_name,
+           CAST(CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 2
+                     WHEN m = 4 THEN 4 ELSE 0 END AS BIGINT)
+             AS span_kind,
+           ts AS start_time_unix_nano,
+           ts + 1000 + m AS end_time_unix_nano,
+           CAST(CASE WHEN m IN (0, 4) THEN 2 WHEN m = 2 THEN 1
+                     ELSE 0 END AS BIGINT) AS status_code,
+           CASE WHEN m = 0 THEN 'status-cancelled'
+                WHEN m = 2 THEN 'fine'
+                WHEN m = 4 THEN '' END AS status_message,
+           CASE WHEN m = 1 THEN
+                  '{"http.status_code": 404, "http.status_message": "NF"}'
+                WHEN m = 4 THEN '{"http.status_code": "500"}'
+                WHEN m = 5 THEN
+                  '{"b": true, "bin": "QUJD", "f": 1.5, "i": '
+                  || CAST(event_id % 7 AS VARCHAR)
+                  || ', "u": "<Unknown Jaeger TagType \\"WAT\\">"}'
+                ELSE '{}' END AS attributes,
+           CASE WHEN m = 0 THEN
+                  '{"int-attr": 123, "service.name": "svc-j0"}'
+                WHEN m = 1 THEN '{"host.name": "h'
+                  || CAST(user_id % 3 AS VARCHAR)
+                  || '", "service.name": "svc-j1"}'
+                WHEN m = 4 THEN '{"opencensus.exporterversion": '
+                  || '"Jaeger-1.2", "service.name": "span-svc"}'
+                ELSE '{}' END AS resource_attributes,
+           CASE WHEN m = 3 THEN 'lib-x' END AS scope_name,
+           CASE WHEN m = 3 THEN '1.0' END AS scope_version,
+           CASE WHEN m = 0 THEN '[{"attributes": {"k": "v"}, '
+                  || '"droppedAttributesCount": 0, "name": "ev-a", '
+                  || '"timeUnixNano": ' || CAST(ts + 5 AS VARCHAR)
+                  || '}]'
+                ELSE '[]' END AS events,
+           CASE WHEN m = 2 THEN '[{"attributes": '
+                  || '{"opentracing.ref_type": "follows_from"}, '
+                  || '"spanId": "' || pid || '", "traceId": "' || tid
+                  || '"}]'
+                WHEN m = 3 THEN '[{"attributes": '
+                  || '{"opentracing.ref_type": "child_of"}, '
+                  || '"spanId": "' || qid || '", "traceId": "' || tid
+                  || '"}]'
+                ELSE '[]' END AS links
+    FROM l WHERE m NOT IN (6, 7)
     ORDER BY event_id
 """
 
