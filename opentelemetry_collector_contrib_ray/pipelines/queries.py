@@ -1992,6 +1992,205 @@ def q_azure_logs_parse(sf_dir: str):
          "severity_number", "severity_text", "attributes", "body"])
 
 
+def q_signalfx_roundtrip(sf_dir: str):
+    """signalfx translator round trip: flat number metrics → sfx
+    datapoint JSON (type mapping from_metrics.go:85-115, ns→ms
+    truncation) → back to flat metrics (to_metrics.go:45-122: GAUGE→
+    gauge, COUNTER→delta monotonic sum, CUMULATIVE_COUNTER→cumulative
+    monotonic sum, nil-value per-point error)."""
+    from ..stages.signalfx import metrics_to_signalfx, signalfx_to_metrics
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        et = t.column("event_type").to_pylist()
+        n = len(eid)
+        m = [e % 6 for e in eid]
+        v = [e % 101 for e in eid]
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array([f"met{u % 4}" for u in uid], pa.string()),
+            "mtype": pa.array(
+                ["gauge" if mm in (0, 1, 5) else "sum" for mm in m],
+                pa.string()),
+            "aggregation_temporality": pa.array(
+                [None if mm in (0, 1, 5) else (1 if mm == 3 else 2)
+                 for mm in m], pa.int32()),
+            "is_monotonic": pa.array(
+                [None if mm in (0, 1, 5) else mm != 4 for mm in m],
+                pa.bool_()),
+            "time_ns": pa.array(
+                [1_600_000_000_000_000_000 + e * 1_000_003
+                 for e in eid], pa.int64()),
+            "value_int": pa.array(
+                [vv if mm in (0, 2, 4) else None
+                 for mm, vv in zip(m, v)], pa.int64()),
+            "value_double": pa.array(
+                [vv + 0.5 if mm == 1 else (vv + 0.25 if mm == 3
+                                           else None)
+                 for mm, vv in zip(m, v)], pa.float64()),
+            "rhost": pa.array([f"h{u % 3}" for u in uid], pa.string()),
+            "attributes": pa.array(
+                [[("k0", f"a{u % 2}"), ("k1", ty)]
+                 for u, ty in zip(uid, et)],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    enc = metrics_to_signalfx(flat, resource_cols=("rhost",),
+                              id_cols=("event_id",))
+    dec = signalfx_to_metrics(enc, id_cols=("event_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"),
+            "otel_type": t.column("otel_type"),
+            "aggregation_temporality":
+                t.column("aggregation_temporality").cast(pa.int64()),
+            "is_monotonic": t.column("is_monotonic"),
+            "time_ns": t.column("time_ns"),
+            "value_int": t.column("value_int"),
+            "value_double": t.column("value_double"),
+            "dims": serialize_tags(t.column("attributes")),
+            "error": t.column("error")})
+
+    return dec.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_signalfx_hist_fanout(sf_dir: str):
+    """signalfx histogram/summary fan-out (from_metrics.go:136-260):
+    _count/_sum/_min/_max + cumulative _bucket rows with ``le`` dims
+    (Prometheus float formatting), mismatched-counts guard, summary
+    _count/_sum/_quantile with strconv-'f' quantile dims."""
+    from ..stages.signalfx import metrics_to_signalfx
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        m = [e % 5 for e in eid]
+        v = [e % 89 for e in eid]
+        rows: dict = {k: [] for k in (
+            "mtype", "aggregation_temporality", "count", "hsum",
+            "hmin", "hmax", "explicit_bounds", "bucket_counts",
+            "ssum", "quantiles", "quantile_values")}
+        for e, mm, vv in zip(eid, m, v):
+            c = [(e + j) % 7 for j in range(5)]
+            if mm == 0:
+                rows["mtype"].append("histogram")
+                rows["aggregation_temporality"].append(2)
+                rows["count"].append(sum(c))
+                rows["hsum"].append(vv + 0.5)
+                rows["hmin"].append(0.25)
+                rows["hmax"].append(100.0)
+                rows["explicit_bounds"].append([0.0, 1.0, 2.5, 10.0])
+                rows["bucket_counts"].append(c)
+                rows["ssum"].append(None)
+                rows["quantiles"].append(None)
+                rows["quantile_values"].append(None)
+            elif mm == 1:
+                rows["mtype"].append("histogram")
+                rows["aggregation_temporality"].append(1)
+                rows["count"].append(c[0] + c[1])
+                rows["hsum"].append(None)
+                rows["hmin"].append(None)
+                rows["hmax"].append(None)
+                rows["explicit_bounds"].append([1.0])
+                rows["bucket_counts"].append(c[:2])
+                rows["ssum"].append(None)
+                rows["quantiles"].append(None)
+                rows["quantile_values"].append(None)
+            elif mm == 2:
+                rows["mtype"].append("histogram")
+                rows["aggregation_temporality"].append(2)
+                rows["count"].append(vv)
+                rows["hsum"].append(float(vv))
+                rows["hmin"].append(None)
+                rows["hmax"].append(None)
+                rows["explicit_bounds"].append([1.0, 2.0])
+                rows["bucket_counts"].append(c[:1])  # mismatch → skip
+                rows["ssum"].append(None)
+                rows["quantiles"].append(None)
+                rows["quantile_values"].append(None)
+            elif mm == 3:
+                rows["mtype"].append("summary")
+                rows["aggregation_temporality"].append(None)
+                rows["count"].append(vv + 1)
+                rows["hsum"].append(None)
+                rows["hmin"].append(None)
+                rows["hmax"].append(None)
+                rows["explicit_bounds"].append(None)
+                rows["bucket_counts"].append(None)
+                rows["ssum"].append(vv + 0.75)
+                rows["quantiles"].append([0.0, 0.5, 0.95, 1.0])
+                rows["quantile_values"].append(
+                    [float(vv), vv + 1.0, vv + 2.0, vv + 3.0])
+            else:
+                rows["mtype"].append("summary")
+                rows["aggregation_temporality"].append(None)
+                rows["count"].append(vv)
+                rows["hsum"].append(None)
+                rows["hmin"].append(None)
+                rows["hmax"].append(None)
+                rows["explicit_bounds"].append(None)
+                rows["bucket_counts"].append(None)
+                rows["ssum"].append(vv + 0.25)
+                rows["quantiles"].append(None)
+                rows["quantile_values"].append(None)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array([f"met{u % 3}" for u in uid], pa.string()),
+            "mtype": pa.array(rows["mtype"], pa.string()),
+            "aggregation_temporality": pa.array(
+                rows["aggregation_temporality"], pa.int32()),
+            "time_ns": pa.array(
+                [1_600_000_000_000_000_000 + e * 1_000_003
+                 for e in eid], pa.int64()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "hsum": pa.array(rows["hsum"], pa.float64()),
+            "hmin": pa.array(rows["hmin"], pa.float64()),
+            "hmax": pa.array(rows["hmax"], pa.float64()),
+            "explicit_bounds": pa.array(rows["explicit_bounds"],
+                                        pa.list_(pa.float64())),
+            "bucket_counts": pa.array(rows["bucket_counts"],
+                                      pa.list_(pa.int64())),
+            "ssum": pa.array(rows["ssum"], pa.float64()),
+            "quantiles": pa.array(rows["quantiles"],
+                                  pa.list_(pa.float64())),
+            "quantile_values": pa.array(rows["quantile_values"],
+                                        pa.list_(pa.float64())),
+            "attributes": pa.array(
+                [[("k0", f"a{u % 2}")] for u in uid],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    enc = metrics_to_signalfx(flat, id_cols=("event_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "metric": t.column("metric"),
+            "sfx_type": t.column("sfx_type"),
+            "timestamp_ms": t.column("timestamp_ms"),
+            "value_int": t.column("value_int"),
+            "value_double": t.column("value_double"),
+            "dims": serialize_tags(t.column("dimensions"))})
+
+    return enc.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3718,6 +3917,8 @@ QUERIES = {
     "syslog_render": q_syslog_render,
     "bpe_encode": q_bpe_encode,
     "azure_logs_parse": q_azure_logs_parse,
+    "signalfx_roundtrip": q_signalfx_roundtrip,
+    "signalfx_hist_fanout": q_signalfx_hist_fanout,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -5487,4 +5688,128 @@ ORACLE_SQL["azure_logs_parse"] = """
            '{"category": "Min", "operation.name": ""}'
     FROM l WHERE m = 5
     ORDER BY event_id
+"""
+
+# signalfx round trip: encode type mapping (from_metrics.go:85-115) +
+# ns→ms truncation, decode back (to_metrics.go:45-122) with the
+# nil-value per-point error; non-monotonic sums go GAUGE and decode
+# as gauges (lossy by design)
+ORACLE_SQL["signalfx_roundtrip"] = """
+    WITH l AS (
+      SELECT event_id, user_id AS u, event_type AS ty,
+             CAST(event_id % 101 AS BIGINT) AS v,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             CAST(1600000000000000000 + event_id * 1000003
+                  AS BIGINT) AS tns
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m = 5 THEN NULL
+           ELSE 'met' || CAST(u % 4 AS VARCHAR) END AS name,
+      CASE WHEN m = 5 THEN NULL
+           WHEN m IN (2, 3) THEN 'sum' ELSE 'gauge' END AS otel_type,
+      CAST(CASE WHEN m = 5 THEN NULL WHEN m = 2 THEN 2
+                WHEN m = 3 THEN 1 ELSE 0 END AS BIGINT)
+        AS aggregation_temporality,
+      CASE WHEN m = 5 THEN NULL ELSE m IN (2, 3) END AS is_monotonic,
+      CASE WHEN m = 5 THEN NULL
+           ELSE (tns // 1000000) * 1000000 END AS time_ns,
+      CASE WHEN m IN (0, 2, 4) THEN v END AS value_int,
+      CASE WHEN m = 1 THEN CAST(v AS DOUBLE) + 0.5
+           WHEN m = 3 THEN CAST(v AS DOUBLE) + 0.25 END AS value_double,
+      CASE WHEN m = 5 THEN ''
+           ELSE 'rhost:h' || CAST(u % 3 AS VARCHAR)
+                || ',k0:a' || CAST(u % 2 AS VARCHAR)
+                || ',k1:' || ty END AS dims,
+      CASE WHEN m = 5 THEN 'nil datum value for data-point in metric '
+                || '"met' || CAST(u % 4 AS VARCHAR) || '"'
+      END AS error
+    FROM l
+    ORDER BY event_id
+"""
+
+# signalfx histogram/summary fan-out (from_metrics.go:136-260):
+# cumulative bucket counts with Prometheus-formatted le dims, the
+# counts!=bounds+1 guard, summary quantile dims strconv-'f'
+ORACLE_SQL["signalfx_hist_fanout"] = """
+    WITH l AS (
+      SELECT event_id, user_id AS u,
+             CAST(event_id % 89 AS BIGINT) AS v,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             (CAST(1600000000000000000 + event_id * 1000003 AS BIGINT)
+              // 1000000) AS tms,
+             CAST(event_id % 7 AS BIGINT) AS c0,
+             CAST((event_id + 1) % 7 AS BIGINT) AS c1,
+             CAST((event_id + 2) % 7 AS BIGINT) AS c2,
+             CAST((event_id + 3) % 7 AS BIGINT) AS c3,
+             CAST((event_id + 4) % 7 AS BIGINT) AS c4,
+             'met' || CAST(user_id % 3 AS VARCHAR) AS nm,
+             'k0:a' || CAST(user_id % 2 AS VARCHAR) AS dims0
+      FROM events)
+    SELECT event_id, nm || '_count' AS metric,
+           'CUMULATIVE_COUNTER' AS sfx_type, tms AS timestamp_ms,
+           c0 + c1 + c2 + c3 + c4 AS value_int,
+           CAST(NULL AS DOUBLE) AS value_double, dims0 AS dims
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', tms,
+           NULL, CAST(v AS DOUBLE) + 0.5, dims0
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, nm || '_min', 'GAUGE', tms, NULL, 0.25, dims0
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, nm || '_max', 'GAUGE', tms, NULL, 100.0, dims0
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, nm || '_bucket', 'CUMULATIVE_COUNTER', tms,
+           CASE b.j WHEN 0 THEN c0 WHEN 1 THEN c0 + c1
+                    WHEN 2 THEN c0 + c1 + c2
+                    WHEN 3 THEN c0 + c1 + c2 + c3
+                    ELSE c0 + c1 + c2 + c3 + c4 END,
+           NULL,
+           dims0 || ',le:' ||
+             CASE b.j WHEN 0 THEN '0' WHEN 1 THEN '1' WHEN 2 THEN '2.5'
+                      WHEN 3 THEN '10' ELSE '+Inf' END
+    FROM l CROSS JOIN (SELECT unnest(range(5)) AS j) b WHERE m = 0
+    UNION ALL
+    SELECT event_id, nm || '_count', 'COUNTER', tms, c0 + c1,
+           NULL, dims0
+    FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, nm || '_bucket', 'COUNTER', tms,
+           CASE b.j WHEN 0 THEN c0 ELSE c0 + c1 END, NULL,
+           dims0 || ',le:' || CASE b.j WHEN 0 THEN '1' ELSE '+Inf' END
+    FROM l CROSS JOIN (SELECT unnest(range(2)) AS j) b WHERE m = 1
+    UNION ALL
+    SELECT event_id, nm || '_count', 'CUMULATIVE_COUNTER', tms, v,
+           NULL, dims0
+    FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', tms, NULL,
+           CAST(v AS DOUBLE), dims0
+    FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, nm || '_count', 'CUMULATIVE_COUNTER', tms, v + 1,
+           NULL, dims0
+    FROM l WHERE m = 3
+    UNION ALL
+    SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', tms, NULL,
+           CAST(v AS DOUBLE) + 0.75, dims0
+    FROM l WHERE m = 3
+    UNION ALL
+    SELECT event_id, nm || '_quantile', 'GAUGE', tms, NULL,
+           CAST(v AS DOUBLE) + CAST(b.j AS DOUBLE),
+           dims0 || ',quantile:' ||
+             CASE b.j WHEN 0 THEN '0' WHEN 1 THEN '0.5'
+                      WHEN 2 THEN '0.95' ELSE '1' END
+    FROM l CROSS JOIN (SELECT unnest(range(4)) AS j) b WHERE m = 3
+    UNION ALL
+    SELECT event_id, nm || '_count', 'CUMULATIVE_COUNTER', tms, v,
+           NULL, dims0
+    FROM l WHERE m = 4
+    UNION ALL
+    SELECT event_id, nm || '_sum', 'CUMULATIVE_COUNTER', tms, NULL,
+           CAST(v AS DOUBLE) + 0.25, dims0
+    FROM l WHERE m = 4
+    ORDER BY event_id, metric, dims
 """
