@@ -2191,6 +2191,93 @@ def q_signalfx_hist_fanout(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_skywalking_parse(sf_dir: str):
+    """skywalking translator: SegmentObject JSON → flat spans — id
+    XOR/fold math, parent-from-ref rule, last-span-wins resource tag
+    mapping, MQ/Entry/Exit/Local kind table, ms→ns timestamps, link
+    parity attrs (skywalkingproto_to_traces.go:43-362)."""
+    import json as _json
+
+    from ..stages.skywalking import parse_skywalking_segments
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    SEG32 = "4f2f27748b8e44ecaf18fe0347194e86"
+    SEGS = [SEG32 + ".33.16560607369950066",
+            SEG32 + ".7.16560607369950067", SEG32]
+    TRACES = ["de5980b8-fce3-4a37-aab9-b4ac3af7eedd",
+              "de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001"]
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m, u2, u3 = e % 5, u % 2, u % 3
+            seg_id, trace = SEGS[u3], TRACES[u2]
+            ts0 = 1_700_000_000_000 + e
+            base = {"traceId": trace, "traceSegmentId": seg_id,
+                    "service": f"svc{u3}", "serviceInstance": "inst"}
+            if m == 0:
+                base["spans"] = [
+                    {"spanId": 0, "parentSpanId": -1, "startTime": ts0,
+                     "endTime": ts0 + 10, "operationName": "root",
+                     "spanType": "Entry", "spanLayer": "Http",
+                     "tags": [{"key": "url",
+                               "value": f"http://x/{u2}"}]},
+                    {"spanId": 1, "parentSpanId": 0,
+                     "startTime": ts0 + 1, "endTime": ts0 + 5,
+                     "operationName": "child", "spanType": "Exit",
+                     "tags": [{"key": "custom", "value": f"c{u2}"}]}]
+            elif m == 1:
+                base["spans"] = [
+                    {"spanId": 2, "parentSpanId": -1, "startTime": ts0,
+                     "endTime": ts0 + 20, "operationName": "mq",
+                     "spanType": "Entry", "spanLayer": "MQ",
+                     "isError": True,
+                     "logs": [{"time": ts0 + 2,
+                               "data": [{"key": "log-key0",
+                                         "value": f"lv{u2}"}]}]}]
+            elif m == 2:
+                base["spans"] = [
+                    {"spanId": 1, "parentSpanId": -1,
+                     "startTime": ts0, "endTime": ts0 + 7,
+                     "operationName": "ref", "spanType": "Local",
+                     "refs": [{"traceId": trace,
+                               "parentTraceSegmentId": SEG32,
+                               "parentSpanId": 2,
+                               "refType": "CrossProcess",
+                               "parentService": "ps",
+                               "parentServiceInstance": f"pi{u2}",
+                               "parentEndpoint": "pe",
+                               "networkAddressUsedAtPeer":
+                                   "10.0.0.1:80"}]}]
+            elif m == 3:
+                docs.append("not json {")
+                continue
+            else:
+                base["spans"] = [
+                    {"spanId": 0, "parentSpanId": 0, "startTime": ts0,
+                     "endTime": ts0 + 3, "operationName": "db",
+                     "spanType": "Exit", "spanLayer": "Database",
+                     "tags": [{"key": "db.type", "value": "mysql"},
+                              {"key": "db.instance",
+                               "value": f"d{u2}"}]}]
+            docs.append(_json.dumps(base))
+        return pa.table({"event_id": t.column("event_id"),
+                         "segment_json": pa.array(docs, pa.string())})
+
+    parsed = parse_skywalking_segments(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        on_error="send")
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "trace_state", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "attributes", "resource_attributes",
+         "events", "links", "error"])
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -3919,6 +4006,7 @@ QUERIES = {
     "azure_logs_parse": q_azure_logs_parse,
     "signalfx_roundtrip": q_signalfx_roundtrip,
     "signalfx_hist_fanout": q_signalfx_hist_fanout,
+    "skywalking_parse": q_skywalking_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -5812,4 +5900,112 @@ ORACLE_SQL["signalfx_hist_fanout"] = """
            CAST(v AS DOUBLE) + 0.25, dims0
     FROM l WHERE m = 4
     ORDER BY event_id, metric, dims
+"""
+
+# skywalking SegmentObject decode: id XOR/fold constants precomputed
+# from the fixture's fixed segment/trace alphabet (the general id math
+# is pinned byte-for-byte to the translator's own vectors in
+# tests/test_skywalking.py)
+ORACLE_SQL["skywalking_parse"] = """
+    WITH l AS (
+      SELECT event_id,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(1700000000000 + event_id AS BIGINT) AS ts
+      FROM events),
+    d AS (
+      SELECT *,
+        ts * 1000000 AS tns,
+        CASE u3 WHEN '0'
+            THEN '4f2f27748b8e44ecaf18fe0347194e86.33.16560607369950066'
+          WHEN '1'
+            THEN '4f2f27748b8e44ecaf18fe0347194e86.7.16560607369950067'
+          ELSE '4f2f27748b8e44ecaf18fe0347194e86' END AS seg,
+        CASE u2 WHEN '0' THEN 'de5980b8-fce3-4a37-aab9-b4ac3af7eedd'
+          ELSE 'de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001'
+          END AS trace,
+        CASE u2 WHEN '0' THEN 'de5980b8fce34a37aab9b4ac3af7eedd'
+          ELSE 'de5980b8fde34a371be41bcd5e2fd4dd' END AS thex,
+        CASE u3 WHEN '0' THEN '92c455a82542306a'
+          WHEN '1' THEN '93c455a80342306a'
+          ELSE 'e037d977cc970a6a' END AS h0,
+        CASE u3 WHEN '0' THEN '93c455a82542306a'
+          WHEN '1' THEN '92c455a80342306a'
+          ELSE 'e137d977cc970a6a' END AS h1,
+        CASE u3 WHEN '0' THEN '90c455a82542306a'
+          WHEN '1' THEN '91c455a80342306a'
+          ELSE 'e237d977cc970a6a' END AS h2,
+        '"service.instance.id": "inst", "service.name": "svc' || u3
+          || '", "sw8.trace_id": "' ||
+          CASE u2 WHEN '0' THEN 'de5980b8-fce3-4a37-aab9-b4ac3af7eedd'
+            ELSE 'de5980b8fce34a37aab9b4ac3af7eedd.1.16563474296430001'
+            END || '"' AS resbase
+      FROM l)
+    SELECT event_id, thex AS trace_id, h0 AS span_id,
+           CAST(NULL AS VARCHAR) AS parent_span_id,
+           '' AS trace_state, 'root' AS span_name,
+           CAST(2 AS BIGINT) AS span_kind,
+           tns AS start_time_unix_nano,
+           tns + 10000000 AS end_time_unix_nano,
+           CAST(1 AS BIGINT) AS status_code,
+           'SUCCESS' AS status_message,
+           '{"sw8.segment_id": "' || seg
+             || '", "sw8.span_id": 0, "url": "http://x/' || u2
+             || '"}' AS attributes,
+           '{' || resbase || '}' AS resource_attributes,
+           '[]' AS events, '[]' AS links,
+           CAST(NULL AS VARCHAR) AS error
+    FROM d WHERE m = 0
+    UNION ALL
+    SELECT event_id, thex, h1, h0, '', 'child', 3,
+           tns + 1000000, tns + 5000000, 1, 'SUCCESS',
+           '{"custom": "c' || u2
+             || '", "sw8.parent_span_id": 0, "sw8.segment_id": "'
+             || seg || '", "sw8.span_id": 1}',
+           '{' || resbase || '}', '[]', '[]', NULL
+    FROM d WHERE m = 0
+    UNION ALL
+    SELECT event_id, thex, h2, NULL, '', 'mq', 5,
+           tns, tns + 20000000, 2, 'ERROR',
+           '{"sw8.segment_id": "' || seg || '", "sw8.span_id": 2}',
+           '{' || resbase || '}',
+           '[{"attributes": {"log-key0": "lv' || u2
+             || '"}, "name": "logs", "timeUnixNano": '
+             || CAST((ts + 2) * 1000000 AS VARCHAR) || '}]',
+           '[]', NULL
+    FROM d WHERE m = 1
+    UNION ALL
+    SELECT event_id, thex, h1, 'e237d977cc970a6a', '', 'ref', 1,
+           tns, tns + 7000000, 1, 'SUCCESS',
+           '{"sw8.segment_id": "' || seg || '", "sw8.span_id": 1}',
+           '{' || resbase || '}', '[]',
+           '[{"attributes": {"network.AddressUsedAtPeer": '
+             || '"10.0.0.1:80", "parent.endpoint": "pe", '
+             || '"parent.service": "ps", "parent.service.instance": '
+             || '"pi' || u2 || '", "refType": "CrossProcess", '
+             || '"sw8.parent_segment_id": '
+             || '"4f2f27748b8e44ecaf18fe0347194e86", '
+             || '"sw8.parent_span_id": "2", "sw8.trace_id": "'
+             || trace || '"}, "spanId": "e237d977cc970a6a", '
+             || '"traceId": "' || thex || '", "traceState": ""}]',
+           NULL
+    FROM d WHERE m = 2
+    UNION ALL
+    SELECT event_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           'invalid skywalking JSON segment'
+    FROM d WHERE m = 3
+    UNION ALL
+    SELECT event_id, thex, h0, h0, '', 'db', 3,
+           tns, tns + 3000000, 1, 'SUCCESS',
+           '{"db.instance": "d' || u2
+             || '", "db.type": "mysql", "sw8.parent_span_id": 0, '
+             || '"sw8.segment_id": "' || seg
+             || '", "sw8.span_id": 0}',
+           '{"db.name": "d' || u2 || '", "db.system": "mysql", '
+             || resbase || '}',
+           '[]', '[]', NULL
+    FROM d WHERE m = 4
+    ORDER BY event_id, span_id
 """
