@@ -2278,6 +2278,112 @@ def q_skywalking_parse(sf_dir: str):
          "events", "links", "error"])
 
 
+def q_prw_export(sf_dir: str):
+    """prometheusremotewrite export: flat metrics → PRW sample rows —
+    compliant naming, createAttributes label semantics (sanitize-merge,
+    job/instance, external labels), histogram/summary fan-out with
+    'f'-formatted le/quantile, temporality gate errors, + one
+    target_info series per resource identity at its most recent sample
+    timestamp (helper.go:99-538, metrics_to_prw.go:62-138)."""
+    import ray as _ray
+
+    from ..stages.prometheusrw import metrics_to_prw, prw_target_info
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows: dict = {k: [] for k in (
+            "name", "unit", "mtype", "aggregation_temporality",
+            "is_monotonic", "value_int", "value_double", "count",
+            "hsum", "explicit_bounds", "bucket_counts", "ssum",
+            "quantiles", "quantile_values", "attributes")}
+
+        def put(**kw):
+            for k in rows:
+                rows[k].append(kw.get(k))
+
+        for e, u in zip(eid, uid):
+            m, v, u2 = e % 6, e % 97, u % 2
+            if m == 0:
+                put(name="http.request.duration", unit="s",
+                    mtype="gauge", value_double=v + 0.5,
+                    attributes=[("foo.bar", f"a{u2}")])
+            elif m == 1:
+                put(name="requests", unit="1", mtype="sum",
+                    aggregation_temporality=2, is_monotonic=True,
+                    value_int=v)
+            elif m == 2:
+                put(name="requests", unit="1", mtype="sum",
+                    aggregation_temporality=1, is_monotonic=True,
+                    value_int=v)
+            elif m == 3:
+                c = [(e + j) % 7 for j in range(4)]
+                put(name="latency", unit="ms", mtype="histogram",
+                    aggregation_temporality=2, count=sum(c),
+                    hsum=v + 0.25,
+                    explicit_bounds=[0.5, 1.0, 2.5],
+                    bucket_counts=c)
+            elif m == 4:
+                put(name="rpc.duration", mtype="summary",
+                    count=v + 1, ssum=v + 0.75,
+                    quantiles=[0.5, 0.99],
+                    quantile_values=[float(v), v + 1.0])
+            else:
+                put(name="g", mtype="gauge", value_int=v,
+                    attributes=[("a.b", "x"), ("a_b", f"y{u2}")])
+        n = len(eid)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array(rows["name"], pa.string()),
+            "unit": pa.array(rows["unit"], pa.string()),
+            "mtype": pa.array(rows["mtype"], pa.string()),
+            "aggregation_temporality": pa.array(
+                rows["aggregation_temporality"], pa.int32()),
+            "is_monotonic": pa.array(rows["is_monotonic"], pa.bool_()),
+            "time_ns": pa.array(
+                [1_600_000_000_000_000_000 + e * 1_000_003
+                 for e in eid], pa.int64()),
+            "value_int": pa.array(rows["value_int"], pa.int64()),
+            "value_double": pa.array(rows["value_double"],
+                                     pa.float64()),
+            "count": pa.array(rows["count"], pa.int64()),
+            "hsum": pa.array(rows["hsum"], pa.float64()),
+            "explicit_bounds": pa.array(rows["explicit_bounds"],
+                                        pa.list_(pa.float64())),
+            "bucket_counts": pa.array(rows["bucket_counts"],
+                                      pa.list_(pa.int64())),
+            "ssum": pa.array(rows["ssum"], pa.float64()),
+            "quantiles": pa.array(rows["quantiles"],
+                                  pa.list_(pa.float64())),
+            "quantile_values": pa.array(rows["quantile_values"],
+                                        pa.list_(pa.float64())),
+            "attributes": pa.array(
+                [a or [] for a in rows["attributes"]],
+                pa.map_(pa.string(), pa.string())),
+            "resource": pa.array(
+                [[("service.name", f"svc{u % 3}"),
+                  ("service.instance.id", "i1"),
+                  ("host.name", f"h{u % 2}")] for u in uid],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ext = {"cluster": "c1"}
+    samples = metrics_to_prw(flat, external_labels=ext,
+                             id_cols=("event_id",)).select_columns(
+        ["event_id", "metric_name", "labels", "value", "timestamp_ms",
+         "error"])
+    ti = prw_target_info(flat, external_labels=ext)
+    ti = ti.add_column(0, "event_id",
+                       pa.array([None] * ti.num_rows, pa.int64()))
+    ti = ti.append_column("error",
+                          pa.array([None] * ti.num_rows, pa.string()))
+    return samples.union(_ray.data.from_arrow(ti))
+
+
 def q_interval_last(sf_dir: str):
     """intervalprocessor: last datapoint per (stream, hour window) (§2.7)."""
     ds = read_table(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
@@ -4007,6 +4113,7 @@ QUERIES = {
     "signalfx_roundtrip": q_signalfx_roundtrip,
     "signalfx_hist_fanout": q_signalfx_hist_fanout,
     "skywalking_parse": q_skywalking_parse,
+    "prw_export": q_prw_export,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -6008,4 +6115,91 @@ ORACLE_SQL["skywalking_parse"] = """
            '[]', '[]', NULL
     FROM d WHERE m = 4
     ORDER BY event_id, span_id
+"""
+
+# prometheusremotewrite export: sample fan-out + per-resource
+# target_info at the group's most recent sample timestamp
+ORACLE_SQL["prw_export"] = """
+    WITH l AS (
+      SELECT event_id,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             CAST(event_id % 97 AS BIGINT) AS v,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             (CAST(1600000000000000000 AS BIGINT)
+              + event_id * 1000003) // 1000000 AS tms,
+             CAST(event_id % 7 AS BIGINT) AS c0,
+             CAST((event_id + 1) % 7 AS BIGINT) AS c1,
+             CAST((event_id + 2) % 7 AS BIGINT) AS c2,
+             CAST((event_id + 3) % 7 AS BIGINT) AS c3
+      FROM events),
+    d AS (
+      SELECT *, ',cluster=c1,instance=i1,job=svc' || u3 AS base
+      FROM l)
+    SELECT event_id,
+           'http_request_duration_seconds' AS metric_name,
+           '__name__=http_request_duration_seconds,cluster=c1,foo_bar=a'
+             || u2 || ',instance=i1,job=svc' || u3 AS labels,
+           CAST(v AS DOUBLE) + 0.5 AS value,
+           tms AS timestamp_ms,
+           CAST(NULL AS VARCHAR) AS error
+    FROM d WHERE m = 0
+    UNION ALL
+    SELECT event_id, 'requests_total',
+           '__name__=requests_total' || base,
+           CAST(v AS DOUBLE), tms, NULL
+    FROM d WHERE m = 1
+    UNION ALL
+    SELECT event_id, NULL, NULL, NULL, NULL,
+           'invalid temporality and type combination for metric '
+             || '"requests"'
+    FROM d WHERE m = 2
+    UNION ALL
+    SELECT event_id, 'latency_milliseconds_sum',
+           '__name__=latency_milliseconds_sum' || base,
+           CAST(v AS DOUBLE) + 0.25, tms, NULL
+    FROM d WHERE m = 3
+    UNION ALL
+    SELECT event_id, 'latency_milliseconds_count',
+           '__name__=latency_milliseconds_count' || base,
+           CAST(c0 + c1 + c2 + c3 AS DOUBLE), tms, NULL
+    FROM d WHERE m = 3
+    UNION ALL
+    SELECT event_id, 'latency_milliseconds_bucket',
+           '__name__=latency_milliseconds_bucket' || base || ',le='
+             || CASE b.j WHEN 0 THEN '0.5' WHEN 1 THEN '1'
+                         WHEN 2 THEN '2.5' ELSE '+Inf' END,
+           CAST(CASE b.j WHEN 0 THEN c0 WHEN 1 THEN c0 + c1
+                         WHEN 2 THEN c0 + c1 + c2
+                         ELSE c0 + c1 + c2 + c3 END AS DOUBLE),
+           tms, NULL
+    FROM d CROSS JOIN (SELECT unnest(range(4)) AS j) b WHERE m = 3
+    UNION ALL
+    SELECT event_id, 'rpc_duration_sum',
+           '__name__=rpc_duration_sum' || base,
+           CAST(v AS DOUBLE) + 0.75, tms, NULL
+    FROM d WHERE m = 4
+    UNION ALL
+    SELECT event_id, 'rpc_duration_count',
+           '__name__=rpc_duration_count' || base,
+           CAST(v + 1 AS DOUBLE), tms, NULL
+    FROM d WHERE m = 4
+    UNION ALL
+    SELECT event_id, 'rpc_duration',
+           '__name__=rpc_duration' || base || ',quantile='
+             || CASE b.j WHEN 0 THEN '0.5' ELSE '0.99' END,
+           CAST(v AS DOUBLE) + CAST(b.j AS DOUBLE), tms, NULL
+    FROM d CROSS JOIN (SELECT unnest(range(2)) AS j) b WHERE m = 4
+    UNION ALL
+    SELECT event_id, 'g',
+           '__name__=g,a_b=x;y' || u2 || base,
+           CAST(v AS DOUBLE), tms, NULL
+    FROM d WHERE m = 5
+    UNION ALL
+    SELECT CAST(NULL AS BIGINT), 'target_info',
+           '__name__=target_info,cluster=c1,host_name=h' || u2
+             || ',instance=i1,job=svc' || u3,
+           1.0, MAX(tms), NULL
+    FROM d GROUP BY u2, u3
+    ORDER BY event_id, metric_name, labels
 """
