@@ -561,6 +561,31 @@ def _parse_fluent(ds, bin_col: str = "event_msgpack",
     return parse_fluent_events(ds, bin_col, on_error=on_error)
 
 
+@register_stage("parse_faro")
+def _parse_faro(ds, json_col: str = "payload_json",
+                on_error: str = "drop"):
+    """faroreceiver payload decode → flat log rows (round 5)."""
+    from ..stages.faro import parse_faro_payloads
+
+    return parse_faro_payloads(ds, json_col, on_error=on_error)
+
+
+@register_stage("faro_traces")
+def _faro_traces(ds, json_col: str = "payload_json"):
+    """faro payload embedded-OTLP traces decode (round 5)."""
+    from ..stages.faro import parse_faro_traces
+
+    return parse_faro_traces(ds, json_col)
+
+
+@register_stage("to_faro")
+def _to_faro(ds, body_col: str = "body", max_items: int = 8192):
+    """faroexporter: flat log rows → faro payload JSON (round 5)."""
+    from ..stages.faro import logs_to_faro_payloads
+
+    return logs_to_faro_payloads(ds, body_col, max_items=max_items)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

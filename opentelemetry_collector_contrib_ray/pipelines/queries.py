@@ -3947,6 +3947,184 @@ def q_flagship_from_config(sf_dir: str):
     }
     return build_and_run(cfg)
 
+_FARO_TS = "2021-09-30T10:46:17.680Z"
+_FARO_VAL_A = "Cannot read property 'find' of undefined"
+_FARO_VAL_B = "Exception related to user action"
+
+
+def _faro_fixture(t: "pa.Table") -> "pa.Table":
+    """Deterministic faro payload per events row: m=0 log, m=1
+    exception (pinned xxh3 value strings), m=2 measurement, m=3 event
+    with action, m=4 log with the full meta surface."""
+    import json as _json
+
+    eid = t.column("event_id").to_pylist()
+    uid = t.column("user_id").to_pylist()
+    docs = []
+    for e, u in zip(eid, uid):
+        m = e % 5
+        meta = {"sdk": {"name": "sdk", "version": "2.0"},
+                "app": {"name": f"app{u % 2}", "version": "1.0",
+                        "environment": "prod"},
+                "user": {"id": str(u % 100)}}
+        if m == 0:
+            p = {"logs": [{"message": f"opened page {e % 13}",
+                           "context": {"component": f"C{u % 3}"},
+                           "timestamp": _FARO_TS,
+                           "trace": {"trace_id": f"t{e % 997}",
+                                     "span_id": f"s{e % 89}"}}]}
+        elif m == 1:
+            meta["app"]["namespace"] = "ns"
+            meta["app"]["bundleId"] = "bid1"
+            frame = {"function": f"fn{e % 4}", "filename": "app.js",
+                     "lineno": e % 100, "colno": 7}
+            if e % 4 == 0:
+                frame["module"] = "mod"
+            p = {"exceptions": [{
+                "type": "Error",
+                "value": _FARO_VAL_A if e % 2 == 0 else _FARO_VAL_B,
+                "stacktrace": {"frames": [frame]},
+                "timestamp": _FARO_TS,
+                "trace": {"trace_id": f"t{e % 997}",
+                          "span_id": f"s{e % 89}"}}]}
+        elif m == 2:
+            p = {"measurements": [{
+                "type": "page load",
+                "values": {"cls": e % 7, "ttfb": (u % 50) + 0.25},
+                "context": {"hello": "world"},
+                "timestamp": _FARO_TS,
+                "trace": {"trace_id": f"t{e % 997}",
+                          "span_id": f"s{e % 89}"}}]}
+        elif m == 3:
+            p = {"events": [{"name": "click", "domain": "browser",
+                             "attributes": {"btn": f"b{e % 3}"},
+                             "timestamp": _FARO_TS,
+                             "action": {"id": str(e % 9),
+                                        "name": "act"}}]}
+        else:
+            meta = {
+                "sdk": {"name": "sdk", "version": "2.0",
+                        "integrations": [{"name": "react",
+                                          "version": "3"}]},
+                "app": {"name": f"app{u % 2}", "version": "1.0",
+                        "environment": "prod"},
+                "user": {"email": "a@b.c", "id": str(u % 100),
+                         "username": "u1", "attributes": {"role": "qa"}},
+                "session": {"id": "sess1",
+                            "attributes": {"n": str(u % 5)}},
+                "page": {"url": "https://x/y"},
+                "browser": {"name": "chrome", "version": "88",
+                            "os": "linux", "mobile": u % 2 == 0,
+                            "userAgent": "UA 1", "language": "en",
+                            "viewportWidth": "1920",
+                            "viewportHeight": "1080",
+                            "brands": [{"brand": "Br",
+                                        "version": str(u % 4)}]},
+                "k6": {"isK6Browser": True},
+                "view": {"name": "v1"},
+                "geo": {"continent_iso_code": "EU",
+                        "country_iso_code": "DE", "city": "Berlin"},
+            }
+            p = {"logs": [{"message": "hello", "level": "warning",
+                           "timestamp": _FARO_TS}]}
+        p["meta"] = meta
+        docs.append(_json.dumps(p))
+    return pa.table({"event_id": t.column("event_id"),
+                     "payload_json": pa.array(docs, pa.string())})
+
+
+_FARO_OUT_COLS = ["body", "kind", "hash", "service_name",
+                  "service_version", "deployment_environment",
+                  "service_namespace", "app_bundle_id"]
+
+
+def q_faro_parse(sf_dir: str):
+    """pkg/translator/faro receiver direction: payload JSON → flat log
+    rows — logfmt bodies with exact per-kind/meta key orders, xxh3
+    exception hashes, meta.app resource attrs
+    (faro_to_logs.go:29-99, keyval.go)."""
+    from ..stages.faro import parse_faro_payloads
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    parsed = parse_faro_payloads(
+        ds.map_batches(_faro_fixture, batch_format="pyarrow",
+                       zero_copy_batch=True), "payload_json")
+    return parsed.select_columns(["event_id"] + _FARO_OUT_COLS)
+
+
+def q_faro_roundtrip(sf_dir: str):
+    """faro whole round trip: payload → log rows (faro_to_logs) → faro
+    payloads regrouped by meta identity (logs_to_faro.go:118-169) →
+    log rows again; the second decode must reproduce the first's
+    bodies exactly, which the same SQL oracle pins."""
+    from ..stages.faro import logs_to_faro_payloads, parse_faro_payloads
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    first = parse_faro_payloads(
+        ds.map_batches(_faro_fixture, batch_format="pyarrow",
+                       zero_copy_batch=True), "payload_json")
+    payloads = logs_to_faro_payloads(first, "body")
+    second = parse_faro_payloads(payloads, "payload_json")
+    return second.select_columns(_FARO_OUT_COLS)
+
+
+def q_faro_traces(sf_dir: str):
+    """faro traces direction: the payload's embedded OTLP-JSON traces
+    with meta.app resource attrs stamped (PutStr update-or-append),
+    flattened through the shared OTLP span codec
+    (faro_to_traces.go:17-45)."""
+    import json as _json
+
+    from ..stages.faro import parse_faro_traces
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            span = {"traceId": f"{e + 1:032x}", "spanId": f"{e + 2:016x}",
+                    "name": f"op{e % 3}", "kind": e % 6,
+                    "startTimeUnixNano": str(1_700_000_000_000_000_000
+                                             + e),
+                    "endTimeUnixNano": str(1_700_000_000_000_000_000
+                                           + e + 1000)}
+            if e % 3 == 2:
+                span["status"] = {"code": 2, "message": "boom"}
+            rs = {"resource": {"attributes": [
+                      {"key": "host.name",
+                       "value": {"stringValue": f"h{u % 3}"}},
+                      {"key": "service.name",
+                       "value": {"stringValue": "stale"}}]},
+                  "scopeSpans": [{"scope": {"name": "lib"},
+                                  "spans": [span]}]}
+            meta = {"app": {"name": f"app{u % 2}", "version": "1.0",
+                            "environment": "prod"}}
+            if e % 2 == 1:
+                meta["app"]["namespace"] = "ns"
+            docs.append(_json.dumps({"traces": {"resourceSpans": [rs]},
+                                     "meta": meta}))
+        return pa.table({"event_id": t.column("event_id"),
+                         "payload_json": pa.array(docs, pa.string())})
+
+    parsed = parse_faro_traces(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "payload_json")
+
+    def widen(t: pa.Table) -> pa.Table:
+        for c in ("span_kind", "start_time_unix_nano",
+                  "end_time_unix_nano", "status_code"):
+            t = t.set_column(t.column_names.index(c), c,
+                             t.column(c).cast(pa.int64()))
+        return t
+
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "resource_attributes", "scope_name"]
+    ).map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+
 
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
@@ -4114,6 +4292,9 @@ QUERIES = {
     "signalfx_hist_fanout": q_signalfx_hist_fanout,
     "skywalking_parse": q_skywalking_parse,
     "prw_export": q_prw_export,
+    "faro_parse": q_faro_parse,
+    "faro_roundtrip": q_faro_roundtrip,
+    "faro_traces": q_faro_traces,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -6202,4 +6383,121 @@ ORACLE_SQL["prw_export"] = """
            1.0, MAX(tms), NULL
     FROM d GROUP BY u2, u3
     ORDER BY event_id, metric_name, labels
+"""
+
+# faro receiver decode → flat log rows (exact logfmt bodies; the
+# exception hash strings are the pinned xxh3 vectors)
+_FARO_BODY_SQL = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 100 AS VARCHAR) AS u100,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(event_id % 13 AS VARCHAR) AS e13,
+             't' || CAST(event_id % 997 AS VARCHAR) AS tid,
+             's' || CAST(event_id % 89 AS VARCHAR) AS sid,
+             CASE WHEN event_id % 2 = 0
+                  THEN 'Cannot read property ''find'' of undefined'
+                  ELSE 'Exception related to user action' END AS exval
+      FROM events),
+    b AS (
+      SELECT *,
+        'timestamp=2021-09-30T10:46:17.68Z ' AS t0,
+        'sdk_name=sdk sdk_version=2.0 app_name=app' || u2
+          || CASE WHEN m = 1 THEN ' app_namespace=ns' ELSE '' END
+          || ' app_version=1.0 app_environment=prod user_id=' || u100
+          AS meta_small,
+        'sdk_name=sdk sdk_version=2.0 sdk_integrations=react:3'
+          || ' app_name=app' || u2
+          || ' app_version=1.0 app_environment=prod'
+          || ' user_email=a@b.c user_id=' || u100
+          || ' user_username=u1 user_attr_role=qa session_id=sess1'
+          || ' session_attr_n=' || CAST(user_id % 5 AS VARCHAR)
+          || ' page_url=https://x/y browser_name=chrome'
+          || ' browser_version=88 browser_os=linux browser_mobile='
+          || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END
+          || ' browser_userAgent="UA 1" browser_language=en'
+          || ' browser_viewportWidth=1920 browser_viewportHeight=1080'
+          || ' browser_brand_0_brand=Br browser_brand_0_version='
+          || CAST(user_id % 4 AS VARCHAR)
+          || ' k6_isK6Browser=true view_name=v1 geo_continent_iso=EU'
+          || ' geo_country_iso=DE geo_city=Berlin' AS meta_full
+      FROM l)
+    SELECT event_id,
+      CASE m
+        WHEN 0 THEN t0 || 'kind=log level=info message="opened page '
+          || e13 || '" context_component=C' || u3
+          || ' traceID=' || tid || ' spanID=' || sid || ' ' || meta_small
+        WHEN 1 THEN t0 || 'kind=exception level=error type=Error value="'
+          || exval || '" stacktrace="Error: ' || exval
+          || '\\n  at fn' || CAST(event_id % 4 AS VARCHAR) || ' ('
+          || CASE WHEN event_id % 4 = 0 THEN 'mod|' ELSE '' END
+          || 'app.js:' || CAST(event_id % 100 AS VARCHAR) || ':7)"'
+          || ' traceID=' || tid || ' spanID=' || sid || ' ' || meta_small
+        WHEN 2 THEN t0
+          || 'kind=measurement level=info type="page load"'
+          || ' context_hello=world cls='
+          || printf('%.6f', CAST(event_id % 7 AS DOUBLE))
+          || ' ttfb=' || printf('%.6f',
+                                CAST(user_id % 50 AS DOUBLE) + 0.25)
+          || ' traceID=' || tid || ' spanID=' || sid
+          || ' value_cls=' || CAST(event_id % 7 AS VARCHAR)
+          || ' value_ttfb=' || printf('%g',
+                                      CAST(user_id % 50 AS DOUBLE) + 0.25)
+          || ' ' || meta_small
+        WHEN 3 THEN t0 || 'kind=event level=info event_name=click'
+          || ' event_domain=browser event_data_btn=b'
+          || CAST(event_id % 3 AS VARCHAR)
+          || ' action_id=' || CAST(event_id % 9 AS VARCHAR)
+          || ' action_name=act ' || meta_small
+        ELSE t0 || 'kind=log level=warning message=hello ' || meta_full
+      END AS body,
+      CASE m WHEN 1 THEN 'exception' WHEN 2 THEN 'measurement'
+             WHEN 3 THEN 'event' ELSE 'log' END AS kind,
+      CASE WHEN m = 1 THEN
+        CASE WHEN event_id % 2 = 0 THEN '2735541995122471342'
+             ELSE '17187077909215573004' END END AS hash,
+      'app' || u2 AS service_name,
+      '1.0' AS service_version,
+      'prod' AS deployment_environment,
+      CASE WHEN m = 1 THEN 'ns' END AS service_namespace,
+      CASE WHEN m = 1 THEN 'bid1' END AS app_bundle_id
+    FROM b
+"""
+
+ORACLE_SQL["faro_parse"] = (
+    "SELECT * FROM (" + _FARO_BODY_SQL + ") ORDER BY event_id")
+
+# the round trip regroups rows into payloads and re-decodes: the same
+# row multiset minus the per-row event_id provenance
+ORACLE_SQL["faro_roundtrip"] = (
+    "SELECT body, kind, hash, service_name, service_version, "
+    "deployment_environment, service_namespace, app_bundle_id FROM ("
+    + _FARO_BODY_SQL + ") ORDER BY body")
+
+ORACLE_SQL["faro_traces"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 3 AS INTEGER) AS m3
+      FROM events)
+    SELECT event_id,
+      lpad(printf('%x', event_id + 1), 32, '0') AS trace_id,
+      lpad(printf('%x', event_id + 2), 16, '0') AS span_id,
+      'op' || CAST(m3 AS VARCHAR) AS span_name,
+      CAST(event_id % 6 AS BIGINT) AS span_kind,
+      CAST(1700000000000000000 + event_id AS BIGINT)
+        AS start_time_unix_nano,
+      CAST(1700000000000001000 + event_id AS BIGINT)
+        AS end_time_unix_nano,
+      CAST(CASE WHEN m3 = 2 THEN 2 ELSE 0 END AS BIGINT) AS status_code,
+      CASE WHEN m3 = 2 THEN 'boom' END AS status_message,
+      '{"deployment.environment": "prod", "host.name": "h'
+        || CAST(user_id % 3 AS VARCHAR) || '", "service.name": "app'
+        || CAST(user_id % 2 AS VARCHAR) || '"'
+        || CASE WHEN event_id % 2 = 1
+                THEN ', "service.namespace": "ns"' ELSE '' END
+        || ', "service.version": "1.0"}' AS resource_attributes,
+      'lib' AS scope_name
+    FROM l ORDER BY event_id
 """
