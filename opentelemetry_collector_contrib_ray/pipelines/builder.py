@@ -586,6 +586,40 @@ def _to_faro(ds, body_col: str = "body", max_items: int = 8192):
     return logs_to_faro_payloads(ds, body_col, max_items=max_items)
 
 
+@register_stage("parse_oc_traces")
+def _parse_oc_traces(ds, json_col: str = "oc_json",
+                     on_error: str = "drop"):
+    """opencensusreceiver trace batch decode (round 5)."""
+    from ..stages.opencensus import parse_oc_traces
+
+    return parse_oc_traces(ds, json_col, on_error=on_error)
+
+
+@register_stage("parse_oc_metrics")
+def _parse_oc_metrics(ds, json_col: str = "oc_json",
+                      on_error: str = "drop"):
+    """opencensusreceiver metric batch decode (round 5)."""
+    from ..stages.opencensus import parse_oc_metrics
+
+    return parse_oc_metrics(ds, json_col, on_error=on_error)
+
+
+@register_stage("to_oc_traces")
+def _to_oc_traces(ds, group_col: str = "event_id"):
+    """opencensusexporter: flat span rows → OC batch docs (round 5)."""
+    from ..stages.opencensus import spans_to_oc
+
+    return spans_to_oc(ds, group_col)
+
+
+@register_stage("to_oc_metrics")
+def _to_oc_metrics(ds, group_col: str = "event_id"):
+    """opencensusexporter: flat metric rows → OC batch docs (round 5)."""
+    from ..stages.opencensus import metrics_to_oc
+
+    return metrics_to_oc(ds, group_col)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -4126,6 +4126,224 @@ def q_faro_traces(sf_dir: str):
     ).map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _oc_trace_fixture(t: "pa.Table") -> "pa.Table":
+    """Deterministic OC trace batch per events row: m=0 typed attrs +
+    SERVER, m=1 span.kind-attr consumer + error status, m=2 per-span
+    resource + otel.status_code override, m=3 tracestate/parent/events/
+    links, m=4 same-process wrapper + nil status, m=5 nil span."""
+    import base64 as _b64
+    import json as _json
+
+    eid = t.column("event_id").to_pylist()
+    uid = t.column("user_id").to_pylist()
+
+    def b64(hexstr):
+        return _b64.b64encode(bytes.fromhex(hexstr)).decode("ascii")
+
+    docs = []
+    for e, u in zip(eid, uid):
+        m = e % 6
+        node = {"serviceInfo": {"name": f"svc{u % 2}"},
+                "identifier": {"hostName": "h1"}}
+        resource = {"labels": {"l1": f"v{u % 5}"}}
+        sp: dict = {"traceId": b64(f"{e + 1:032x}"),
+                    "spanId": b64(f"{e + 2:016x}"),
+                    "name": {"value": f"op{m}"},
+                    "startTime": "2020-03-04T05:06:07.123Z",
+                    "endTime": "2020-03-04T05:06:08.123Z"}
+        if m == 0:
+            sp["kind"] = "SERVER"
+            sp["status"] = {"code": 0}
+            sp["attributes"] = {"attributeMap": {
+                "ia": {"intValue": str(e % 50)},
+                "sa": {"stringValue": {"value": "x y"}},
+                "ba": {"boolValue": True}}}
+        elif m == 1:
+            sp["attributes"] = {"attributeMap": {
+                "span.kind": {"stringValue": {"value": "consumer"}}}}
+            sp["status"] = {"code": 9, "message": "boom"}
+        elif m == 2:
+            sp["resource"] = {"type": "container",
+                              "labels": {"lr": f"r{u % 3}"}}
+            sp["attributes"] = {"attributeMap": {
+                "otel.status_code": {"intValue": "1"}}}
+            sp["status"] = {"code": 0}
+        elif m == 3:
+            sp["tracestate"] = {"entries": [
+                {"key": "k", "value": f"w{e % 7}"}]}
+            sp["parentSpanId"] = b64(f"{e + 3:016x}")
+            sp["status"] = {"code": 0}
+            sp["timeEvents"] = {"timeEvent": [
+                {"time": "2020-03-04T05:06:07.5Z",
+                 "annotation": {"description": {"value": "ann"},
+                                "attributes": {"attributeMap": {
+                                    "ek": {"intValue": str(e % 9)}}}}},
+                {"time": "2020-03-04T05:06:07.6Z",
+                 "messageEvent": {"type": "SENT", "id": "3",
+                                  "uncompressedSize": "10",
+                                  "compressedSize": "9"}}]}
+            sp["links"] = {"link": [
+                {"traceId": b64(f"{e + 4:032x}"),
+                 "spanId": b64(f"{e + 5:016x}"),
+                 "tracestate": {"entries": [{"key": "x", "value": "y"}]},
+                 "attributes": {"attributeMap": {
+                     "lk": {"stringValue": {"value": "lv"}}}}}]}
+        elif m == 4:
+            sp["sameProcessAsParentSpan"] = {"value": u % 2 == 0}
+            sp["attributes"] = {"attributeMap": {
+                "za": {"stringValue": {"value": "z"}}}}
+        else:
+            sp = None
+        docs.append(_json.dumps({"node": node, "resource": resource,
+                                 "spans": [sp]}))
+    return pa.table({"event_id": t.column("event_id"),
+                     "oc_json": pa.array(docs, pa.string())})
+
+
+def q_oc_parse(sf_dir: str):
+    """pkg/translator/opencensus trace decode: OC batch documents →
+    flat span rows — node/resource attr merge with special-field
+    overwrite, per-span resource split, kind attr fallback,
+    otel.status_code override (consumed only when status present),
+    tracestate join, annotation/message events, links, same-process
+    wrapper (oc_to_traces.go, oc_to_resource.go)."""
+    from ..stages.opencensus import parse_oc_traces
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    parsed = parse_oc_traces(ds.map_batches(
+        _oc_trace_fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "oc_json")
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "trace_state", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "attributes", "resource_attributes",
+         "events", "links"])
+
+
+def q_oc_roundtrip(sf_dir: str):
+    """opencensus whole round trip: OC docs → flat spans
+    (oc_to_traces) → OC docs per (event, resource) group
+    (traces_to_oc: kind attr re-add, status OK/Unknown mapping,
+    node/resource rebuild with type inference) → flat spans again;
+    pinned to the same decode oracle."""
+    from ..stages.opencensus import parse_oc_traces, spans_to_oc
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    first = parse_oc_traces(ds.map_batches(
+        _oc_trace_fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "oc_json")
+    second = parse_oc_traces(spans_to_oc(first, "event_id"), "oc_json")
+    return second.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "trace_state", "span_name", "span_kind",
+         "start_time_unix_nano", "end_time_unix_nano", "status_code",
+         "status_message", "attributes", "resource_attributes",
+         "events", "links"])
+
+
+def _oc_metric_fixture(t: "pa.Table") -> "pa.Table":
+    """Deterministic OC metric batch per events row: m=0 gauge int with
+    a hasValue=false label, m=1 cumulative double, m=2 distribution
+    with bucket exemplar, m=3 summary, m=4 UNSPECIFIED descriptor
+    (drops)."""
+    import json as _json
+
+    eid = t.column("event_id").to_pylist()
+    uid = t.column("user_id").to_pylist()
+    docs = []
+    for e, u in zip(eid, uid):
+        m = e % 5
+        node = {"serviceInfo": {"name": "svcm"}}
+        resource = {"labels": {"lm": f"b{u % 3}"}}
+        desc: dict = {"name": f"m{m}", "unit": "ms",
+                      "labelKeys": [{"key": "k1"}, {"key": "k2"}]}
+        ts: dict = {"startTimestamp": "2020-03-04T05:06:00Z",
+                    "labelValues": [
+                        {"value": f"a{u % 4}", "hasValue": True},
+                        {"hasValue": False}]}
+        if m == 0:
+            desc["type"] = "GAUGE_INT64"
+            ts["points"] = [{"timestamp": "2020-03-04T05:06:01Z",
+                             "int64Value": str(e % 100)}]
+        elif m == 1:
+            desc["type"] = "CUMULATIVE_DOUBLE"
+            ts["labelValues"] = [
+                {"value": f"a{u % 4}", "hasValue": True},
+                {"value": "c2", "hasValue": True}]
+            ts["points"] = [{"timestamp": "2020-03-04T05:06:01Z",
+                             "doubleValue": (u % 50) + 0.5}]
+        elif m == 2:
+            desc["type"] = "CUMULATIVE_DISTRIBUTION"
+            ts["points"] = [{
+                "timestamp": "2020-03-04T05:06:01Z",
+                "distributionValue": {
+                    "count": "5", "sum": 10.5,
+                    "bucketOptions": {"explicit": {"bounds": [1, 2]}},
+                    "buckets": [
+                        {"count": "1"},
+                        {"count": "2", "exemplar": {
+                            "value": 1.5,
+                            "timestamp": "2020-03-04T05:06:01Z",
+                            "attachments": {"ex": f"x{e % 3}"}}},
+                        {"count": "2"}]}}]
+        elif m == 3:
+            desc["type"] = "SUMMARY"
+            ts["points"] = [{
+                "timestamp": "2020-03-04T05:06:01Z",
+                "summaryValue": {
+                    "sum": {"value": 20.5}, "count": {"value": "7"},
+                    "snapshot": {"percentileValues": [
+                        {"percentile": 50, "value": (e % 10) + 0.5},
+                        {"percentile": 75, "value": (e % 10) + 1.5}]}}}]
+        else:
+            desc["type"] = 0
+            ts["points"] = [{"timestamp": "2020-03-04T05:06:01Z",
+                             "int64Value": "1"}]
+        docs.append(_json.dumps({
+            "node": node, "resource": resource,
+            "metrics": [{"metricDescriptor": desc, "timeseries": [ts]}]}))
+    return pa.table({"event_id": t.column("event_id"),
+                     "oc_json": pa.array(docs, pa.string())})
+
+
+_OC_METRIC_COLS = ["metric_name", "metric_unit", "metric_type",
+                   "aggregation_temporality", "is_monotonic",
+                   "start_time_unix_nano", "time_unix_nano",
+                   "value_int", "value_double", "count", "dist_sum",
+                   "bucket_counts", "explicit_bounds", "quantiles",
+                   "exemplars", "attributes", "resource_attributes"]
+
+
+def q_oc_metrics_parse(sf_dir: str):
+    """opencensus metric decode: descriptor-type mapping with int/double
+    value typing, label key/value zip with hasValue skip, distribution
+    buckets/bounds/exemplars, summary percentile→quantile /100
+    (oc_to_metrics.go)."""
+    from ..stages.opencensus import parse_oc_metrics
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    parsed = parse_oc_metrics(ds.map_batches(
+        _oc_metric_fixture, batch_format="pyarrow",
+        zero_copy_batch=True), "oc_json")
+    return parsed.select_columns(["event_id"] + _OC_METRIC_COLS)
+
+
+def q_oc_metrics_roundtrip(sf_dir: str):
+    """opencensus metric round trip: decode → metrics_to_oc (sorted
+    label-key union, all-int detection, exemplar bucket re-attach,
+    summary quantile×100) → decode again; same oracle."""
+    from ..stages.opencensus import metrics_to_oc, parse_oc_metrics
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    first = parse_oc_metrics(ds.map_batches(
+        _oc_metric_fixture, batch_format="pyarrow",
+        zero_copy_batch=True), "oc_json")
+    second = parse_oc_metrics(metrics_to_oc(first, "event_id"),
+                              "oc_json")
+    return second.select_columns(["event_id"] + _OC_METRIC_COLS)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4295,6 +4513,10 @@ QUERIES = {
     "faro_parse": q_faro_parse,
     "faro_roundtrip": q_faro_roundtrip,
     "faro_traces": q_faro_traces,
+    "oc_parse": q_oc_parse,
+    "oc_roundtrip": q_oc_roundtrip,
+    "oc_metrics_parse": q_oc_metrics_parse,
+    "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -6501,3 +6723,113 @@ ORACLE_SQL["faro_traces"] = """
       'lib' AS scope_name
     FROM l ORDER BY event_id
 """
+
+# opencensus trace decode → flat span rows
+_OC_TRACE_BODY_SQL = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             lpad(printf('%x', event_id + 4), 32, '0') AS ltid,
+             lpad(printf('%x', event_id + 5), 16, '0') AS lsid,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 3 AS VARCHAR) AS u3
+      FROM events)
+    SELECT event_id, tid AS trace_id, sid AS span_id,
+      CASE WHEN m = 3 THEN pid END AS parent_span_id,
+      CASE WHEN m = 3 THEN 'k=w' || CAST(event_id % 7 AS VARCHAR) END
+        AS trace_state,
+      'op' || CAST(m AS VARCHAR) AS span_name,
+      CAST(CASE m WHEN 0 THEN 2 WHEN 1 THEN 5 ELSE 0 END AS BIGINT)
+        AS span_kind,
+      CAST(1583298367123000000 AS BIGINT) AS start_time_unix_nano,
+      CAST(1583298368123000000 AS BIGINT) AS end_time_unix_nano,
+      CAST(CASE m WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS BIGINT)
+        AS status_code,
+      CASE WHEN m = 1 THEN 'boom' END AS status_message,
+      CASE m
+        WHEN 0 THEN '{"ba": true, "ia": '
+          || CAST(event_id % 50 AS VARCHAR) || ', "sa": "x y"}'
+        WHEN 4 THEN '{"opencensus.same_process_as_parent_span": '
+          || CASE WHEN user_id % 2 = 0 THEN 'true' ELSE 'false' END
+          || ', "za": "z"}'
+        ELSE '{}' END AS attributes,
+      CASE WHEN m = 2 THEN
+        '{"host.name": "h1", "lr": "r' || u3
+          || '", "opencensus.resourcetype": "container", '
+          || '"service.name": "svc' || u2 || '"}'
+      ELSE
+        '{"host.name": "h1", "l1": "v' || u5
+          || '", "service.name": "svc' || u2 || '"}'
+      END AS resource_attributes,
+      CASE WHEN m = 3 THEN
+        '[{"attributes": {"ek": ' || CAST(event_id % 9 AS VARCHAR)
+        || '}, "droppedAttributesCount": 0, "name": "ann", '
+        || '"timeUnixNano": 1583298367500000000}, '
+        || '{"attributes": {"message.type": "SENT", '
+        || '"messaging.message.id": 3, '
+        || '"messaging.message.payload_compressed_size_bytes": 9, '
+        || '"messaging.message.payload_size_bytes": 10}, '
+        || '"droppedAttributesCount": 0, "name": "message", '
+        || '"timeUnixNano": 1583298367600000000}]'
+      ELSE '[]' END AS events,
+      CASE WHEN m = 3 THEN
+        '[{"attributes": {"lk": "lv"}, "droppedAttributesCount": 0, '
+        || '"spanId": "' || lsid || '", "traceId": "' || ltid
+        || '", "traceState": "x=y"}]'
+      ELSE '[]' END AS links
+    FROM l WHERE m <> 5
+"""
+
+ORACLE_SQL["oc_parse"] = (
+    "SELECT * FROM (" + _OC_TRACE_BODY_SQL + ") ORDER BY event_id")
+ORACLE_SQL["oc_roundtrip"] = ORACLE_SQL["oc_parse"]
+
+_OC_METRIC_BODY_SQL = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             'a' || CAST(user_id % 4 AS VARCHAR) AS a4,
+             'b' || CAST(user_id % 3 AS VARCHAR) AS b3
+      FROM events)
+    SELECT event_id,
+      'm' || CAST(m AS VARCHAR) AS metric_name,
+      'ms' AS metric_unit,
+      CASE m WHEN 0 THEN 'gauge' WHEN 1 THEN 'sum'
+             WHEN 2 THEN 'histogram' ELSE 'summary' END AS metric_type,
+      CAST(CASE WHEN m IN (1, 2) THEN 2 ELSE 0 END AS BIGINT)
+        AS aggregation_temporality,
+      (m = 1) AS is_monotonic,
+      CAST(1583298360000000000 AS BIGINT) AS start_time_unix_nano,
+      CAST(1583298361000000000 AS BIGINT) AS time_unix_nano,
+      CASE WHEN m = 0 THEN CAST(event_id % 100 AS BIGINT) END
+        AS value_int,
+      CASE WHEN m = 1 THEN CAST(user_id % 50 AS DOUBLE) + 0.5 END
+        AS value_double,
+      CASE WHEN m = 2 THEN CAST(5 AS BIGINT)
+           WHEN m = 3 THEN CAST(7 AS BIGINT) END AS count,
+      CAST(CASE WHEN m = 2 THEN 10.5 WHEN m = 3 THEN 20.5 END AS DOUBLE) AS dist_sum,
+      CASE WHEN m = 2 THEN '[1, 2, 2]' END AS bucket_counts,
+      CASE WHEN m = 2 THEN '[1.0, 2.0]' END AS explicit_bounds,
+      CASE WHEN m = 3 THEN '[{"quantile": 0.5, "value": '
+        || CAST(CAST(event_id % 10 AS DOUBLE) + 0.5 AS VARCHAR)
+        || '}, {"quantile": 0.75, "value": '
+        || CAST(CAST(event_id % 10 AS DOUBLE) + 1.5 AS VARCHAR)
+        || '}]' END AS quantiles,
+      CASE WHEN m = 2 THEN '[{"filteredAttributes": {"ex": "x'
+        || CAST(event_id % 3 AS VARCHAR)
+        || '"}, "timeUnixNano": 1583298361000000000, "value": 1.5}]'
+        END AS exemplars,
+      CASE WHEN m = 1 THEN '{"k1": "' || a4 || '", "k2": "c2"}'
+           ELSE '{"k1": "' || a4 || '"}' END AS attributes,
+      '{"lm": "' || b3 || '", "service.name": "svcm"}'
+        AS resource_attributes
+    FROM l WHERE m <> 4
+"""
+
+ORACLE_SQL["oc_metrics_parse"] = (
+    "SELECT * FROM (" + _OC_METRIC_BODY_SQL + ") ORDER BY event_id")
+ORACLE_SQL["oc_metrics_roundtrip"] = ORACLE_SQL["oc_metrics_parse"]
