@@ -620,6 +620,27 @@ def _to_oc_metrics(ds, group_col: str = "event_id"):
     return metrics_to_oc(ds, group_col)
 
 
+@register_stage("to_elasticsearch_logs")
+def _to_elasticsearch_logs(ds, mode: str = "ecs",
+                           static_index: str = None,
+                           on_error: str = "drop", **cols):
+    """elasticsearchexporter log documents (round 5)."""
+    from ..stages.elasticsearch import logs_to_elasticsearch
+
+    return logs_to_elasticsearch(ds, mode, cols=cols or None,
+                                 static_index=static_index,
+                                 on_error=on_error)
+
+
+@register_stage("to_elasticsearch_spans")
+def _to_elasticsearch_spans(ds, mode: str = "ecs",
+                            static_index: str = None):
+    """elasticsearchexporter span documents (round 5)."""
+    from ..stages.elasticsearch import spans_to_elasticsearch
+
+    return spans_to_elasticsearch(ds, mode, static_index=static_index)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -4344,6 +4344,137 @@ def q_oc_metrics_roundtrip(sf_dir: str):
     return second.select_columns(["event_id"] + _OC_METRIC_COLS)
 
 
+def q_es_logs_ecs(sf_dir: str):
+    """elasticsearchexporter ECS log documents: SemConv→ECS conversion
+    tables with host.name preservation, agent name/version resolution,
+    host.os.type table, data-stream routing (attr > receiver-scope >
+    defaults, sanitized) with last-wins data_stream echo fields, nested
+    dedot serialization with sorted keys and the objmodel dedup rules
+    (model.go:183-229, 497-611; data_stream_router.go)."""
+    from ..stages.elasticsearch import logs_to_elasticsearch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        import json as _json
+
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        cols = {k: [] for k in (
+            "body", "time_unix_nano", "severity_number", "severity_text",
+            "trace_id", "span_id", "attributes", "resource_attributes",
+            "scope_name")}
+        for e, u in zip(eid, uid):
+            m = e % 4
+            cols["body"].append(f"msg {e % 9}" if m != 1 else "x")
+            cols["time_unix_nano"].append(1_681_873_445_000_000_006)
+            cols["severity_number"].append((e % 24) + 1 if m == 0 else 0)
+            cols["severity_text"].append("INFO" if m == 0 else None)
+            cols["trace_id"].append(f"{e + 1:032x}" if m == 0 else None)
+            cols["span_id"].append(f"{e + 2:016x}" if m == 0 else None)
+            if m == 0:
+                attrs = {"event.name": "click", "k": f"v{e % 5}"}
+                res = {"service.name": f"svc{u % 2}", "host.name": "h1",
+                       "telemetry.sdk.name": "otelsdk",
+                       "telemetry.sdk.language": "go",
+                       "telemetry.sdk.version": "1.2"}
+                scope = ""
+            elif m == 1:
+                attrs = {"data_stream.dataset": "My-DS#1"}
+                res = {"service.name": f"svc{u % 2}",
+                       "data_stream.namespace": "N S"}
+                scope = ""
+            elif m == 2:
+                attrs = {"elasticsearch.index": "custom-index",
+                         "exception.message": f"boom {e % 7}",
+                         "exception.type": "Error"}
+                res = {"service.name": f"svc{u % 2}"}
+                scope = ""
+            else:
+                attrs = {"a": e % 11}
+                res = {"service.name": f"svc{u % 2}",
+                       "os.type": "darwin", "os.name": "Mac OS X"}
+                scope = ("github.com/open-telemetry/opentelemetry-"
+                         "collector-contrib/receiver/hostmetricsreceiver"
+                         "/internal/scraper/cpuscraper")
+            cols["attributes"].append(_json.dumps(attrs))
+            cols["resource_attributes"].append(_json.dumps(res))
+            cols["scope_name"].append(scope)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "body": pa.array(cols["body"], pa.string()),
+            "time_unix_nano": pa.array(cols["time_unix_nano"],
+                                       pa.int64()),
+            "severity_number": pa.array(cols["severity_number"],
+                                        pa.int64()),
+            "severity_text": pa.array(cols["severity_text"],
+                                      pa.string()),
+            "trace_id": pa.array(cols["trace_id"], pa.string()),
+            "span_id": pa.array(cols["span_id"], pa.string()),
+            "attributes": pa.array(cols["attributes"], pa.string()),
+            "resource_attributes": pa.array(cols["resource_attributes"],
+                                            pa.string()),
+            "scope_name": pa.array(cols["scope_name"], pa.string())})
+
+    out = logs_to_elasticsearch(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True), "ecs")
+    return out.select_columns(["event_id", "es_index", "es_doc"])
+
+
+def q_es_spans_ecs(sf_dir: str):
+    """elasticsearchexporter ECS span documents: trace/span/parent ids,
+    event.outcome from status, span.links objects, resource ECS
+    conversion, traces data-stream default routing
+    (model.go:231-262)."""
+    import json as _json
+
+    from ..stages.elasticsearch import spans_to_elasticsearch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "span_name",
+            "span_kind", "start_time_unix_nano", "end_time_unix_nano",
+            "status_code", "status_message", "attributes",
+            "resource_attributes", "scope_name", "links", "events")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else None)
+            rows["span_name"].append(f"op{m}")
+            rows["span_kind"].append(m)
+            rows["start_time_unix_nano"].append(1_681_873_445_000_000_006)
+            rows["end_time_unix_nano"].append(1_681_873_446_000_000_006)
+            rows["status_code"].append(m)
+            rows["status_message"].append("Test" if m == 2 else None)
+            rows["attributes"].append(_json.dumps(
+                {"http.method": "GET"} if m == 0 else {}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"service.name": f"svc{u % 2}",
+                 "deployment.environment": "BETA"}))
+            rows["scope_name"].append("")
+            rows["links"].append(_json.dumps(
+                [{"traceId": f"{e + 4:032x}",
+                  "spanId": f"{e + 5:016x}"}] if m == 1 else []))
+            rows["events"].append("[]")
+        return pa.table({"event_id": t.column("event_id"), **{
+            k: pa.array(v, pa.int64() if k in (
+                "span_kind", "start_time_unix_nano",
+                "end_time_unix_nano", "status_code") else pa.string())
+            for k, v in rows.items()}})
+
+    out = spans_to_elasticsearch(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True), "ecs")
+    return out.select_columns(["event_id", "es_index", "es_doc"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4517,6 +4648,8 @@ QUERIES = {
     "oc_roundtrip": q_oc_roundtrip,
     "oc_metrics_parse": q_oc_metrics_parse,
     "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
+    "es_logs_ecs": q_es_logs_ecs,
+    "es_spans_ecs": q_es_spans_ecs,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -6833,3 +6966,87 @@ _OC_METRIC_BODY_SQL = """
 ORACLE_SQL["oc_metrics_parse"] = (
     "SELECT * FROM (" + _OC_METRIC_BODY_SQL + ") ORDER BY event_id")
 ORACLE_SQL["oc_metrics_roundtrip"] = ORACLE_SQL["oc_metrics_parse"]
+
+# elasticsearch exporter ECS documents (exact dedotted JSON strings)
+ORACLE_SQL["es_logs_ecs"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             '{"@timestamp":"2023-04-19T03:04:05.000000006Z",' AS hdr
+      FROM events)
+    SELECT event_id,
+      CASE m WHEN 0 THEN 'logs-generic-default'
+             WHEN 1 THEN 'logs-my_ds_1-n_s'
+             WHEN 2 THEN 'custom-index'
+             ELSE 'logs-hostmetricsreceiver-default' END AS es_index,
+      CASE m
+        WHEN 0 THEN hdr
+          || '"agent":{"name":"otelsdk/go","version":"1.2"},'
+          || '"data_stream":{"dataset":"generic","namespace":"default",'
+          || '"type":"logs"},"event":{"action":"click","severity":'
+          || CAST(event_id % 24 + 1 AS VARCHAR)
+          || '},"host":{"hostname":"h1","name":"h1"},"k":"v'
+          || CAST(event_id % 5 AS VARCHAR)
+          || '","log":{"level":"INFO"},"message":"msg '
+          || CAST(event_id % 9 AS VARCHAR)
+          || '","service":{"name":"' || svc || '"},"span":{"id":"'
+          || sid || '"},"trace":{"id":"' || tid || '"}}'
+        WHEN 1 THEN hdr || '"agent":{"name":"otlp"},'
+          || '"data_stream":{"dataset":"my_ds_1","namespace":"n_s",'
+          || '"type":"logs"},"message":"x","service":{"name":"'
+          || svc || '"}}'
+        WHEN 2 THEN hdr || '"agent":{"name":"otlp"},'
+          || '"elasticsearch":{"index":"custom-index"},'
+          || '"error":{"message":"boom '
+          || CAST(event_id % 7 AS VARCHAR)
+          || '","type":"Error"},"message":"msg '
+          || CAST(event_id % 9 AS VARCHAR)
+          || '","service":{"name":"' || svc || '"}}'
+        ELSE hdr || '"a":' || CAST(event_id % 11 AS VARCHAR)
+          || ',"agent":{"name":"otlp"},'
+          || '"data_stream":{"dataset":"hostmetricsreceiver",'
+          || '"namespace":"default","type":"logs"},'
+          || '"host":{"os":{"name":"Mac OS X","platform":"darwin",'
+          || '"type":"macos"}},"message":"msg '
+          || CAST(event_id % 9 AS VARCHAR)
+          || '","service":{"name":"' || svc || '"}}'
+      END AS es_doc
+    FROM l ORDER BY event_id
+"""
+
+ORACLE_SQL["es_spans_ecs"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 3 AS INTEGER) AS m,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             lpad(printf('%x', event_id + 4), 32, '0') AS ltid,
+             lpad(printf('%x', event_id + 5), 16, '0') AS lsid,
+             '{"@timestamp":"2023-04-19T03:04:05.000000006Z",'
+               || '"data_stream":{"dataset":"generic",'
+               || '"namespace":"default","type":"traces"},' AS hdr
+      FROM events)
+    SELECT event_id,
+      'traces-generic-default' AS es_index,
+      CASE m
+        WHEN 0 THEN hdr || '"http":{"method":"GET"},"parent":{"id":"'
+          || pid || '"},"service":{"environment":"BETA","name":"'
+          || svc || '"},"span":{"id":"' || sid
+          || '","name":"op0"},"trace":{"id":"' || tid || '"}}'
+        WHEN 1 THEN hdr || '"event":{"outcome":"success"},'
+          || '"service":{"environment":"BETA","name":"' || svc
+          || '"},"span":{"id":"' || sid || '","links":[{"span_id":"'
+          || lsid || '","trace_id":"' || ltid
+          || '"}],"name":"op1"},"trace":{"id":"' || tid || '"}}'
+        ELSE hdr || '"event":{"outcome":"failure"},'
+          || '"service":{"environment":"BETA","name":"' || svc
+          || '"},"span":{"id":"' || sid
+          || '","name":"op2"},"trace":{"id":"' || tid || '"}}'
+      END AS es_doc
+    FROM l ORDER BY event_id
+"""
