@@ -641,6 +641,14 @@ def _to_elasticsearch_spans(ds, mode: str = "ecs",
     return spans_to_elasticsearch(ds, mode, static_index=static_index)
 
 
+@register_stage("to_emf")
+def _to_emf(ds, **config):
+    """awsemfexporter EMF log events (round 5)."""
+    from ..stages.awsemf import metrics_to_emf
+
+    return metrics_to_emf(ds, **config)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

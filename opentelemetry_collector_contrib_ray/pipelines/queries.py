@@ -4475,6 +4475,89 @@ def q_es_spans_ecs(sf_dir: str):
     return out.select_columns(["event_id", "es_index", "es_doc"])
 
 
+def _emf_fixture(t: "pa.Table") -> "pa.Table":
+    """Flat metric rows per events row: m=0 delta-sum int with storage
+    resolution, m=1 prometheus gauge, m=2 histogram, m=3 summary."""
+    import json as _json
+
+    eid = t.column("event_id").to_pylist()
+    uid = t.column("user_id").to_pylist()
+    cols: dict = {k: [] for k in (
+        "metric_name", "metric_unit", "metric_type",
+        "aggregation_temporality", "time_unix_nano", "value_int",
+        "value_double", "count", "dist_sum", "dist_min", "dist_max",
+        "quantiles", "attributes", "resource_attributes", "scope_name")}
+    for e, u in zip(eid, uid):
+        m = e % 4
+        attrs = {"eid": str(e), "env": f"p{u % 3}"}
+        res = {"service.name": f"svc{u % 2}"}
+        if m == 0:
+            attrs["aws.emf.storage_resolution"] = "1"
+        if m == 1:
+            res["receiver"] = "prometheus"
+        cols["metric_name"].append(["reqs", "gaugev", "lat", "summ"][m])
+        cols["metric_unit"].append(["ms", "1", "s", "By"][m])
+        cols["metric_type"].append(
+            ["sum", "gauge", "histogram", "summary"][m])
+        cols["aggregation_temporality"].append(1 if m == 0 else 0)
+        cols["time_unix_nano"].append(1_596_151_098_037_000_000)
+        cols["value_int"].append(e % 50 if m == 0 else None)
+        cols["value_double"].append((u % 50) + 0.25 if m == 1 else None)
+        cols["count"].append({2: 4, 3: 6}.get(m))
+        cols["dist_sum"].append({2: 10.5, 3: 20.5}.get(m))
+        cols["dist_min"].append(1.0 if m == 2 else None)
+        cols["dist_max"].append(float(e % 5 + 2) if m == 2 else None)
+        cols["quantiles"].append(_json.dumps(
+            [{"quantile": 0, "value": 1.5},
+             {"quantile": 1, "value": (e % 7) + 3.5}])
+            if m == 3 else None)
+        cols["attributes"].append(_json.dumps(attrs))
+        cols["resource_attributes"].append(_json.dumps(res))
+        cols["scope_name"].append("lib")
+    typed = {"aggregation_temporality": pa.int64(),
+             "time_unix_nano": pa.int64(), "value_int": pa.int64(),
+             "value_double": pa.float64(), "count": pa.int64(),
+             "dist_sum": pa.float64(), "dist_min": pa.float64(),
+             "dist_max": pa.float64()}
+    return pa.table({k: pa.array(v, typed.get(k, pa.string()))
+                     for k, v in cols.items()})
+
+
+def q_emf_export(sf_dir: str):
+    """awsemfexporter: flat metric rows → EMF v1 log events — grouped
+    metric labels + OTelLib, namespace from service.name, zero/single
+    dimension rollups with the single-label dedup rule, statistical
+    sets for histogram/summary, prom_metric_type for the prometheus
+    receiver, storage-resolution label, unit translation, Go
+    json.Marshal document shape (metric_translator.go, datapoint.go,
+    util.go)."""
+    from ..stages.awsemf import metrics_to_emf
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return metrics_to_emf(ds.map_batches(
+        _emf_fixture, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_emf_export_declarations(sf_dir: str):
+    """awsemfexporter metric declarations + EMF v0: name-selector and
+    label-matcher filtering, declared dimension-set extraction with
+    missing-label drops, dedup, whole-group drop when nothing matches,
+    the stringified-Timestamp v0 envelope
+    (metric_translator.go:271-378, 437-457)."""
+    from ..stages.awsemf import metrics_to_emf
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    return metrics_to_emf(
+        ds.map_batches(_emf_fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        version="0", dimension_rollup_option="NoDimensionRollup",
+        metric_declarations=[{
+            "metric_name_selectors": ["^reqs$", "^gaugev$"],
+            "dimensions": [["env"], ["eid", "env"], ["missing"]],
+            "label_matchers": [{"label_names": ["env"],
+                                "regex": "^p[0-9]$"}]}])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4650,6 +4733,8 @@ QUERIES = {
     "oc_metrics_roundtrip": q_oc_metrics_roundtrip,
     "es_logs_ecs": q_es_logs_ecs,
     "es_spans_ecs": q_es_spans_ecs,
+    "emf_export": q_emf_export,
+    "emf_export_declarations": q_emf_export_declarations,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7049,4 +7134,67 @@ ORACLE_SQL["es_spans_ecs"] = """
           || '","name":"op2"},"trace":{"id":"' || tid || '"}}'
       END AS es_doc
     FROM l ORDER BY event_id
+"""
+
+# awsemf EMF documents (exact Go json.Marshal strings)
+ORACLE_SQL["emf_export"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             'p' || CAST(user_id % 3 AS VARCHAR) AS env
+      FROM events),
+    b AS (
+      SELECT *,
+        '{"OTelLib":"lib","Version":"1","_aws":{"CloudWatchMetrics":[{'
+          || '"Namespace":"' || svc || '","Dimensions":[["OTelLib",'
+          || '"eid","env"],["OTelLib"],["OTelLib","eid"],["OTelLib",'
+          || '"env"]],"Metrics":[{"Name":"' AS hdr,
+        '}]}],"Timestamp":1596151098037},"eid":"' || CAST(e AS VARCHAR)
+          || '","env":"' || env || '",' AS mid
+      FROM l)
+    SELECT '/metrics/' || svc AS log_group, '' AS log_stream,
+      CAST(1596151098037 AS BIGINT) AS timestamp_ms,
+      CASE m
+        WHEN 0 THEN hdr
+          || 'reqs","Unit":"Milliseconds","StorageResolution":1'
+          || mid || '"reqs":' || CAST(e % 50 AS VARCHAR) || '}'
+        WHEN 1 THEN hdr
+          || 'gaugev","Unit":"","StorageResolution":60'
+          || mid || '"gaugev":'
+          || CAST(CAST(user_id % 50 AS DOUBLE) + 0.25 AS VARCHAR)
+          || ',"prom_metric_type":"gauge"}'
+        WHEN 2 THEN hdr || 'lat","Unit":"Seconds","StorageResolution":60'
+          || mid || '"lat":{"Max":' || CAST(e % 5 + 2 AS VARCHAR)
+          || ',"Min":1,"Count":4,"Sum":10.5}}'
+        ELSE hdr || 'summ","Unit":"Bytes","StorageResolution":60'
+          || mid || '"summ":{"Max":'
+          || CAST(CAST(e % 7 AS DOUBLE) + 3.5 AS VARCHAR)
+          || ',"Min":1.5,"Count":6,"Sum":20.5}}'
+      END AS emf_json
+    FROM b ORDER BY e
+"""
+
+ORACLE_SQL["emf_export_declarations"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             'p' || CAST(user_id % 3 AS VARCHAR) AS env
+      FROM events WHERE event_id % 4 IN (0, 1))
+    SELECT '/metrics/' || svc AS log_group, '' AS log_stream,
+      CAST(1596151098037 AS BIGINT) AS timestamp_ms,
+      '{"CloudWatchMetrics":[{"Namespace":"' || svc
+        || '","Dimensions":[["env"],["eid","env"]],"Metrics":[{"Name":"'
+        || CASE m WHEN 0
+             THEN 'reqs","Unit":"Milliseconds","StorageResolution":1'
+             ELSE 'gaugev","Unit":"","StorageResolution":60' END
+        || '}]}],"OTelLib":"lib","Timestamp":"1596151098037",'
+        || '"Version":"0","eid":"' || CAST(e AS VARCHAR) || '","env":"'
+        || env || '",'
+        || CASE m WHEN 0 THEN '"reqs":' || CAST(e % 50 AS VARCHAR) || '}'
+             ELSE '"gaugev":'
+               || CAST(CAST(user_id % 50 AS DOUBLE) + 0.25 AS VARCHAR)
+               || ',"prom_metric_type":"gauge"}' END AS emf_json
+    FROM l ORDER BY e
 """

@@ -69,7 +69,11 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "bpe_encode", "azure_logs_parse", "jaeger_parse",
                    "signalfx_roundtrip", "signalfx_hist_fanout",
                    "skywalking_parse", "faro_logs_parse",
-                   "prw_export"}
+                   "prw_export", "faro_parse", "faro_roundtrip",
+                   "faro_traces", "oc_parse", "oc_roundtrip",
+                   "oc_metrics_parse", "oc_metrics_roundtrip",
+                   "es_logs_ecs", "es_spans_ecs", "emf_export",
+                   "emf_export_declarations"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
