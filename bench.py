@@ -164,6 +164,12 @@ OPERATOR_QUERIES = [
     "cwlogs_parse",
     "syslog_render",
     "bpe_encode",
+    # round-5 late additions: faro/opencensus translators, elasticsearch
+    # and EMF exporter documents (all per-row codecs, block-local)
+    "faro_roundtrip",
+    "oc_roundtrip",
+    "es_logs_ecs",
+    "emf_export",
 ]
 
 
