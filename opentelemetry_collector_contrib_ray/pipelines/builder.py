@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("to_xray")
+def _to_xray(ds, **opts):
+    """awsxrayexporter segment documents (round 5)."""
+    from ..stages.xray import spans_to_xray
+
+    return spans_to_xray(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

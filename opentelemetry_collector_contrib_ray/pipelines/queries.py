@@ -4558,6 +4558,105 @@ def q_emf_export_declarations(sf_dir: str):
                                 "regex": "^p[0-9]$"}]}])
 
 
+def q_xray_export(sf_dir: str):
+    """awsxrayexporter: flat span rows → X-Ray segment documents —
+    amazon trace ids, segment/subsegment typing, naming precedence,
+    http request/response assembly, error/fault/throttle table,
+    exception causes, aws/service/sql blocks, annotations vs metadata
+    split, LOCAL_ROOT two-document fan-out
+    (exporter/awsxrayexporter/internal/translator)."""
+    import json as _json
+
+    from ..stages.xray import spans_to_xray
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "span_name",
+            "span_kind", "start_time_unix_nano", "end_time_unix_nano",
+            "status_code", "status_message", "attributes",
+            "resource_attributes", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 5
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["start_time_unix_nano"].append(1_681_873_445_000_000_000)
+            rows["end_time_unix_nano"].append(1_681_873_446_500_000_000)
+            events = []
+            if m == 0:
+                kind, parent, status = 2, None, 0
+                attrs = {"http.method": "GET",
+                         "http.url": "https://api.example.org/a",
+                         "http.status_code": 200,
+                         "enduser.id": f"user{u % 7}",
+                         "account": f"a{u % 3}"}
+                res = {"service.name": f"svc{u % 2}",
+                       "service.version": "1.0",
+                       "cloud.provider": "aws",
+                       "cloud.account.id": "123"}
+                name = "/a"
+            elif m == 1:
+                kind, parent, status = 3, f"{e + 3:016x}", 0
+                attrs = {"db.system": "mysql", "db.name": f"db{u % 4}",
+                         "db.statement": "SELECT 1", "db.user": "u1",
+                         "db.connection_string": "mysql://h:3306",
+                         "k": "v"}
+                res = {"service.name": f"svc{u % 2}"}
+                name = "q"
+            elif m == 2:
+                kind, parent, status = 4, f"{e + 3:016x}", 0
+                attrs = {"aws.span.kind": "LOCAL_ROOT",
+                         "aws.remote.service": "RemoteSvc",
+                         "aws.local.service": "LocalSvc"}
+                res = {"service.name": f"svc{u % 2}"}
+                name = "send"
+            elif m == 3:
+                kind, parent, status = 2, None, 2
+                attrs = {}
+                res = {"service.name": f"svc{u % 2}"}
+                name = "boom op"
+                events = [{"name": "exception", "timeUnixNano": 0,
+                           "attributes": {
+                               "exception.type": "Error",
+                               "exception.message": f"bad {e % 9}"}}]
+            else:
+                kind, parent, status = 3, f"{e + 3:016x}", 0
+                attrs = {"http.method": "POST",
+                         "http.scheme": "https",
+                         "net.peer.name": "api.backend",
+                         "net.peer.port": "8443",
+                         "http.target": f"/p/{e % 7}",
+                         "http.status_code": 503}
+                res = {"service.name": f"svc{u % 2}",
+                       "cloud.provider": "aws",
+                       "cloud.platform": "aws_ec2",
+                       "host.id": "i-1",
+                       "cloud.availability_zone": "z1"}
+                name = "POST /p"
+            rows["span_kind"].append(kind)
+            rows["parent_span_id"].append(parent)
+            rows["status_code"].append(status)
+            rows["status_message"].append(None)
+            rows["span_name"].append(name)
+            rows["attributes"].append(_json.dumps(attrs))
+            rows["resource_attributes"].append(_json.dumps(res))
+            rows["events"].append(_json.dumps(events))
+            rows["links"].append("[]")
+        return pa.table({"event_id": t.column("event_id"), **{
+            k: pa.array(v, pa.int64() if k in (
+                "span_kind", "start_time_unix_nano",
+                "end_time_unix_nano", "status_code") else pa.string())
+            for k, v in rows.items()}})
+
+    out = spans_to_xray(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        indexed_attrs=("account",))
+    return out.select_columns(["event_id", "xray_json"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4735,6 +4834,7 @@ QUERIES = {
     "es_spans_ecs": q_es_spans_ecs,
     "emf_export": q_emf_export,
     "emf_export_declarations": q_emf_export_declarations,
+    "xray_export": q_xray_export,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7197,4 +7297,97 @@ ORACLE_SQL["emf_export_declarations"] = """
                || CAST(CAST(user_id % 50 AS DOUBLE) + 0.25 AS VARCHAR)
                || ',"prom_metric_type":"gauge"}' END AS emf_json
     FROM l ORDER BY e
+"""
+
+# awsxray segment documents (exact Go json.Marshal strings; exception /
+# service-segment ids are the deterministic md5(trace:span:n) stand-ins)
+ORACLE_SQL["xray_export"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc
+      FROM l0),
+    l0 AS (SELECT event_id, user_id FROM events),
+    b AS (
+      SELECT *,
+        '1-' || substr(tid, 1, 8) || '-' || substr(tid, 9, 24) AS atid,
+        '"start_time":1681873445,' AS st,
+        '"end_time":1681873446.5,' AS et,
+        substr(md5(tid || ':' || sid || ':1'), 1, 16) AS gid1
+      FROM l)
+    SELECT event_id,
+      CASE m
+        WHEN 0 THEN '{"name":"' || svc || '","id":"' || sid || '",' || st
+          || '"service":{"version":"1.0"},"user":"user'
+          || CAST(user_id % 7 AS VARCHAR)
+          || '","trace_id":"' || atid || '",' || et
+          || '"http":{"request":{"method":"GET",'
+          || '"url":"https://api.example.org/a"},'
+          || '"response":{"status":200,"content_length":0}},'
+          || '"fault":false,"error":false,"throttle":false,'
+          || '"aws":{"xray":{"auto_instrumentation":false},'
+          || '"account_id":"123"},"annotations":{"account":"a'
+          || CAST(user_id % 3 AS VARCHAR) || '"},"metadata":{"default":'
+          || '{"otel.resource.cloud.account.id":"123",'
+          || '"otel.resource.cloud.provider":"aws",'
+          || '"otel.resource.service.name":"' || svc
+          || '","otel.resource.service.version":"1.0"}}}'
+        WHEN 1 THEN '{"name":"db' || CAST(user_id % 4 AS VARCHAR)
+          || '@h","id":"' || sid || '",' || st
+          || '"trace_id":"' || atid || '",' || et
+          || '"fault":false,"error":false,"throttle":false,'
+          || '"aws":{"xray":{"auto_instrumentation":false}},'
+          || '"metadata":{"default":{"k":"v"}},"namespace":"remote",'
+          || '"parent_id":"' || pid || '","type":"subsegment",'
+          || '"sql":{"connection_string":"mysql://h:3306/db'
+          || CAST(user_id % 4 AS VARCHAR)
+          || '","url":"q","sanitized_query":"SELECT 1",'
+          || '"database_type":"mysql","user":"u1"}}'
+        WHEN 3 THEN '{"name":"' || svc || '","id":"' || sid || '",'
+          || st || '"trace_id":"' || atid || '",' || et
+          || '"fault":true,"error":false,"throttle":false,'
+          || '"cause":{"exceptions":[{"id":"' || gid1
+          || '","message":"bad ' || CAST(event_id % 9 AS VARCHAR)
+          || '","type":"Error","remote":false}]},'
+          || '"aws":{"xray":{"auto_instrumentation":false}},'
+          || '"metadata":{"default":{"otel.resource.service.name":"'
+          || svc || '"}}}'
+        ELSE '{"name":"api.backend","id":"' || sid || '",' || st
+          || '"origin":"AWS::EC2::Instance","trace_id":"' || atid
+          || '",' || et
+          || '"http":{"request":{"method":"POST",'
+          || '"url":"https://api.backend:8443/p/'
+          || CAST(event_id % 7 AS VARCHAR) || '"},'
+          || '"response":{"status":503,"content_length":0}},'
+          || '"fault":true,"error":false,"throttle":false,'
+          || '"aws":{"ec2":{"instance_id":"i-1",'
+          || '"availability_zone":"z1","instance_size":null,'
+          || '"ami_id":null},"xray":{"auto_instrumentation":false}},'
+          || '"namespace":"remote","parent_id":"' || pid
+          || '","type":"subsegment"}'
+      END AS xray_json
+    FROM b WHERE m <> 2
+    UNION ALL
+    SELECT event_id,
+      '{"name":"RemoteSvc","id":"' || sid || '",' || st
+      || '"trace_id":"' || atid || '",' || et
+      || '"fault":false,"error":false,"throttle":false,'
+      || '"aws":{"xray":{"auto_instrumentation":false}},'
+      || '"metadata":{"default":{"aws.local.service":"LocalSvc",'
+      || '"aws.remote.service":"RemoteSvc",'
+      || '"aws.span.kind":"LOCAL_ROOT"}},"namespace":"remote",'
+      || '"parent_id":"' || gid1 || '","type":"subsegment"}'
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT event_id,
+      '{"name":"LocalSvc","id":"' || gid1 || '",' || st
+      || '"trace_id":"' || atid || '",' || et
+      || '"fault":false,"error":false,"throttle":false,'
+      || '"aws":{"xray":{"auto_instrumentation":false}},'
+      || '"parent_id":"' || pid || '"}'
+    FROM b WHERE m = 2
+    ORDER BY event_id, xray_json
 """
