@@ -170,6 +170,8 @@ OPERATOR_QUERIES = [
     "oc_roundtrip",
     "es_logs_ecs",
     "emf_export",
+    "xray_export",
+    "xray_parse",
 ]
 
 

@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_xray")
+def _parse_xray(ds, json_col: str = "xray_json", on_error: str = "drop"):
+    """awsxrayreceiver segment decode (round 5)."""
+    from ..stages.xray import parse_xray_segments
+
+    return parse_xray_segments(ds, json_col, on_error=on_error)
+
+
 @register_stage("to_xray")
 def _to_xray(ds, **opts):
     """awsxrayexporter segment documents (round 5)."""

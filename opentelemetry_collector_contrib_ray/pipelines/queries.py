@@ -4657,6 +4657,84 @@ def q_xray_export(sf_dir: str):
     return out.select_columns(["event_id", "xray_json"])
 
 
+def q_xray_parse(sf_dir: str):
+    """awsxrayreceiver: X-Ray segment documents → flat span rows —
+    amazon-trace-id decode, ClientIP/namespace/root kind rules,
+    embedded-subsegment flattening with inherited trace id and
+    cause-status propagation, http/sql/aws attr mapping, exception
+    events with rebuilt stacktraces, annotations + metadata namespaces
+    (receiver/awsxrayreceiver/internal/translator)."""
+    import json as _json
+
+    from ..stages.xray import parse_xray_segments
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m = e % 4
+            tid = f"1-5f84c7a1-{e + 1:024x}"
+            doc: dict = {"name": f"svc{u % 2}",
+                         "id": f"{e + 2:016x}",
+                         "trace_id": tid,
+                         "start_time": 1681873445.0 + (e % 3),
+                         "end_time": 1681873446.5 + (e % 3)}
+            if m == 0:
+                doc["http"] = {
+                    "request": {"method": "GET",
+                                "client_ip": f"10.0.0.{u % 200}",
+                                "url": "https://x/y",
+                                "x_forwarded_for": True},
+                    "response": {"status": 200, "content_length": 11}}
+                doc["user"] = f"user{u % 5}"
+                doc["annotations"] = {"ak": f"v{e % 7}", "num": e % 9}
+                doc["metadata"] = {"default": {"mk": "mv"}}
+                doc["aws"] = {"account_id": "123",
+                              "xray": {"sdk": "X-Ray for Go",
+                                       "sdk_version": "1.1"}}
+                doc["service"] = {"version": "v9"}
+            elif m == 1:
+                doc["aws"] = {"account_id": "123"}
+                doc["subsegments"] = [{
+                    "name": "DynamoDB", "id": f"{e + 5:016x}",
+                    "start_time": 1681873445.5,
+                    "end_time": 1681873446.0,
+                    "namespace": "aws",
+                    "aws": {"operation": "GetItem",
+                            "table_name": f"t{u % 3}"}}]
+            elif m == 2:
+                doc["parent_id"] = f"{e + 7:016x}"
+                doc["namespace"] = "remote"
+                doc["sql"] = {
+                    "url": f"mysql://db-host:3306/db{u % 4}",
+                    "database_type": "mysql",
+                    "sanitized_query": "SELECT 1", "user": "u1"}
+                doc["http"] = {"response": {"status": 503}}
+            else:
+                doc["cause"] = {"exceptions": [{
+                    "id": "abcdef0123456789", "type": "Err",
+                    "message": f"m{e % 6}", "remote": True,
+                    "stack": [{"label": "fn", "path": "f.go",
+                               "line": 12}]}]}
+                doc["in_progress"] = False
+                doc["traced"] = True
+            docs.append(_json.dumps(doc))
+        return pa.table({"event_id": t.column("event_id"),
+                         "xray_json": pa.array(docs, pa.string())})
+
+    parsed = parse_xray_segments(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "xray_json")
+    return parsed.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "span_name", "span_kind", "start_time_unix_nano",
+         "end_time_unix_nano", "status_code", "status_message",
+         "attributes", "resource_attributes", "events"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4835,6 +4913,7 @@ QUERIES = {
     "emf_export": q_emf_export,
     "emf_export_declarations": q_emf_export_declarations,
     "xray_export": q_xray_export,
+    "xray_parse": q_xray_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7390,4 +7469,95 @@ ORACLE_SQL["xray_export"] = """
       || '"parent_id":"' || pid || '"}'
     FROM b WHERE m = 2
     ORDER BY event_id, xray_json
+"""
+
+# awsxray receiver decode → flat span rows
+ORACLE_SQL["xray_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             '5f84c7a1' || lpad(printf('%x', event_id + 1), 24, '0')
+               AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 5), 16, '0') AS subsid,
+             lpad(printf('%x', event_id + 7), 16, '0') AS pid,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             CAST(1681873445000000000
+                  + (event_id % 3) * 1000000000 AS BIGINT) AS st,
+             CAST(1681873446500000000
+                  + (event_id % 3) * 1000000000 AS BIGINT) AS et
+      FROM events),
+    root AS (
+      SELECT event_id, tid AS trace_id, sid AS span_id,
+        CASE WHEN m = 2 THEN pid END AS parent_span_id,
+        svc AS span_name,
+        CAST(CASE WHEN m = 2 THEN 3 ELSE 2 END AS BIGINT) AS span_kind,
+        st AS start_time_unix_nano, et AS end_time_unix_nano,
+        CAST(CASE WHEN m IN (2, 3) THEN 2 ELSE 0 END AS BIGINT)
+          AS status_code,
+        CAST(NULL AS VARCHAR) AS status_message,
+        CASE m
+          WHEN 0 THEN '{"ak": "v' || CAST(event_id % 7 AS VARCHAR)
+            || '", "aws.account_id": "123", "aws.xray.annotations":'
+            || ' ["ak", "num"], "aws.xray.metadata.default":'
+            || ' "{\\"mk\\":\\"mv\\"}", "aws.xray.x_forwarded_for":'
+            || ' true, "enduser.id": "user'
+            || CAST(user_id % 5 AS VARCHAR)
+            || '", "http.client_ip": "10.0.0.'
+            || CAST(user_id % 200 AS VARCHAR)
+            || '", "http.method": "GET",'
+            || ' "http.response_content_length": 11,'
+            || ' "http.status_code": 200, "http.url": "https://x/y",'
+            || ' "num": ' || CAST(event_id % 9 AS VARCHAR) || '}'
+          WHEN 1 THEN '{"aws.account_id": "123"}'
+          WHEN 2 THEN '{"db.connection_string": "mysql://db-host:3306",'
+            || ' "db.name": "db' || CAST(user_id % 4 AS VARCHAR)
+            || '", "db.statement": "SELECT 1", "db.system": "mysql",'
+            || ' "db.user": "u1", "http.status_code": 503}'
+          ELSE '{"aws.xray.inprogress": false,'
+            || ' "aws.xray.traced": true}'
+        END AS attributes,
+        CASE m
+          WHEN 0 THEN '{"cloud.account.id": "123",'
+            || ' "cloud.provider": "aws", "service.name": "' || svc
+            || '", "service.version": "v9",'
+            || ' "telemetry.sdk.language": "Go",'
+            || ' "telemetry.sdk.name": "X-Ray for Go",'
+            || ' "telemetry.sdk.version": "1.1"}'
+          WHEN 1 THEN '{"cloud.account.id": "123",'
+            || ' "cloud.provider": "aws", "service.name": "' || svc
+            || '"}'
+          ELSE '{"cloud.provider": "unknown", "service.name": "'
+            || svc || '"}'
+        END AS resource_attributes,
+        CASE WHEN m = 3 THEN
+          '[{"attributes": {"aws.xray.exception.id":'
+          || ' "abcdef0123456789", "aws.xray.exception.remote": true,'
+          || ' "exception.message": "m'
+          || CAST(event_id % 6 AS VARCHAR)
+          || '", "exception.stacktrace": "Err: m'
+          || CAST(event_id % 6 AS VARCHAR)
+          || '\\n\\tat fn(f.go: 12)\\n", "exception.type": "Err"},'
+          || ' "droppedAttributesCount": 0, "name": "exception",'
+          || ' "timeUnixNano": 0}]'
+        ELSE '[]' END AS events
+      FROM l),
+    subs AS (
+      SELECT event_id, tid AS trace_id, subsid AS span_id,
+        sid AS parent_span_id, 'DynamoDB' AS span_name,
+        CAST(3 AS BIGINT) AS span_kind,
+        CAST(1681873445500000000 AS BIGINT) AS start_time_unix_nano,
+        CAST(1681873446000000000 AS BIGINT) AS end_time_unix_nano,
+        CAST(0 AS BIGINT) AS status_code,
+        CAST(NULL AS VARCHAR) AS status_message,
+        '{"aws.operation": "GetItem", "aws.service": "DynamoDB",'
+          || ' "aws.table_name": "t' || CAST(user_id % 3 AS VARCHAR)
+          || '"}' AS attributes,
+        '{"cloud.account.id": "123", "cloud.provider": "aws",'
+          || ' "service.name": "' || svc || '"}' AS resource_attributes,
+        '[]' AS events
+      FROM l WHERE m = 1)
+    SELECT * FROM root
+    UNION ALL SELECT * FROM subs
+    ORDER BY event_id, span_id
 """

@@ -1210,3 +1210,371 @@ def spans_to_xray(ds, *, indexed_attrs=(), index_all_attrs=False,
             "allow_dot": allow_dot}
     return ds.map_batches(_SpansToXRay(opts, on_error),
                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- receiver direction (receiver/awsxrayreceiver/internal/translator) ----
+#
+# ToTraces (translator.go:28-209): one X-Ray segment document (with
+# embedded subsegments, recursively flattened) → flat span rows sharing
+# one resource.  Semantics mirrored exactly:
+#
+# - resource from the ROOT segment: service.name = seg.name, AWS block
+#   → cloud/host/container/beanstalk/eks resource attrs (cloud.provider
+#   "unknown" when the aws block is absent), xray SDK name/version with
+#   the "for <language>" split (language forced "java" when a cause with
+#   exceptions exists — the receiver's documented TODO), service.version,
+#   aws.xray.resource_arn (translator.go:185-200, aws.go, sdk.go).
+# - kind: ClientIP present → Server; namespace aws/remote → Client (aws
+#   also stores the name as the aws.service attr, unknown namespace =
+#   whole-segment error); nil/local → Internal; NO parent id (root) →
+#   Server overwrite (populateSpan:160-164, name.go).
+# - trace id "1-hex8-hex24" → 32-hex (len<35 = error); span/parent ids
+#   16-hex.
+# - http: method/client ip/user agent/url/x_forwarded_for attrs;
+#   response status → http.status_code attr + span status via
+#   StatusCodeFromHTTP (<399 Unset, else Error); content_length
+#   string→http.response_content_length str, float→int (http.go).
+# - cause: status forced Error when Unset; exception-id strings land in
+#   status message; exception objects become `exception` events with the
+#   aws.xray.exception.* attrs and a rebuilt "Type: Message\n\tat
+#   Label(Path: line)\n" stacktrace (cause.go).
+# - aws span attrs (account/operation/region/request id/queue url/table
+#   name/retries), sql (url split "proto://host/db" via the receiver's
+#   regexp → db.connection_string + db.name, error when unparseable),
+#   in_progress/traced bools, enduser.id, annotations (+ the
+#   aws.xray.annotations key list), metadata namespaces re-marshalled to
+#   aws.xray.metadata.<ns> JSON attrs (sorted keys — Go map marshal).
+# - embedded subsegments inherit the root trace id, parent = enclosing
+#   segment id; the parent-status refinement loop (translator.go:94-106)
+#   is mirrored though it is a no-op for the Unset/Error code set.
+
+def _decode_xray_trace_id(tid) -> str:
+    if tid is None:
+        raise ValueError("traceID is null")
+    if len(tid) < 35:
+        raise ValueError("traceID length is wrong")
+    out = tid[2:10] + tid[11:]
+    bytes.fromhex(out)
+    return out
+
+
+def _decode_xray_span_id(sid) -> str:
+    if sid is None:
+        raise ValueError("spanid is null")
+    if len(sid) != 16:
+        raise ValueError("spanID length is wrong")
+    bytes.fromhex(sid)
+    return sid
+
+
+def _seg_resource_attrs(seg: dict) -> dict:
+    attrs: dict = {}
+    if seg.get("name"):
+        attrs["service.name"] = seg["name"]
+    aws = seg.get("aws")
+    if aws is None:
+        attrs["cloud.provider"] = "unknown"
+    else:
+        attrs["cloud.provider"] = "aws"
+        if aws.get("account_id"):
+            attrs["cloud.account.id"] = aws["account_id"]
+        for lg in aws.get("cloudwatch_logs") or []:
+            if lg.get("arn"):
+                attrs.setdefault("aws.log.group.arns",
+                                 []).append(lg["arn"])
+            if lg.get("log_group") is not None:
+                attrs.setdefault("aws.log.group.names",
+                                 []).append(lg["log_group"])
+        ec2 = aws.get("ec2")
+        if ec2 is not None:
+            for src, dst in (("availability_zone",
+                              "cloud.availability_zone"),
+                             ("instance_id", "host.id"),
+                             ("instance_size", "host.type"),
+                             ("ami_id", "host.image.id")):
+                if ec2.get(src) is not None:
+                    attrs[dst] = ec2[src]
+        ecs = aws.get("ecs")
+        if ecs is not None:
+            for src, dst in (("container", "container.name"),
+                             ("availability_zone",
+                              "cloud.availability_zone"),
+                             ("container_id", "container.id")):
+                if ecs.get(src) is not None:
+                    attrs[dst] = ecs[src]
+        bs = aws.get("elastic_beanstalk")
+        if bs is not None:
+            if bs.get("environment_name") is not None:
+                attrs["service.namespace"] = bs["environment_name"]
+            if bs.get("deployment_id") is not None:
+                attrs["service.instance.id"] = str(
+                    int(bs["deployment_id"]))
+            if bs.get("version_label") is not None:
+                attrs["service.version"] = bs["version_label"]
+        eks = aws.get("eks")
+        if eks is not None:
+            for src, dst in (("container_id", "container.id"),
+                             ("cluster_name", "k8s.cluster.name"),
+                             ("pod", "k8s.pod.name")):
+                if eks.get(src) is not None:
+                    attrs[dst] = eks[src]
+        xr = aws.get("xray")
+        if xr is not None:
+            if xr.get("sdk_version") is not None:
+                attrs["telemetry.sdk.version"] = xr["sdk_version"]
+            if xr.get("sdk") is not None:
+                attrs["telemetry.sdk.name"] = xr["sdk"]
+                cause = seg.get("cause")
+                if isinstance(cause, dict) and cause.get("exceptions"):
+                    attrs["telemetry.sdk.language"] = "java"
+                else:
+                    i = xr["sdk"].find("for ")
+                    if i != -1:
+                        attrs["telemetry.sdk.language"] = \
+                            xr["sdk"][i + len("for "):]
+    svc = seg.get("service")
+    if svc is not None and svc.get("version") is not None:
+        attrs["service.version"] = svc["version"]
+    if seg.get("resource_arn") is not None:
+        attrs["aws.xray.resource_arn"] = seg["resource_arn"]
+    return attrs
+
+
+_SQL_URL_RE = re.compile(r"^(.+//.+)/([^\?]+)\??.*$")
+
+
+def _xray_seg_to_row(seg: dict, trace_id, parent_id, res_json: str):
+    attrs: dict = {}
+    name = seg.get("name")
+    if name is None:
+        raise ValueError('segment "name" cannot be nil')
+    if seg.get("id") is None:
+        raise ValueError('segment "id" cannot be nil')
+    if seg.get("start_time") is None:
+        raise ValueError('segment "start_time" cannot be nil')
+
+    kind = 0
+    http = seg.get("http") or {}
+    req = http.get("request") or {}
+    if req.get("client_ip") is not None:
+        kind = _KIND_SERVER
+    ns = seg.get("namespace")
+    if ns is None or ns == "local":
+        if kind == 0:
+            kind = _KIND_INTERNAL
+    elif ns == "aws":
+        kind = _KIND_CLIENT
+        attrs["aws.service"] = name
+    elif ns == "remote":
+        kind = _KIND_CLIENT
+    else:
+        raise ValueError(f"unexpected namespace: {ns}")
+
+    tid = _decode_xray_trace_id(seg.get("trace_id")
+                                if seg.get("trace_id") is not None
+                                else trace_id)
+    pid = None
+    if parent_id is not None:
+        pid = _decode_xray_span_id(parent_id)
+    elif seg.get("parent_id") is not None:
+        pid = _decode_xray_span_id(seg["parent_id"])
+    sid = _decode_xray_span_id(seg.get("id"))
+    if pid is None:
+        kind = _KIND_SERVER        # root: populateSpan overwrites
+
+    start_ns = int(float(seg["start_time"]) * 1e9)
+    end_ns = int(float(seg["end_time"]) * 1e9) \
+        if seg.get("end_time") is not None else 0
+    if seg.get("in_progress") is not None:
+        attrs["aws.xray.inprogress"] = bool(seg["in_progress"])
+    if seg.get("user") is not None:
+        attrs["enduser.id"] = seg["user"]
+
+    status_code, status_message = 0, None
+    if req.get("method") is not None:
+        attrs["http.method"] = req["method"]
+    if req.get("client_ip") is not None:
+        attrs["http.client_ip"] = req["client_ip"]
+    if req.get("user_agent") is not None:
+        attrs["http.user_agent"] = req["user_agent"]
+    if req.get("url") is not None:
+        attrs["http.url"] = req["url"]
+    if req.get("x_forwarded_for") is not None:
+        attrs["aws.xray.x_forwarded_for"] = bool(req["x_forwarded_for"])
+    resp = http.get("response") or {}
+    if resp.get("status") is not None:
+        code = int(resp["status"])
+        status_code = 0 if 100 <= code < 399 else 2
+        attrs["http.status_code"] = code
+    cl = resp.get("content_length")
+    if isinstance(cl, str):
+        attrs["http.response_content_length"] = cl
+    elif isinstance(cl, (int, float)) and not isinstance(cl, bool):
+        attrs["http.response_content_length"] = int(cl)
+
+    events = []
+    cause = seg.get("cause")
+    if cause is not None:
+        if status_code == 0:
+            status_code = 2
+        if isinstance(cause, str):
+            status_message = cause
+        else:
+            for excp in cause.get("exceptions") or []:
+                ea: dict = {"aws.xray.exception.id": excp.get("id")}
+                if excp.get("message") is not None:
+                    ea["exception.message"] = excp["message"]
+                if excp.get("type") is not None:
+                    ea["exception.type"] = excp["type"]
+                if excp.get("remote") is not None:
+                    ea["aws.xray.exception.remote"] = excp["remote"]
+                if excp.get("truncated") is not None:
+                    ea["aws.xray.exception.truncated"] = \
+                        int(excp["truncated"])
+                if excp.get("skipped") is not None:
+                    ea["aws.xray.exception.skipped"] = \
+                        int(excp["skipped"])
+                if excp.get("cause") is not None:
+                    ea["aws.xray.exception.cause"] = excp["cause"]
+                stack = excp.get("stack") or []
+                if stack:
+                    st = (f"{excp.get('type') or ''}: "
+                          f"{excp.get('message') or ''}\n")
+                    for fr in stack:
+                        line = ("<unknown>" if fr.get("line") is None
+                                else str(int(fr["line"])))
+                        st += (f"\tat {fr.get('label') or ''}"
+                               f"({fr.get('path') or ''}: {line})\n")
+                    ea["exception.stacktrace"] = st
+                events.append({"name": "exception", "timeUnixNano": 0,
+                               "attributes": ea,
+                               "droppedAttributesCount": 0})
+
+    aws = seg.get("aws")
+    if aws is not None:
+        for src, dst in (("account_id", "aws.account_id"),
+                         ("operation", "aws.operation"),
+                         ("region", "aws.region"),
+                         ("request_id", "aws.request_id"),
+                         ("queue_url", "aws.queue_url"),
+                         ("table_name", "aws.table_name")):
+            if aws.get(src) is not None:
+                attrs[dst] = aws[src]
+        if aws.get("retries") is not None:
+            attrs["aws.xray.retries"] = int(aws["retries"])
+
+    sql = seg.get("sql")
+    if sql is not None:
+        if sql.get("url") is not None:
+            m = _SQL_URL_RE.match(sql["url"])
+            if not m:
+                raise ValueError(
+                    'failed to parse out the database name in the '
+                    f'"sql.url" field, rawUrl: {sql["url"]}')
+            attrs["db.connection_string"] = m.group(1)
+            attrs["db.name"] = m.group(2)
+        for src, dst in (("database_type", "db.system"),
+                         ("sanitized_query", "db.statement"),
+                         ("user", "db.user")):
+            if sql.get(src) is not None:
+                attrs[dst] = sql[src]
+
+    if seg.get("traced") is not None:
+        attrs["aws.xray.traced"] = bool(seg["traced"])
+
+    annos = seg.get("annotations") or {}
+    if annos:
+        attrs["aws.xray.annotations"] = sorted(annos)
+        for k in annos:
+            attrs[k] = annos[k]
+    for ns_name, meta in (seg.get("metadata") or {}).items():
+        attrs["aws.xray.metadata." + ns_name] = json.dumps(
+            meta, separators=(",", ":"), sort_keys=True)
+
+    return {
+        "trace_id": tid, "span_id": sid, "parent_span_id": pid,
+        "trace_state": None, "span_name": name, "span_kind": kind,
+        "start_time_unix_nano": start_ns,
+        "end_time_unix_nano": end_ns,
+        "status_code": status_code, "status_message": status_message,
+        "attributes": json.dumps(attrs, sort_keys=True),
+        "resource_attributes": res_json,
+        "scope_name": None, "scope_version": None,
+        "events": json.dumps(events, sort_keys=True),
+        "links": json.dumps([]),
+    }
+
+
+def xray_doc_to_rows(doc: dict) -> list[dict]:
+    """One segment document → flat rows (root + flattened subsegments)."""
+    res_json = json.dumps(_seg_resource_attrs(doc), sort_keys=True)
+
+    rows: list = []
+
+    def walk(seg, trace_id, parent_id):
+        row = _xray_seg_to_row(seg, trace_id, parent_id, res_json)
+        rows.append(row)
+        my_trace = seg.get("trace_id") if seg.get("trace_id") \
+            is not None else trace_id
+        for sub in seg.get("subsegments") or []:
+            child = walk(sub, my_trace, seg.get("id"))
+            # translator.go:94-106 parent-status refinement (no-op for
+            # the Unset/Error code set, mirrored for parity)
+            if seg.get("cause") is not None and \
+                    child["status_code"] != 0 and \
+                    row["status_code"] == 2:
+                row["status_code"] = child["status_code"]
+        return row
+
+    walk(doc, doc.get("trace_id"), None)
+    return rows
+
+
+class _ParseXRay:
+    def __init__(self, json_col: str, on_error: str):
+        self.json_col = json_col
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .zipkin import _COLS
+        docs = batch.column(self.json_col).to_pylist()
+        parent, cols = [], {name: [] for name, _ in _COLS}
+        cols["error"] = []
+        for i, doc in enumerate(docs):
+            try:
+                d = json.loads(doc if doc is not None else "")
+                if not isinstance(d, dict):
+                    raise ValueError("segment must be an object")
+                rows = xray_doc_to_rows(d)
+            except (ValueError, TypeError, KeyError) as e:
+                if self.on_error == "drop":
+                    continue
+                parent.append(i)
+                for name, _ in _COLS:
+                    cols[name].append(None)
+                cols["error"].append(str(e))
+                continue
+            for row in rows:
+                parent.append(i)
+                for name, _ in _COLS:
+                    cols[name].append(row[name])
+                cols["error"].append(None)
+        out = batch.take(pa.array(parent, pa.int64()))
+        for name, typ in _COLS + (("error", pa.string()),):
+            arr = pa.array(cols[name], typ)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name),
+                                     name, arr)
+            else:
+                out = out.append_column(name, arr)
+        if self.on_error == "drop":
+            out = out.drop_columns(["error"])
+        return out
+
+
+def parse_xray_segments(ds, json_col: str = "xray_json", *,
+                        on_error: str = "drop"):
+    """X-Ray segment documents → flat span rows (block-local fan-out,
+    zero shuffle; schema = the zipkin/jaeger/OTLP span rows)."""
+    return ds.map_batches(_ParseXRay(json_col, on_error),
+                          batch_format="pyarrow", zero_copy_batch=True)

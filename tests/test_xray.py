@@ -345,3 +345,131 @@ def test_spans_to_xray_dataset(ray_session):
     doc = json.loads(out["xray_json"].iloc[0])
     assert doc["trace_id"] == "1-5f84c7a1-a006649127e371903a2de979"
     assert doc["http"]["response"]["status"] == 200
+
+
+# --- receiver direction (receiver/awsxrayreceiver) ------------------------
+
+from opentelemetry_collector_contrib_ray.stages.xray import (  # noqa: E402
+    parse_xray_segments,
+    xray_doc_to_rows,
+)
+
+
+def _xdoc(**over):
+    d = {"name": "svc", "id": "0102030405060708",
+         "trace_id": "1-5f84c7a1-a006649127e371903a2de979",
+         "start_time": 1681873445.0, "end_time": 1681873446.0}
+    d.update(over)
+    return d
+
+
+def test_xray_decode_trace_id_and_kind_rules():
+    rows = xray_doc_to_rows(_xdoc())
+    assert rows[0]["trace_id"] == "5f84c7a1a006649127e371903a2de979"
+    assert rows[0]["span_kind"] == 2          # root (no parent) → Server
+    # parent present + nil namespace → Internal
+    rows = xray_doc_to_rows(_xdoc(parent_id="1112131415161718"))
+    assert rows[0]["span_kind"] == 1
+    # remote namespace → Client
+    rows = xray_doc_to_rows(_xdoc(parent_id="1112131415161718",
+                                  namespace="remote"))
+    assert rows[0]["span_kind"] == 3
+    # aws namespace → Client + aws.service attr
+    rows = xray_doc_to_rows(_xdoc(parent_id="1112131415161718",
+                                  namespace="aws"))
+    assert rows[0]["span_kind"] == 3
+    assert json.loads(rows[0]["attributes"])["aws.service"] == "svc"
+    # client_ip → Server even with a parent
+    rows = xray_doc_to_rows(_xdoc(
+        parent_id="1112131415161718",
+        http={"request": {"client_ip": "1.2.3.4"}}))
+    assert rows[0]["span_kind"] == 2
+    # unknown namespace → error
+    with pytest.raises(ValueError):
+        xray_doc_to_rows(_xdoc(namespace="weird"))
+    # short trace id → error
+    with pytest.raises(ValueError):
+        xray_doc_to_rows(_xdoc(trace_id="1-abc-def"))
+
+
+def test_xray_decode_status_and_exception_events():
+    rows = xray_doc_to_rows(_xdoc(
+        http={"response": {"status": 503, "content_length": "12"}}))
+    r = rows[0]
+    assert r["status_code"] == 2
+    attrs = json.loads(r["attributes"])
+    assert attrs["http.status_code"] == 503
+    assert attrs["http.response_content_length"] == "12"
+    # 2xx → Unset
+    assert xray_doc_to_rows(_xdoc(
+        http={"response": {"status": 200}}))[0]["status_code"] == 0
+    # cause exception-id string form → status message
+    r = xray_doc_to_rows(_xdoc(cause="abcdefabcdefabcd"))[0]
+    assert r["status_code"] == 2
+    assert r["status_message"] == "abcdefabcdefabcd"
+    # exception object with rebuilt stacktrace
+    r = xray_doc_to_rows(_xdoc(cause={"exceptions": [{
+        "id": "x1", "type": "E", "message": "m", "remote": True,
+        "stack": [{"label": "fn", "path": "f.go", "line": 12},
+                  {"label": "g", "path": "h.go"}]}]}))[0]
+    ev = json.loads(r["events"])[0]
+    assert ev["name"] == "exception"
+    assert ev["attributes"]["exception.stacktrace"] == \
+        "E: m\n\tat fn(f.go: 12)\n\tat g(h.go: <unknown>)\n"
+    assert ev["attributes"]["aws.xray.exception.id"] == "x1"
+
+
+def test_xray_decode_resource_and_sdk():
+    doc = _xdoc(aws={"account_id": "1",
+                     "xray": {"sdk": "X-Ray for Go",
+                              "sdk_version": "2.0"}},
+                service={"version": "v1"},
+                resource_arn="arn:x")
+    res = json.loads(xray_doc_to_rows(doc)[0]["resource_attributes"])
+    assert res["cloud.provider"] == "aws"
+    assert res["telemetry.sdk.language"] == "Go"
+    assert res["telemetry.sdk.name"] == "X-Ray for Go"
+    assert res["service.version"] == "v1"
+    assert res["aws.xray.resource_arn"] == "arn:x"
+    # a cause with exceptions forces language java (the receiver TODO)
+    doc["cause"] = {"exceptions": [{"id": "x"}]}
+    res = json.loads(xray_doc_to_rows(doc)[0]["resource_attributes"])
+    assert res["telemetry.sdk.language"] == "java"
+    # no aws block → unknown provider
+    res = json.loads(xray_doc_to_rows(_xdoc())[0]["resource_attributes"])
+    assert res["cloud.provider"] == "unknown"
+
+
+def test_xray_decode_sql_and_subsegments():
+    doc = _xdoc(sql={"url": "mysql://h:3306/mydb?x=1",
+                     "database_type": "mysql",
+                     "sanitized_query": "SELECT 1", "user": "u"})
+    attrs = json.loads(xray_doc_to_rows(doc)[0]["attributes"])
+    assert attrs["db.connection_string"] == "mysql://h:3306"
+    assert attrs["db.name"] == "mydb"
+    with pytest.raises(ValueError):
+        xray_doc_to_rows(_xdoc(sql={"url": "no-slashes"}))
+    # subsegments inherit trace id, parent = enclosing id
+    doc = _xdoc(subsegments=[
+        {"name": "inner", "id": "1112131415161718",
+         "start_time": 1.0,
+         "subsegments": [{"name": "leaf", "id": "2122232425262728",
+                          "start_time": 2.0}]}])
+    rows = xray_doc_to_rows(doc)
+    assert [r["span_name"] for r in rows] == ["svc", "inner", "leaf"]
+    assert rows[1]["parent_span_id"] == "0102030405060708"
+    assert rows[2]["parent_span_id"] == "1112131415161718"
+    assert rows[2]["trace_id"] == rows[0]["trace_id"]
+
+
+def test_parse_xray_segments_dataset(ray_session):
+    import ray
+
+    good = json.dumps(_xdoc())
+    ds = ray.data.from_arrow(pa.table({
+        "xray_json": pa.array([good, '{"id": "x"}'], pa.string())}))
+    out = parse_xray_segments(ds, "xray_json").to_pandas()
+    assert len(out) == 1                 # invalid segment dropped
+    kept = parse_xray_segments(ds, "xray_json",
+                               on_error="keep").to_pandas()
+    assert len(kept) == 2 and kept["error"].notna().sum() == 1
