@@ -172,6 +172,7 @@ OPERATOR_QUERIES = [
     "emf_export",
     "xray_export",
     "xray_parse",
+    "datadog_series",
 ]
 
 

@@ -649,6 +649,24 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_datadog_series")
+def _parse_datadog_series(ds, json_col: str = "dd_json",
+                          on_error: str = "drop"):
+    """datadogreceiver v1 series decode (round 5)."""
+    from ..stages.datadog import parse_datadog_series
+
+    return parse_datadog_series(ds, json_col, on_error=on_error)
+
+
+@register_stage("parse_datadog_checks")
+def _parse_datadog_checks(ds, json_col: str = "dd_json",
+                          on_error: str = "drop"):
+    """datadogreceiver service-check decode (round 5)."""
+    from ..stages.datadog import parse_datadog_service_checks
+
+    return parse_datadog_service_checks(ds, json_col, on_error=on_error)
+
+
 @register_stage("parse_xray")
 def _parse_xray(ds, json_col: str = "xray_json", on_error: str = "drop"):
     """awsxrayreceiver segment decode (round 5)."""

@@ -33,6 +33,8 @@ One vectorized map_batches — block-local, zero shuffle.
 
 from __future__ import annotations
 
+import json
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -195,3 +197,250 @@ class DatadogSemantics:
                 pc.if_else(pc.is_valid(s), strip_protocol(
                     pc.fill_null(s, empty)), pa.scalar(None, pa.string())))
         return batch
+
+
+# --- datadogreceiver series/service-check decode (round 5) ---------------
+#
+# receiver/datadogreceiver/internal/translator (series.go:55-118,
+# service_check_translator.go:16-50, tags.go, batcher.go):
+#
+# - v1 series JSON {"series":[{metric,type,interval,points:[[ts,val]..],
+#   tags,host}]}: count → delta non-monotonic Sum, rate → delta Sum with
+#   value × interval (when set), gauge → Gauge, unset/unknown type
+#   skipped; malformed points (≠2 elements / nulls) skipped; Datadog
+#   second timestamps → ns.
+# - tags (tags.go:82-186): "key:value" cut on the FIRST colon; a bare
+#   tag becomes key "unnamed_<tag>" with the tag as value; keys in the
+#   datadogKnownResourceAttributes table land as RESOURCE attributes
+#   under their OTel names (container.image.tags and the
+#   http.{request,response}.headers.* dynamic keys become string[]
+#   slices), everything else is a DATAPOINT attribute (after the
+#   header-prefix rewrite); host → the host.name resource attr.
+# - service checks: one gauge int point per check, value = status enum
+#   (0 OK, 1 WARNING, 2 CRITICAL, 3 UNKNOWN), dimensions via the same
+#   tag machinery with type "service_check".
+# - the translator's start-timestamp stream state
+#   (streamHasTimestamp/updateLastTsForStream) chains WITHIN the
+#   decoded payload here: a stream's 2nd..Nth points get
+#   start_time = the previous point's timestamp (the cross-request
+#   memory is the collector-process lifetime — out of scope for a
+#   batch decode, documented).
+#
+# Flat rows match the opencensus metric-point columns
+# (metric_name/metric_type/temporality/monotonic/times/value/attrs).
+
+_DD_KNOWN_RESOURCE = {
+    "env": "deployment.environment.name",
+    "service": "service.name",
+    "version": "service.version",
+    "container_id": "container.id",
+    "container_name": "container.name",
+    "image_name": "container.image.name",
+    "image_tag": "container.image.tags",
+    "runtime": "container.runtime",
+    "cloud_provider": "cloud.provider",
+    "region": "cloud.region",
+    "zone": "cloud.availability_zone",
+    "task_family": "aws.ecs.task.family",
+    "task_arn": "aws.ecs.task.arn",
+    "ecs_cluster_name": "aws.ecs.cluster.arn",
+    "task_version": "aws.ecs.task.revision",
+    "ecs_container_name": "aws.ecs.container.arn",
+    "kube_container_name": "k8s.container.name",
+    "kube_cluster_name": "k8s.cluster.name",
+    "kube_deployment": "k8s.deployment.name",
+    "kube_replica_set": "k8s.replicaset.name",
+    "kube_stateful_set": "k8s.statefulset.name",
+    "kube_daemon_set": "k8s.daemonset.name",
+    "kube_job": "k8s.job.name",
+    "kube_cronjob": "k8s.cronjob.name",
+    "kube_namespace": "k8s.namespace.name",
+    "pod_name": "k8s.pod.name",
+    "http.client_ip": "client.address",
+    "http.response.content_length": "http.response.body.size",
+    "http.status_code": "http.response.status_code",
+    "http.request.content_length": "http.request.body.size",
+    "http.referer": "http.request.header.referer",
+    "http.method": "http.request.method",
+    "http.route": "http.route",
+    "http.version": "network.protocol.version",
+    "http.server_name": "server.address",
+    "http.url": "url.full",
+    "http.useragent": "user_agent.original",
+    "db.type": "db.system.name",
+    "db.operation": "db.operation.name",
+    "db.instance": "db.collection.name",
+    "db.pool.name": "db.client.connection.pool.name",
+    "process_id": "process.pid",
+    "error.stacktrace": "exception.stacktrace",
+    "error.msg": "exception.message",
+}
+
+
+def _dd_tag_kv(tag: str):
+    if tag == "":
+        return "", ""
+    key, sep, val = tag.partition(":")
+    if not sep:
+        return "unnamed_" + tag, tag
+    return key, val
+
+
+def _dd_key_to_otel(k: str) -> str:
+    lk = k.lower()
+    if lk in _DD_KNOWN_RESOURCE:
+        return _DD_KNOWN_RESOURCE[lk]
+    if k.startswith("http.response.headers."):
+        return "http.response.header." + k[len("http.response.headers."):]
+    if k.startswith("http.request.headers."):
+        return "http.request.header." + k[len("http.request.headers."):]
+    return k
+
+
+def dd_tags_to_attributes(tags, host):
+    """tags.go tagsToAttributes → (resource attrs, datapoint attrs)."""
+    resource: dict = {}
+    dp: dict = {}
+    if host:
+        resource["host.name"] = host
+    for tag in tags or []:
+        key, val = _dd_tag_kv(tag)
+        known = _DD_KNOWN_RESOURCE.get(key.lower())
+        if known is not None:
+            if known == "container.image.tags":
+                resource[known] = [val]
+            else:
+                resource[known] = val
+            continue
+        key = _dd_key_to_otel(key)
+        if key.startswith(("http.request.header.",
+                           "http.response.header.")):
+            resource[key] = [val]
+        else:
+            dp[key] = val
+    return resource, dp
+
+
+_DD_TYPES = {"count": ("sum", 1, False), "rate": ("sum", 1, False),
+             "gauge": ("gauge", 0, False)}
+
+
+def dd_series_rows(doc: dict) -> list[dict]:
+    """TranslateSeriesV1 over one payload → flat point rows."""
+    rows = []
+    last_ts: dict = {}
+    for serie in doc.get("series") or []:
+        styp = serie.get("type") or ""
+        if styp not in _DD_TYPES:
+            continue            # unset/unknown type
+        mtype, temp, mono = _DD_TYPES[styp]
+        resource, dp_attrs = dd_tags_to_attributes(
+            serie.get("tags"), serie.get("host"))
+        res_json = json.dumps(resource, sort_keys=True)
+        dp_json = json.dumps(dp_attrs, sort_keys=True)
+        name = serie.get("metric") or ""
+        interval = serie.get("interval")
+        stream_key = (name, styp, res_json, dp_json)
+        for point in serie.get("points") or []:
+            if not isinstance(point, list) or len(point) != 2 or \
+                    point[0] is None or point[1] is None:
+                continue
+            ts = int(float(point[0]))
+            value = float(point[1])
+            if styp == "rate" and interval is not None:
+                value *= float(interval)
+            ts_ns = ts * 1_000_000_000
+            start = last_ts.get(stream_key, 0)
+            last_ts[stream_key] = ts_ns
+            rows.append({
+                "metric_name": name, "metric_type": mtype,
+                "aggregation_temporality": temp, "is_monotonic": mono,
+                "start_time_unix_nano": start, "time_unix_nano": ts_ns,
+                "value_double": value, "value_int": None,
+                "attributes": dp_json,
+                "resource_attributes": res_json})
+    return rows
+
+
+def dd_service_check_rows(doc) -> list[dict]:
+    """TranslateServices over one payload (a JSON array of checks)."""
+    rows = []
+    for svc in doc or []:
+        resource, dp_attrs = dd_tags_to_attributes(
+            svc.get("tags"), svc.get("host_name"))
+        ts_ns = int(svc.get("timestamp") or 0) * 1_000_000_000
+        rows.append({
+            "metric_name": svc.get("check") or "",
+            "metric_type": "gauge", "aggregation_temporality": 0,
+            "is_monotonic": False, "start_time_unix_nano": 0,
+            "time_unix_nano": ts_ns, "value_double": None,
+            "value_int": int(svc.get("status") or 0),
+            "attributes": json.dumps(dp_attrs, sort_keys=True),
+            "resource_attributes": json.dumps(resource, sort_keys=True)})
+    return rows
+
+
+_DD_COLS = (("metric_name", pa.string()), ("metric_type", pa.string()),
+            ("aggregation_temporality", pa.int64()),
+            ("is_monotonic", pa.bool_()),
+            ("start_time_unix_nano", pa.int64()),
+            ("time_unix_nano", pa.int64()),
+            ("value_double", pa.float64()), ("value_int", pa.int64()),
+            ("attributes", pa.string()),
+            ("resource_attributes", pa.string()))
+
+
+class _ParseDatadog:
+    def __init__(self, json_col: str, kind: str, on_error: str):
+        self.json_col = json_col
+        self.kind = kind
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch.column(self.json_col).to_pylist()
+        parent, cols = [], {name: [] for name, _ in _DD_COLS}
+        cols["error"] = []
+        for i, doc in enumerate(docs):
+            try:
+                d = json.loads(doc if doc is not None else "")
+                rows = (dd_series_rows(d) if self.kind == "series"
+                        else dd_service_check_rows(d))
+            except (ValueError, TypeError, AttributeError) as e:
+                if self.on_error == "drop":
+                    continue
+                parent.append(i)
+                for name, _ in _DD_COLS:
+                    cols[name].append(None)
+                cols["error"].append(str(e) or "invalid datadog payload")
+                continue
+            for row in rows:
+                parent.append(i)
+                for name, _ in _DD_COLS:
+                    cols[name].append(row[name])
+                cols["error"].append(None)
+        out = batch.take(pa.array(parent, pa.int64()))
+        for name, typ in _DD_COLS + (("error", pa.string()),):
+            arr = pa.array(cols[name], typ)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name),
+                                     name, arr)
+            else:
+                out = out.append_column(name, arr)
+        if self.on_error == "drop":
+            out = out.drop_columns(["error"])
+        return out
+
+
+def parse_datadog_series(ds, json_col: str = "dd_json", *,
+                         on_error: str = "drop"):
+    """Datadog v1 series payloads → flat metric point rows (block-local
+    fan-out, zero shuffle)."""
+    return ds.map_batches(_ParseDatadog(json_col, "series", on_error),
+                          batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parse_datadog_service_checks(ds, json_col: str = "dd_json", *,
+                                 on_error: str = "drop"):
+    """Datadog service-check payloads → flat gauge-int rows."""
+    return ds.map_batches(_ParseDatadog(json_col, "checks", on_error),
+                          batch_format="pyarrow", zero_copy_batch=True)
