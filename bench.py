@@ -173,6 +173,7 @@ OPERATOR_QUERIES = [
     "xray_export",
     "xray_parse",
     "datadog_series",
+    "libhoney_parse",
 ]
 
 

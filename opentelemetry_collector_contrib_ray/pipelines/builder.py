@@ -649,6 +649,17 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_libhoney")
+def _parse_libhoney(ds, json_col: str = "events_json",
+                    dataset_col: str = "dataset",
+                    signal: str = "traces", on_error: str = "drop"):
+    """libhoneyreceiver event-batch decode (round 5)."""
+    from ..stages.libhoney import parse_libhoney
+
+    return parse_libhoney(ds, json_col, dataset_col=dataset_col,
+                          signal=signal, on_error=on_error)
+
+
 @register_stage("parse_datadog_series")
 def _parse_datadog_series(ds, json_col: str = "dd_json",
                           on_error: str = "drop"):

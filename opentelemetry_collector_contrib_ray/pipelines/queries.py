@@ -4798,6 +4798,79 @@ def q_datadog_series(sf_dir: str):
     return series.union(checks)
 
 
+def q_libhoney_parse(sf_dir: str):
+    """libhoneyreceiver: event batches → flat spans + logs — signal
+    typing, id decode/fnv fallbacks, scope first-sighting, span
+    event/link reattachment, the order-dependent alreadyUsedFields
+    mutation (receiver/libhoneyreceiver/internal)."""
+    import json as _json
+
+    from ..stages.libhoney import parse_libhoney
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs, datasets = [], []
+        for e, u in zip(eid, uid):
+            m = e % 3
+            if m == 0:
+                events = [{
+                    "time": str(1_700_000_000 + e % 50),
+                    "samplerate": (u % 4) + 1,
+                    "data": {"meta.signal_type": "trace",
+                             "name": f"op{e % 6}",
+                             "trace.trace_id": f"{e + 1:032x}",
+                             "trace.span_id": f"{e + 2:016x}",
+                             "trace.parent_id": f"{e + 3:016x}",
+                             "duration_ms": float(e % 9),
+                             "span.kind": "server",
+                             "service.name": f"svc{u % 2}",
+                             "library.name": "libA",
+                             "library.version": "2.0",
+                             "attr1": f"v{u % 5}"}},
+                    {"time": str(1_700_000_001 + e % 50),
+                     "data": {"meta.signal_type": "trace",
+                              "meta.annotation_type": "span_event",
+                              "name": "ev1",
+                              "trace.parent_id": f"{e + 2:016x}",
+                              "ek": f"x{e % 4}"}}]
+            elif m == 1:
+                events = [{
+                    "time": str(1_700_000_000 + e % 50),
+                    "data": {"meta.signal_type": "log",
+                             "body": f"line {e % 11}",
+                             "severity_code": (e % 24) + 1,
+                             "severity_text": "INFO",
+                             "k": f"kv{u % 3}"}}]
+            else:
+                events = [{
+                    "time": str(1_700_000_000 + e % 50),
+                    "data": {"meta.signal_type": "trace",
+                             "name": "fnv",
+                             "trace.trace_id": "nothex!",
+                             "trace.span_id": "alsonothex",
+                             "error": True,
+                             "library.name": "libB"}}]
+            docs.append(_json.dumps(events))
+            datasets.append(f"ds{u % 2}")
+        return pa.table({"event_id": t.column("event_id"),
+                         "dataset": pa.array(datasets, pa.string()),
+                         "events_json": pa.array(docs, pa.string())})
+
+    fixed = ds.map_batches(fixture, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    spans = parse_libhoney(fixed, "events_json",
+                           signal="traces").select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "span_name", "span_kind", "start_time_unix_nano",
+         "end_time_unix_nano", "status_code", "attributes",
+         "resource_attributes", "scope_name", "scope_version",
+         "events"])
+    return spans
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -4978,6 +5051,7 @@ QUERIES = {
     "xray_export": q_xray_export,
     "xray_parse": q_xray_parse,
     "datadog_series": q_datadog_series,
+    "libhoney_parse": q_libhoney_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7671,4 +7745,51 @@ ORACLE_SQL["datadog_series"] = """
       CAST(event_id % 4 AS BIGINT), '{}', res_open || '}'
     FROM base WHERE m = 3
     ORDER BY time_unix_nano, metric_name, value_double
+"""
+
+# libhoney event-batch decode → flat span rows (the fnv-fallback ids
+# are the reference's fnv64a derivations, constant for the fixture)
+ORACLE_SQL["libhoney_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 3 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             CAST((1700000000 + event_id % 50) * 1000000000 AS BIGINT)
+               AS st
+      FROM events WHERE event_id % 3 <> 1)
+    SELECT event_id,
+      CASE WHEN m = 0 THEN tid
+           ELSE '96959cb3de7a50b3f7070df0f2deaa89' END AS trace_id,
+      CASE WHEN m = 0 THEN sid ELSE '28fad98c5b2bbd93' END AS span_id,
+      CASE WHEN m = 0 THEN pid END AS parent_span_id,
+      CASE WHEN m = 0 THEN 'op' || CAST(event_id % 6 AS VARCHAR)
+           ELSE 'fnv' END AS span_name,
+      CAST(CASE WHEN m = 0 THEN 2 ELSE 0 END AS BIGINT) AS span_kind,
+      st AS start_time_unix_nano,
+      CASE WHEN m = 0
+           THEN st + (event_id % 9) * 1000000 ELSE st END
+        AS end_time_unix_nano,
+      CAST(CASE WHEN m = 0 THEN 0 ELSE 2 END AS BIGINT) AS status_code,
+      CASE WHEN m = 0 THEN '{"SampleRate": '
+        || CAST(user_id % 4 + 1 AS VARCHAR) || ', "attr1": "v'
+        || CAST(user_id % 5 AS VARCHAR)
+        || '", "meta.signal_type": "trace"}'
+      ELSE '{"SampleRate": 1, "meta.signal_type": "trace"}'
+      END AS attributes,
+      CASE WHEN m = 0 THEN '{"service.name": "svc'
+        || CAST(user_id % 2 AS VARCHAR) || '"}'
+      ELSE '{"service.name": "ds' || CAST(user_id % 2 AS VARCHAR)
+        || '"}' END AS resource_attributes,
+      CASE WHEN m = 0 THEN 'libA' ELSE 'libB' END AS scope_name,
+      CASE WHEN m = 0 THEN '2.0' ELSE 'unset' END AS scope_version,
+      CASE WHEN m = 0 THEN '[{"attributes": {"ek": "x'
+        || CAST(event_id % 4 AS VARCHAR)
+        || '"}, "droppedAttributesCount": 0, "name": "ev1",'
+        || ' "timeUnixNano": '
+        || CAST((1700000001 + event_id % 50) * 1000000000 AS VARCHAR)
+        || '}]'
+      ELSE '[]' END AS events
+    FROM l ORDER BY event_id
 """
