@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("to_alertmanager")
+def _to_alertmanager(ds, **opts):
+    """alertmanagerexporter alerts from span events (round 5)."""
+    from ..stages.alertmanager import spans_to_alertmanager
+
+    return spans_to_alertmanager(ds, **opts)
+
+
 @register_stage("parse_libhoney")
 def _parse_libhoney(ds, json_col: str = "events_json",
                     dataset_col: str = "dataset",

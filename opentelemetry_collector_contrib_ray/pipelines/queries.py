@@ -4871,6 +4871,45 @@ def q_libhoney_parse(sf_dir: str):
     return spans
 
 
+def q_alertmanager_export(sf_dir: str):
+    """alertmanagerexporter: span events → Alertmanager alert JSON —
+    one alert per event, labels = configured subset + severity +
+    event_name, annotations = all event attrs + TraceID/SpanID
+    (alertmanager_exporter.go:45-138)."""
+    import json as _json
+
+    from ..stages.alertmanager import spans_to_alertmanager
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {"trace_id": [], "span_id": [], "events": []}
+        for e, u in zip(eid, uid):
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            events = [{"name": f"ev{e % 4}",
+                       "timeUnixNano": (1_700_000_000 + e % 60)
+                       * 1_000_000_000,
+                       "attributes": {"env": f"p{u % 3}",
+                                      "code": e % 7}}]
+            if e % 2 == 0:
+                events.append({"name": "exception",
+                               "timeUnixNano": 0,
+                               "attributes": {"severity": "critical"}})
+            rows["events"].append(_json.dumps(events))
+        return pa.table({"event_id": t.column("event_id"), **{
+            k: pa.array(v, pa.string()) for k, v in rows.items()}})
+
+    out = spans_to_alertmanager(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        severity_attribute="severity", default_severity="info",
+        event_labels=("env",), generator_url="otelcol")
+    return out.select_columns(["event_id", "alert_json"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5052,6 +5091,7 @@ QUERIES = {
     "xray_parse": q_xray_parse,
     "datadog_series": q_datadog_series,
     "libhoney_parse": q_libhoney_parse,
+    "alertmanager_export": q_alertmanager_export,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7792,4 +7832,37 @@ ORACLE_SQL["libhoney_parse"] = """
         || '}]'
       ELSE '[]' END AS events
     FROM l ORDER BY event_id
+"""
+
+# alertmanager alerts from span events
+ORACLE_SQL["alertmanager_export"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             strftime(to_timestamp(1700000000 + event_id % 60)
+                      AT TIME ZONE 'UTC',
+                      '%Y-%m-%dT%H:%M:%SZ') AS ts,
+             'p' || CAST(user_id % 3 AS VARCHAR) AS env
+      FROM events)
+    SELECT event_id,
+      '{"labels":{"env":"' || env || '","event_name":"ev'
+        || CAST(event_id % 4 AS VARCHAR)
+        || '","severity":"info"},"annotations":{"SpanID":"' || sid
+        || '","TraceID":"' || tid || '","code":"'
+        || CAST(event_id % 7 AS VARCHAR) || '","env":"' || env
+        || '"},"startsAt":"' || ts
+        || '","endsAt":"0001-01-01T00:00:00Z",'
+        || '"generatorURL":"otelcol"}' AS alert_json
+    FROM l
+    UNION ALL
+    SELECT event_id,
+      '{"labels":{"event_name":"exception","severity":"critical"},'
+        || '"annotations":{"SpanID":"' || sid || '","TraceID":"' || tid
+        || '","severity":"critical"},'
+        || '"startsAt":"0001-01-01T00:00:00Z",'
+        || '"endsAt":"0001-01-01T00:00:00Z",'
+        || '"generatorURL":"otelcol"}'
+    FROM l WHERE event_id % 2 = 0
+    ORDER BY event_id, alert_json
 """
