@@ -174,6 +174,7 @@ OPERATOR_QUERIES = [
     "xray_parse",
     "datadog_series",
     "libhoney_parse",
+    "azuremonitor_export",
 ]
 
 

@@ -649,6 +649,24 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("to_azuremonitor_spans")
+def _to_azuremonitor_spans(ds, span_events_enabled: bool = False,
+                           on_error: str = "drop"):
+    """azuremonitorexporter span envelopes (round 5)."""
+    from ..stages.azuremonitor import spans_to_azuremonitor
+
+    return spans_to_azuremonitor(
+        ds, span_events_enabled=span_events_enabled, on_error=on_error)
+
+
+@register_stage("to_azuremonitor_logs")
+def _to_azuremonitor_logs(ds, **opts):
+    """azuremonitorexporter log envelopes (round 5)."""
+    from ..stages.azuremonitor import logs_to_azuremonitor
+
+    return logs_to_azuremonitor(ds, **opts)
+
+
 @register_stage("to_alertmanager")
 def _to_alertmanager(ds, **opts):
     """alertmanagerexporter alerts from span events (round 5)."""

@@ -4910,6 +4910,85 @@ def q_alertmanager_export(sf_dir: str):
     return out.select_columns(["event_id", "alert_json"])
 
 
+def q_azuremonitor_export(sf_dir: str):
+    """azuremonitorexporter: flat spans → AppInsights envelopes —
+    Request vs RemoteDependency by kind, HTTP/RPC/DB/Messaging
+    classification with the spec-ordered url/data/target combos,
+    InProc internals, status/property/tag semantics, exception-event
+    fan-out (trace_to_envelope.go)."""
+    import json as _json
+
+    from ..stages.azuremonitor import spans_to_azuremonitor
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "span_name",
+            "span_kind", "start_time_unix_nano", "end_time_unix_nano",
+            "status_code", "status_message", "attributes",
+            "resource_attributes", "scope_name", "scope_version",
+            "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 4
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(f"{e + 3:016x}")
+            rows["start_time_unix_nano"].append(1_681_873_445_000_000_000)
+            rows["end_time_unix_nano"].append(
+                1_681_873_445_000_000_000 + (e % 7) * 1_000_000)
+            rows["scope_name"].append("lib")
+            rows["scope_version"].append("1.0")
+            rows["links"].append("[]")
+            events = "[]"
+            if m == 0:
+                kind, status = 2, 0
+                name = "srv"
+                attrs = {"http.method": "GET",
+                         "http.route": f"r{e % 5}",
+                         "http.scheme": "https", "http.host": "h.com",
+                         "http.target": "/t", "http.status_code": 200}
+            elif m == 1:
+                kind, status = 3, 0
+                name = "q"
+                attrs = {"db.system": "mysql",
+                         "db.statement": f"SELECT {e % 5}",
+                         "net.peer.name": "db", "net.peer.port": 3306}
+            elif m == 2:
+                kind, status = 1, 0
+                name = f"in{e % 3}"
+                attrs = {"k": f"v{u % 3}"}
+            else:
+                kind, status = 2, 2
+                name = "boom"
+                attrs = {}
+                events = _json.dumps([{
+                    "name": "exception",
+                    "timeUnixNano": 1_681_873_445_100_000_000,
+                    "attributes": {"exception.type": "E",
+                                   "exception.message": f"m{e % 6}",
+                                   "exception.stacktrace": "st"}}])
+            rows["span_kind"].append(kind)
+            rows["status_code"].append(status)
+            rows["status_message"].append("bad" if m == 3 else None)
+            rows["span_name"].append(name)
+            rows["attributes"].append(_json.dumps(attrs))
+            rows["resource_attributes"].append(_json.dumps(
+                {"service.name": f"svc{u % 2}"}))
+            rows["events"].append(events)
+        return pa.table({"event_id": t.column("event_id"), **{
+            k: pa.array(v, pa.int64() if k in (
+                "span_kind", "start_time_unix_nano",
+                "end_time_unix_nano", "status_code") else pa.string())
+            for k, v in rows.items()}})
+
+    out = spans_to_azuremonitor(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True))
+    return out.select_columns(["event_id", "envelope_json"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5092,6 +5171,7 @@ QUERIES = {
     "datadog_series": q_datadog_series,
     "libhoney_parse": q_libhoney_parse,
     "alertmanager_export": q_alertmanager_export,
+    "azuremonitor_export": q_azuremonitor_export,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -7865,4 +7945,95 @@ ORACLE_SQL["alertmanager_export"] = """
         || '"generatorURL":"otelcol"}'
     FROM l WHERE event_id % 2 = 0
     ORDER BY event_id, alert_json
+"""
+
+# azuremonitor span envelopes (exact AppInsights envelope JSON)
+ORACLE_SQL["azuremonitor_export"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             'svc' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             '00.00:00:00.00' || CAST(event_id % 7 AS VARCHAR) || '000'
+               AS dur
+      FROM events),
+    b AS (
+      SELECT *,
+        '{"ver":1,"name":"Microsoft.ApplicationInsights.' AS hdr,
+        '","time":"2023-04-19T03:04:05Z","sampleRate":100,"tags":{'
+          || '"ai.cloud.role":"' || svc
+          || '","ai.internal.sdkVersion":"otelcol","ai.operation.id":"'
+          || tid || '",' AS tags_open,
+        '"instrumentation_library_name":"lib",'
+          || '"instrumentation_library_version":"1.0",' AS libprops
+      FROM l)
+    SELECT event_id,
+      CASE m
+        WHEN 0 THEN hdr || 'Request' || tags_open
+          || '"ai.operation.name":"GET /r'
+          || CAST(event_id % 5 AS VARCHAR)
+          || '","ai.operation.parentId":"' || pid
+          || '"},"data":{"baseType":"RequestData","baseData":{"ver":2,'
+          || '"id":"' || sid || '","name":"GET /r'
+          || CAST(event_id % 5 AS VARCHAR) || '","duration":"' || dur
+          || '","responseCode":"200","success":true,'
+          || '"url":"https://h.com/t","properties":{'
+          || '"http.host":"h.com","http.method":"GET","http.route":"r'
+          || CAST(event_id % 5 AS VARCHAR)
+          || '","http.scheme":"https","http.status_code":"200",'
+          || '"http.target":"/t",' || libprops
+          || '"otel.status_code":"STATUS_CODE_UNSET",'
+          || '"service.name":"' || svc || '"}}}}'
+        WHEN 1 THEN hdr || 'RemoteDependency' || tags_open
+          || '"ai.operation.parentId":"' || pid
+          || '"},"data":{"baseType":"RemoteDependencyData","baseData":'
+          || '{"ver":2,"name":"q","id":"' || sid
+          || '","resultCode":"0","duration":"' || dur
+          || '","success":true,"data":"SELECT '
+          || CAST(event_id % 5 AS VARCHAR)
+          || '","target":"db:3306","type":"mysql","properties":{'
+          || '"db.statement":"SELECT ' || CAST(event_id % 5 AS VARCHAR)
+          || '","db.system":"mysql",' || libprops
+          || '"net.peer.name":"db","net.peer.port":"3306",'
+          || '"otel.status_code":"STATUS_CODE_UNSET",'
+          || '"service.name":"' || svc || '"}}}}'
+        WHEN 2 THEN hdr || 'RemoteDependency' || tags_open
+          || '"ai.operation.parentId":"' || pid
+          || '"},"data":{"baseType":"RemoteDependencyData","baseData":'
+          || '{"ver":2,"name":"in' || CAST(event_id % 3 AS VARCHAR)
+          || '","id":"' || sid || '","resultCode":"0","duration":"'
+          || dur || '","success":true,"type":"InProc","properties":{'
+          || libprops || '"k":"v' || CAST(user_id % 3 AS VARCHAR)
+          || '","otel.status_code":"STATUS_CODE_UNSET",'
+          || '"service.name":"' || svc || '"}}}}'
+        ELSE hdr || 'Request' || tags_open
+          || '"ai.operation.name":"boom","ai.operation.parentId":"'
+          || pid || '"},"data":{"baseType":"RequestData","baseData":{'
+          || '"ver":2,"id":"' || sid || '","name":"boom","duration":"'
+          || dur || '","responseCode":"2","success":false,'
+          || '"properties":{' || libprops
+          || '"otel.status_code":"STATUS_CODE_ERROR",'
+          || '"otel.status_description":"bad","service.name":"'
+          || svc || '"}}}}'
+      END AS envelope_json
+    FROM b
+    UNION ALL
+    SELECT event_id,
+      hdr || 'Exception'
+        || '","time":"2023-04-19T03:04:05.1Z","sampleRate":100,'
+        || '"tags":{"ai.cloud.role":"' || svc
+        || '","ai.internal.sdkVersion":"otelcol","ai.operation.id":"'
+        || tid || '","ai.operation.parentId":"' || sid
+        || '"},"data":{"baseType":"ExceptionData","baseData":{"ver":2,'
+        || '"exceptions":[{"typeName":"E","message":"m'
+        || CAST(event_id % 6 AS VARCHAR)
+        || '","hasFullStack":true,"stack":"st"}],"severityLevel":3,'
+        || '"properties":{"exception.message":"m'
+        || CAST(event_id % 6 AS VARCHAR)
+        || '","exception.stacktrace":"st","exception.type":"E",'
+        || libprops || '"service.name":"' || svc || '"}}}}'
+    FROM b WHERE m = 3
+    ORDER BY event_id, envelope_json
 """
