@@ -175,6 +175,7 @@ OPERATOR_QUERIES = [
     "datadog_series",
     "libhoney_parse",
     "azuremonitor_export",
+    "cloudflare_parse",
 ]
 
 

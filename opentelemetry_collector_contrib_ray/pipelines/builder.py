@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_cloudflare")
+def _parse_cloudflare(ds, payload_col: str = "payload", **opts):
+    """cloudflarereceiver Logpush NDJSON decode (round 5)."""
+    from ..stages.cloudflare import parse_cloudflare_logs
+
+    return parse_cloudflare_logs(ds, payload_col, **opts)
+
+
 @register_stage("to_azuremonitor_spans")
 def _to_azuremonitor_spans(ds, span_events_enabled: bool = False,
                            on_error: str = "drop"):
