@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_webhook")
+def _parse_webhook(ds, body_col: str = "body_raw", **opts):
+    """webhookeventreceiver body decode (round 5)."""
+    from ..stages.webhookevent import parse_webhook_events
+
+    return parse_webhook_events(ds, body_col, **opts)
+
+
 @register_stage("parse_cloudflare")
 def _parse_cloudflare(ds, payload_col: str = "payload", **opts):
     """cloudflarereceiver Logpush NDJSON decode (round 5)."""

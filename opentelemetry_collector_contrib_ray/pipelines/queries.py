@@ -5039,6 +5039,55 @@ def q_cloudflare_parse(sf_dir: str):
          "scope_name"])
 
 
+def q_webhook_parse(sf_dir: str):
+    """webhookeventreceiver: raw bodies → log rows — whole-body /
+    newline / JSON-boundary splits, query-param resources,
+    regex-matched header attrs (req_to_log.go)."""
+    import json as _json
+
+    from ..stages.webhookevent import parse_webhook_events
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        bodies, queries, headers = [], [], []
+        for e, u in zip(eid, uid):
+            m = e % 3
+            if m == 0:
+                bodies.append(f'{{"ev": {e % 9}}} {{"ev2": {u % 5}}}')
+            elif m == 1:
+                bodies.append(f"line{e % 7}\nline{u % 4}")
+            else:
+                bodies.append(f"whole body {e % 11}")
+            queries.append(_json.dumps({"src": f"s{u % 3}"}))
+            headers.append(_json.dumps({"X-Hook-Id": str(e % 13),
+                                        "Other": "x"}))
+        m = pa.array([int(e % 3) for e in eid], pa.int32())
+        return pa.table({"event_id": t.column("event_id"), "m": m,
+                         "body_raw": pa.array(bodies, pa.string()),
+                         "query": pa.array(queries, pa.string()),
+                         "headers": pa.array(headers, pa.string())})
+
+    fixed = ds.map_batches(fixture, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cols = ["event_id", "body", "attributes", "resource_attributes",
+            "scope_name"]
+    a = parse_webhook_events(
+        fixed.filter(expr="m == 0"), "body_raw",
+        split_at_json_boundary=True,
+        include_headers_regex="^X-").select_columns(cols)
+    b = parse_webhook_events(
+        fixed.filter(expr="m == 1"), "body_raw",
+        split_logs_at_new_line=True,
+        include_headers_regex="^X-").select_columns(cols)
+    c = parse_webhook_events(
+        fixed.filter(expr="m == 2"), "body_raw",
+        include_headers_regex="^X-").select_columns(cols)
+    return a.union(b).union(c)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5223,6 +5272,7 @@ QUERIES = {
     "alertmanager_export": q_alertmanager_export,
     "azuremonitor_export": q_azuremonitor_export,
     "cloudflare_parse": q_cloudflare_parse,
+    "webhook_parse": q_webhook_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -8152,4 +8202,35 @@ ORACLE_SQL["cloudflare_parse"] = """
       '{}', scope
     FROM sev WHERE m = 2
     ORDER BY event_id, time_unix_nano
+"""
+
+# webhookevent raw-body decode
+ORACLE_SQL["webhook_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 3 AS INTEGER) AS m,
+             '{"header.X-Hook-Id": ["' || CAST(event_id % 13 AS VARCHAR)
+               || '"]}' AS attrs,
+             '{"src": "s' || CAST(user_id % 3 AS VARCHAR) || '"}'
+               AS res,
+             'otlp/webhookevent' AS scope
+      FROM events)
+    SELECT event_id,
+      '{"ev": ' || CAST(event_id % 9 AS VARCHAR) || '}' AS body,
+      attrs AS attributes, res AS resource_attributes,
+      scope AS scope_name
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, '{"ev2": ' || CAST(user_id % 5 AS VARCHAR) || '}',
+      attrs, res, scope FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, 'line' || CAST(event_id % 7 AS VARCHAR),
+      attrs, res, scope FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'line' || CAST(user_id % 4 AS VARCHAR),
+      attrs, res, scope FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 'whole body ' || CAST(event_id % 11 AS VARCHAR),
+      attrs, res, scope FROM l WHERE m = 2
+    ORDER BY event_id, body
 """
