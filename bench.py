@@ -176,6 +176,7 @@ OPERATOR_QUERIES = [
     "libhoney_parse",
     "azuremonitor_export",
     "cloudflare_parse",
+    "github_parse",
 ]
 
 

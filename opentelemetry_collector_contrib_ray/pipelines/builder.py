@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_github")
+def _parse_github(ds, json_col: str = "event_json", **opts):
+    """githubreceiver workflow webhook decode (round 5)."""
+    from ..stages.githubrx import parse_github_events
+
+    return parse_github_events(ds, json_col, **opts)
+
+
 @register_stage("parse_webhook")
 def _parse_webhook(ds, body_col: str = "body_raw", **opts):
     """webhookeventreceiver body decode (round 5)."""

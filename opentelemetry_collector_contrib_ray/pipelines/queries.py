@@ -5088,6 +5088,92 @@ def q_webhook_parse(sf_dir: str):
     return a.union(b).union(c)
 
 
+def q_github_parse(sf_dir: str):
+    """githubreceiver: workflow_run/workflow_job webhooks → CI/CD span
+    trees — sha256-deterministic ids, root/job/queue/step wiring with
+    the queue-parent quirk, duplicate step -n suffixes, conclusion
+    status tables, previous-attempt links, service-name formatting
+    (trace_event_handling.go, model.go)."""
+    import json as _json
+
+    from ..stages.githubrx import parse_github_events
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs, types = [], []
+        for e, u in zip(eid, uid):
+            if e % 2 == 0:
+                attempt = 2 if e % 4 == 0 else 1
+                run = {"id": e + 1, "run_attempt": attempt,
+                       "name": f"CI-{u % 3}",
+                       "run_started_at": "2023-04-19T03:04:05Z",
+                       "updated_at": "2023-04-19T03:05:05Z",
+                       "conclusion": ["success", "failure",
+                                      "neutral"][e % 3],
+                       "head_branch": "main",
+                       "head_sha": f"{e + 9:x}",
+                       "html_url": f"https://github.com/o/r/runs/{e}",
+                       "head_commit": {"committer": {
+                           "name": "N", "email": "n@x"}}}
+                if attempt == 2:
+                    run["previous_attempt_url"] = \
+                        (f"https://api.github.com/repos/o/r/runs/{e}"
+                         "/attempts/1")
+                docs.append(_json.dumps({
+                    "workflow_run": run,
+                    "repository": {"name": f"Repo_{u % 2}"},
+                    "sender": {"login": f"dev{u % 5}"}}))
+                types.append("workflow_run")
+            else:
+                job = {"id": e + 7, "run_id": e + 1, "run_attempt": 1,
+                       "name": f"job{u % 3}",
+                       "created_at": "2023-04-19T03:04:00Z",
+                       "started_at": "2023-04-19T03:04:10Z",
+                       "completed_at": "2023-04-19T03:05:00Z",
+                       "conclusion": ["success",
+                                      "failure"][(e // 2) % 2],
+                       "head_branch": "main",
+                       "head_sha": f"{e + 9:x}",
+                       "runner_id": u % 7, "runner_group_id": 1,
+                       "runner_name": f"r{u % 4}",
+                       "runner_group_name": "g", "node_id": "N1",
+                       "labels": ["Ubuntu-Latest"],
+                       "html_url": f"https://github.com/o/r/job/{e}",
+                       "steps": [
+                           {"name": "checkout", "number": 1,
+                            "status": "completed",
+                            "conclusion": "success",
+                            "started_at": "2023-04-19T03:04:10Z",
+                            "completed_at": "2023-04-19T03:04:20Z"},
+                           {"name": "run", "number": 2,
+                            "status": "completed",
+                            "conclusion": ["success", "failure",
+                                           "skipped"][e % 3],
+                            "started_at": "2023-04-19T03:04:20Z",
+                            "completed_at":
+                                "2023-04-19T03:04:30Z"}]}
+                docs.append(_json.dumps({
+                    "workflow_job": job,
+                    "repository": {"name": f"Repo_{u % 2}"},
+                    "sender": {"login": f"dev{u % 5}"}}))
+                types.append("workflow_job")
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_json": pa.array(docs, pa.string()),
+                         "event_type": pa.array(types, pa.string())})
+
+    out = parse_github_events(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "event_json")
+    return out.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "span_name", "span_kind", "start_time_unix_nano",
+         "end_time_unix_nano", "status_code", "status_message",
+         "attributes", "resource_attributes", "links"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5273,6 +5359,7 @@ QUERIES = {
     "azuremonitor_export": q_azuremonitor_export,
     "cloudflare_parse": q_cloudflare_parse,
     "webhook_parse": q_webhook_parse,
+    "github_parse": q_github_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -8233,4 +8320,127 @@ ORACLE_SQL["webhook_parse"] = """
     SELECT event_id, 'whole body ' || CAST(event_id % 11 AS VARCHAR),
       attrs, res, scope FROM l WHERE m = 2
     ORDER BY event_id, body
+"""
+
+# github workflow webhook decode (sha256-deterministic ids — DuckDB's
+# sha256() reproduces them exactly)
+ORACLE_SQL["github_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id + 1 AS VARCHAR) AS rid,
+             CASE WHEN event_id % 4 = 0 THEN 2 ELSE 1 END AS att,
+             'CI-' || CAST(user_id % 3 AS VARCHAR) AS runname,
+             'job' || CAST(user_id % 3 AS VARCHAR) AS jobname,
+             ['success', 'failure', 'neutral'][event_id % 3 + 1]
+               AS runconc,
+             ['success', 'failure'][(event_id // 2) % 2 + 1]
+               AS jobconc,
+             ['success', 'failure', 'skipped'][event_id % 3 + 1]
+               AS stepconc,
+             'Repo_' || CAST(user_id % 2 AS VARCHAR) AS repo,
+             'repo-' || CAST(user_id % 2 AS VARCHAR) AS svc,
+             'dev' || CAST(user_id % 5 AS VARCHAR) AS dev,
+             printf('%x', event_id + 9) AS sha
+      FROM events),
+    ids AS (
+      SELECT *,
+        substr(sha256(rid || CAST(att AS VARCHAR) || 't'), 1, 32)
+          AS tid,
+        substr(sha256(rid || CAST(att AS VARCHAR) || 's'), 17, 16)
+          AS rootsid,
+        substr(sha256(rid || '1' || jobname), 17, 16) AS jobsid,
+        substr(sha256(rid || '1' || jobname || 'queue-' || jobname
+                      || '1'), 17, 16) AS queuesid,
+        substr(sha256(rid || '1' || jobname || 'checkout1'), 17, 16)
+          AS step1sid,
+        substr(sha256(rid || '1' || jobname || 'run2'), 17, 16)
+          AS step2sid,
+        '{"cicd.pipeline.name": "job' || CAST(user_id % 3 AS VARCHAR)
+          || '", "cicd.pipeline.run.task.status": "' || jobconc
+          || '", "cicd.pipeline.task.run.id": '
+          || CAST(event_id + 7 AS VARCHAR)
+          || ', "cicd.pipeline.task.run.sender.login": "' || dev
+          || '", "cicd.pipeline.task.run.url.full":'
+          || ' "https://github.com/o/r/job/'
+          || CAST(event_id AS VARCHAR)
+          || '", "cicd.pipeline.worker.group.id": 1,'
+          || ' "cicd.pipeline.worker.group.name": "g",'
+          || ' "cicd.pipeline.worker.id": '
+          || CAST(user_id % 7 AS VARCHAR)
+          || ', "cicd.pipeline.worker.labels": ["ubuntu-latest"],'
+          || ' "cicd.pipeline.worker.name": "r'
+          || CAST(user_id % 4 AS VARCHAR)
+          || '", "cicd.pipeline.worker.node.id": "N1",'
+          || ' "service.name": "' || svc
+          || '", "vcs.ref.head": "main", "vcs.ref.head.revision": "'
+          || sha || '", "vcs.ref.head.type": "branch",'
+          || ' "vcs.repository.name": "' || repo
+          || '", "vcs.vendor.name": "github"}' AS jobres
+      FROM l)
+    SELECT event_id, tid AS trace_id, rootsid AS span_id,
+      CAST(NULL AS VARCHAR) AS parent_span_id,
+      runname AS span_name, CAST(2 AS BIGINT) AS span_kind,
+      CAST(1681873445000000000 AS BIGINT) AS start_time_unix_nano,
+      CAST(1681873505000000000 AS BIGINT) AS end_time_unix_nano,
+      CAST(CASE runconc WHEN 'success' THEN 1 WHEN 'failure' THEN 2
+           ELSE 0 END AS BIGINT) AS status_code,
+      runconc AS status_message, '{}' AS attributes,
+      '{"cicd.pipeline.name": "' || runname
+        || '", "cicd.pipeline.run.id": ' || rid
+        || CASE WHEN att = 2 THEN
+             ', "cicd.pipeline.run.previous_attempt.url.full":'
+             || ' "https://github.com/o/r/runs/'
+             || CAST(event_id AS VARCHAR) || '/attempts/1"'
+           ELSE '' END
+        || ', "cicd.pipeline.run.sender.login": "' || dev
+        || '", "cicd.pipeline.run.status": "' || runconc
+        || '", "cicd.pipeline.run.url.full":'
+        || ' "https://github.com/o/r/runs/'
+        || CAST(event_id AS VARCHAR)
+        || '", "service.name": "' || svc
+        || '", "vcs.ref.head": "main", "vcs.ref.head.revision": "'
+        || sha || '", "vcs.ref.head.revision.author.email": "n@x",'
+        || ' "vcs.ref.head.revision.author.name": "N",'
+        || ' "vcs.ref.head.type": "branch", "vcs.repository.name": "'
+        || repo || '", "vcs.vendor.name": "github"}'
+        AS resource_attributes,
+      CASE WHEN att = 2 THEN '[{"attributes": {},'
+        || ' "droppedAttributesCount": 0, "spanId":'
+        || ' "0000000000000000", "traceId": "'
+        || substr(sha256(rid || '1t'), 1, 32) || '"}]'
+      ELSE '[]' END AS links
+    FROM ids WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, tid, jobsid, rootsid, jobname, 2,
+      CAST(1681873440000000000 AS BIGINT),
+      CAST(1681873500000000000 AS BIGINT),
+      CAST(CASE jobconc WHEN 'success' THEN 1 ELSE 2 END AS BIGINT),
+      jobconc, '{}', jobres, '[]'
+    FROM ids WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, tid, queuesid, jobsid, 'queue-' || jobname, 2,
+      CAST(1681873440000000000 AS BIGINT),
+      CAST(1681873450000000000 AS BIGINT), 0, NULL,
+      '{"cicd.pipeline.run.queue.duration": 10000000000.0}',
+      jobres, '[]'
+    FROM ids WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, tid, step1sid, queuesid, 'checkout', 2,
+      CAST(1681873450000000000 AS BIGINT),
+      CAST(1681873460000000000 AS BIGINT), 1, jobconc,
+      '{"cicd.pipeline.run.task.status": "success",'
+        || ' "cicd.pipeline.task.name": "checkout"}', jobres, '[]'
+    FROM ids WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, tid, step2sid, queuesid, 'run', 2,
+      CAST(1681873460000000000 AS BIGINT),
+      CAST(1681873470000000000 AS BIGINT),
+      CAST(CASE stepconc WHEN 'success' THEN 1 WHEN 'failure' THEN 2
+           ELSE 0 END AS BIGINT), jobconc,
+      '{"cicd.pipeline.run.task.status": "'
+        || CASE stepconc WHEN 'skipped' THEN 'failure' ELSE stepconc
+           END
+        || '", "cicd.pipeline.task.name": "run"}', jobres, '[]'
+    FROM ids WHERE event_id % 2 = 1
+    ORDER BY event_id, span_id
 """
