@@ -177,6 +177,7 @@ OPERATOR_QUERIES = [
     "azuremonitor_export",
     "cloudflare_parse",
     "github_parse",
+    "gitlab_parse",
 ]
 
 

@@ -649,6 +649,15 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("parse_gitlab")
+def _parse_gitlab(ds, json_col: str = "event_json",
+                  on_error: str = "drop"):
+    """gitlabreceiver pipeline webhook decode (round 5)."""
+    from ..stages.gitlabrx import parse_gitlab_events
+
+    return parse_gitlab_events(ds, json_col, on_error=on_error)
+
+
 @register_stage("parse_github")
 def _parse_github(ds, json_col: str = "event_json", **opts):
     """githubreceiver workflow webhook decode (round 5)."""

@@ -5174,6 +5174,58 @@ def q_github_parse(sf_dir: str):
          "attributes", "resource_attributes", "links"])
 
 
+def q_gitlab_parse(sf_dir: str):
+    """gitlabreceiver: pipeline webhooks → span trees — sha256 ids
+    seeded by finish/start times, derived stages (min-start/max-finish
+    per stage), finished-job spans under their stage, commit-title
+    name fallback (traces_event_handling.go, model.go)."""
+    import json as _json
+
+    from ..stages.gitlabrx import parse_gitlab_events
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            fin_min = e % 20
+            ev = {
+                "object_attributes": {
+                    "id": e + 1,
+                    "name": f"pipe{u % 3}" if e % 2 == 0 else "",
+                    "created_at": "2025-04-01 18:30:00 UTC",
+                    "finished_at":
+                        f"2025-04-01 18:{35 + fin_min % 20:02d}:00 UTC"},
+                "commit": {"title": f"fix {u % 7}"},
+                "project": {"path_with_namespace": f"org/repo{u % 2}"},
+                "builds": [
+                    {"id": e * 10 + 1, "stage": "build",
+                     "name": f"compile{e % 4}", "status": "success",
+                     "started_at": "2025-04-01 18:30:10 UTC",
+                     "finished_at": "2025-04-01 18:31:00 UTC"},
+                    {"id": e * 10 + 2, "stage": "build",
+                     "name": "lint", "status": "failed",
+                     "started_at": "2025-04-01 18:30:05 UTC",
+                     "finished_at": "2025-04-01 18:31:30 UTC"},
+                    {"id": e * 10 + 3, "stage": "test",
+                     "name": f"unit{u % 5}", "status": "success",
+                     "started_at": "2025-04-01 18:32:00 UTC",
+                     "finished_at": "2025-04-01 18:33:00 UTC"}]}
+            docs.append(_json.dumps(ev))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_json": pa.array(docs, pa.string())})
+
+    out = parse_gitlab_events(ds.map_batches(
+        fixture, batch_format="pyarrow", zero_copy_batch=True),
+        "event_json")
+    return out.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "span_name", "start_time_unix_nano", "end_time_unix_nano",
+         "resource_attributes"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5360,6 +5412,7 @@ QUERIES = {
     "cloudflare_parse": q_cloudflare_parse,
     "webhook_parse": q_webhook_parse,
     "github_parse": q_github_parse,
+    "gitlab_parse": q_gitlab_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -8442,5 +8495,81 @@ ORACLE_SQL["github_parse"] = """
            END
         || '", "cicd.pipeline.task.name": "run"}', jobres, '[]'
     FROM ids WHERE event_id % 2 = 1
+    ORDER BY event_id, span_id
+"""
+
+# gitlab pipeline webhook decode (sha256 ids via DuckDB sha256)
+ORACLE_SQL["gitlab_parse"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id + 1 AS VARCHAR) AS pid,
+             '2025-04-01 18:' || lpad(CAST(35 + (event_id % 20) % 20
+                                           AS VARCHAR), 2, '0')
+               || ':00 UTC' AS fin,
+             CASE WHEN event_id % 2 = 0
+                  THEN 'pipe' || CAST(user_id % 3 AS VARCHAR)
+                  ELSE 'fix ' || CAST(user_id % 7 AS VARCHAR) END
+               AS pname,
+             '{"service.name": "org/repo'
+               || CAST(user_id % 2 AS VARCHAR) || '"}' AS res
+      FROM events),
+    ids AS (
+      SELECT *,
+        substr(sha256(pid || 't' || fin), 1, 32) AS tid,
+        substr(sha256(pid || fin), 17, 16) AS psid,
+        substr(sha256(pid || 'build' || '2025-04-01 18:30:05 UTC'),
+               17, 16) AS sbid,
+        substr(sha256(pid || 'test' || '2025-04-01 18:32:00 UTC'),
+               17, 16) AS stid,
+        CAST(epoch('2025-04-01 18:35:00'::TIMESTAMP)
+             + ((event_id % 20) % 20) * 60 AS BIGINT)
+          * 1000000000 AS fin_ns
+      FROM l),
+    t AS (
+      SELECT CAST(epoch('2025-04-01 18:30:00'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS created,
+             CAST(epoch('2025-04-01 18:30:05'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS b_start,
+             CAST(epoch('2025-04-01 18:30:10'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS j1_start,
+             CAST(epoch('2025-04-01 18:31:00'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS j1_end,
+             CAST(epoch('2025-04-01 18:31:30'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS b_end,
+             CAST(epoch('2025-04-01 18:32:00'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS t_start,
+             CAST(epoch('2025-04-01 18:33:00'::TIMESTAMP) AS BIGINT)
+               * 1000000000 AS t_end)
+    SELECT event_id, tid AS trace_id, psid AS span_id,
+      CAST(NULL AS VARCHAR) AS parent_span_id, pname AS span_name,
+      t.created AS start_time_unix_nano, fin_ns AS end_time_unix_nano,
+      res AS resource_attributes
+    FROM ids, t
+    UNION ALL
+    SELECT event_id, tid, sbid, psid, 'build', t.b_start, t.b_end, res
+    FROM ids, t
+    UNION ALL
+    SELECT event_id, tid, stid, psid, 'test', t.t_start, t.t_end, res
+    FROM ids, t
+    UNION ALL
+    SELECT event_id, tid,
+      substr(sha256(CAST(event_id * 10 + 1 AS VARCHAR)
+                    || '2025-04-01 18:30:10 UTC'), 17, 16),
+      sbid, 'compile' || CAST(event_id % 4 AS VARCHAR),
+      t.j1_start, t.j1_end, res
+    FROM ids, t
+    UNION ALL
+    SELECT event_id, tid,
+      substr(sha256(CAST(event_id * 10 + 2 AS VARCHAR)
+                    || '2025-04-01 18:30:05 UTC'), 17, 16),
+      sbid, 'lint', t.b_start, t.b_end, res
+    FROM ids, t
+    UNION ALL
+    SELECT event_id, tid,
+      substr(sha256(CAST(event_id * 10 + 3 AS VARCHAR)
+                    || '2025-04-01 18:32:00 UTC'), 17, 16),
+      stid, 'unit' || CAST(user_id % 5 AS VARCHAR),
+      t.t_start, t.t_end, res
+    FROM ids, t
     ORDER BY event_id, span_id
 """
