@@ -178,6 +178,7 @@ OPERATOR_QUERIES = [
     "cloudflare_parse",
     "github_parse",
     "gitlab_parse",
+    "url_filter",
 ]
 
 

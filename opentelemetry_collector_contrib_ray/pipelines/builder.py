@@ -649,6 +649,14 @@ def _to_emf(ds, **config):
     return metrics_to_emf(ds, **config)
 
 
+@register_stage("url_filter")
+def _url_filter(ds, url_col: str = "url", blocklist=(), mode="drop"):
+    """URL/domain blocklist filter (training-data operator, round 5)."""
+    from ..stages.urlfilter import filter_urls
+
+    return filter_urls(ds, url_col, blocklist=blocklist, mode=mode)
+
+
 @register_stage("parse_gitlab")
 def _parse_gitlab(ds, json_col: str = "event_json",
                   on_error: str = "drop"):

@@ -5226,6 +5226,37 @@ def q_gitlab_parse(sf_dir: str):
          "resource_attributes"])
 
 
+def q_url_filter(sf_dir: str):
+    """URL/domain blocklist filter (C4/RefinedWeb hygiene pass):
+    vectorized host extraction, exact + subdomain suffix matching
+    against a broadcast blocklist, tag mode."""
+    from ..stages.urlfilter import filter_urls
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        urls = []
+        for e, u in zip(eid, uid):
+            m = e % 5
+            if m == 4:
+                urls.append(f"not a url {e % 3}")
+            elif m == 3:
+                urls.append(
+                    f"https://user@sub{u % 5}.dom{e % 7}.com:8443/p")
+            else:
+                urls.append(f"https://Sub{u % 5}.Dom{e % 7}.com/p/q")
+        return pa.table({"event_id": t.column("event_id"),
+                         "url": pa.array(urls, pa.string())})
+
+    fixed = ds.map_batches(fixture, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return filter_urls(fixed, "url",
+                       blocklist=["dom3.com", "sub1.dom4.com"],
+                       mode="tag")
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -5413,6 +5444,7 @@ QUERIES = {
     "webhook_parse": q_webhook_parse,
     "github_parse": q_github_parse,
     "gitlab_parse": q_gitlab_parse,
+    "url_filter": q_url_filter,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -8572,4 +8604,26 @@ ORACLE_SQL["gitlab_parse"] = """
       t.t_start, t.t_end, res
     FROM ids, t
     ORDER BY event_id, span_id
+"""
+
+# URL/domain blocklist filter (tag mode: every row + the verdict)
+ORACLE_SQL["url_filter"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(event_id % 7 AS VARCHAR) AS e7
+      FROM events)
+    SELECT event_id,
+      CASE WHEN m = 4 THEN 'not a url ' || CAST(event_id % 3 AS VARCHAR)
+           WHEN m = 3 THEN 'https://user@sub' || u5 || '.dom' || e7
+             || '.com:8443/p'
+           ELSE 'https://Sub' || u5 || '.Dom' || e7 || '.com/p/q'
+      END AS url,
+      CASE WHEN m = 4 THEN FALSE
+           -- subdomain-of dom3.com, or exactly sub1.dom4.com
+           WHEN e7 = '3' THEN TRUE
+           WHEN e7 = '4' AND u5 = '1' THEN TRUE
+           ELSE FALSE END AS url_blocked
+    FROM l ORDER BY event_id
 """
