@@ -444,6 +444,14 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("to_carbon")
+def _to_carbon(ds, **kwargs):
+    """carbonexporter plaintext line rendering (round 5)."""
+    from ..stages.carbonout import metrics_to_carbon
+
+    return metrics_to_carbon(ds, **kwargs)
+
+
 @register_stage("parse_collectd")
 def _parse_collectd(ds, json_col: str = "record",
                     default_labels: dict | None = None):

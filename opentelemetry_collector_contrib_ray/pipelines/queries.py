@@ -979,6 +979,75 @@ def q_carbon_parse(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_carbon_render(sf_dir: str):
+    """carbonexporter: flat metric datapoints → Carbon plaintext lines
+    (tag-key sanitization with UNsanitized values + the <empty>
+    placeholder, 'f'-value / 'g'-label floats, histogram/summary
+    count+sum+bucket/quantile fan-out, empty-value point skip —
+    metricdata_to_plaintext.go:82-338)."""
+    from ..stages.carbonout import metrics_to_carbon
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(eid)
+        m = eid % 6
+        v = eid % 89
+        name = ["c." + str(u % 4) for u in uid]
+        host = [[("host", "h" + str(u % 3))] for u in uid]
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array(name, pa.string()),
+            "mtype": pa.array(
+                np.select([m == 4, m == 5], ["histogram", "summary"],
+                          np.where(m == 2, "sum", "gauge")).tolist(),
+                pa.string()),
+            "time_ns": pa.array(
+                (1_700_000_000 + eid) * 1_000_000_000 + 123_456_789,
+                pa.int64()),
+            "attributes": pa.array(
+                [h + [("dc", "")] if mm == 1
+                 else ([("k;x", "v1")] if mm == 2
+                       else (h if mm == 4 else None))
+                 for mm, h in zip(m, host)],
+                pa.map_(pa.string(), pa.string())),
+            "value_int": pa.array(
+                [int(vv) if mm in (0, 2) else None
+                 for mm, vv in zip(m, v)], pa.int64()),
+            "value_double": pa.array(
+                [vv + 0.25 if mm == 1 else None
+                 for mm, vv in zip(m, v)], pa.float64()),
+            "count": pa.array(
+                [int(e % 50) if mm == 4 else (int(e % 30) if mm == 5
+                                              else None)
+                 for mm, e in zip(m, eid)], pa.int64()),
+            "sum": pa.array(
+                [e % 40 + 0.5 if mm == 4 else (e % 25 + 0.75
+                                               if mm == 5 else None)
+                 for mm, e in zip(m, eid)], pa.float64()),
+            "explicit_bounds": pa.array(
+                [[1.5, 2.0, 4.0] if mm == 4 else None for mm in m],
+                pa.list_(pa.float64())),
+            "bucket_counts": pa.array(
+                [[int(e % 5), int(e % 7), int(e % 3), int(e % 11)]
+                 if mm == 4 else None for mm, e in zip(m, eid)],
+                pa.list_(pa.int64())),
+            "quantiles": pa.array(
+                [[0.5, 0.75] if mm == 5 else None for mm in m],
+                pa.list_(pa.float64())),
+            "quantile_values": pa.array(
+                [[e % 20 + 0.25, e % 9 + 0.5] if mm == 5 else None
+                 for mm, e in zip(m, eid)],
+                pa.list_(pa.float64())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_carbon(flat, id_cols=("event_id",))
+
+
 def q_wavefront_parse(sf_dir: str):
     """wavefrontreceiver: Wavefront data-format lines → typed datapoints
     (quoted names/values, omitted-timestamp tag fallback, collectd
@@ -5403,6 +5472,7 @@ QUERIES = {
     "consistent_sample_prop": q_consistent_sample_prop,
     "statsd_metrics": q_statsd_metrics,
     "carbon_parse": q_carbon_parse,
+    "carbon_render": q_carbon_render,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
     "influx_parse": q_influx_parse,
@@ -6662,6 +6732,70 @@ ORACLE_SQL["carbon_parse"] = """
            ELSE CAST(0 AS BIGINT) END AS timestamp_extra_ns
     FROM l WHERE m <> 5
     ORDER BY event_id
+"""
+
+# carbonexporter render: one row per emitted plaintext line; m=3 rows
+# (empty-value number points) vanish; histogram fan-out = count+sum+4
+# buckets, summary = count+sum+2 quantiles; ts = ns-truncated seconds
+ORACLE_SQL["carbon_render"] = """
+    WITH l AS (
+      SELECT event_id, user_id,
+             CAST(event_id % 89 AS BIGINT) AS v,
+             CAST(event_id % 6 AS INTEGER) AS m,
+             'c.' || CAST(user_id % 4 AS VARCHAR) AS name,
+             CAST(1700000000 + event_id AS VARCHAR) AS ts,
+             ';host=h' || CAST(user_id % 3 AS VARCHAR) AS host
+      FROM events)
+    SELECT event_id, CAST(0 AS INTEGER) AS line_seq,
+           name || ' ' || CAST(v AS VARCHAR) || ' ' || ts AS carbon_line
+      FROM l WHERE m = 0
+    UNION ALL
+    SELECT event_id, 0,
+           name || host || ';dc=<empty> ' ||
+           CAST(CAST(v AS DOUBLE) + 0.25 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 1
+    UNION ALL
+    SELECT event_id, 0,
+           name || ';k_x=v1 ' || CAST(v AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 2
+    UNION ALL
+    SELECT event_id, 0,
+           name || '.count' || host || ' ' ||
+           CAST(event_id % 50 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 4
+    UNION ALL
+    SELECT event_id, 1,
+           name || host || ' ' ||
+           CAST(CAST(event_id % 40 AS DOUBLE) + 0.5 AS VARCHAR) ||
+           ' ' || ts
+      FROM l WHERE m = 4
+    UNION ALL
+    SELECT event_id, 2 + b.j,
+           name || '.bucket' || host || ';upper_bound=' || b.lab ||
+           ' ' || CAST(event_id % b.md AS VARCHAR) || ' ' || ts
+      FROM l, (VALUES (0, '1.5', 5), (1, '2', 7), (2, '4', 3),
+                      (3, 'inf', 11)) AS b(j, lab, md)
+     WHERE m = 4
+    UNION ALL
+    SELECT event_id, 0,
+           name || '.count ' || CAST(event_id % 30 AS VARCHAR) ||
+           ' ' || ts
+      FROM l WHERE m = 5
+    UNION ALL
+    SELECT event_id, 1,
+           name || ' ' ||
+           CAST(CAST(event_id % 25 AS DOUBLE) + 0.75 AS VARCHAR) ||
+           ' ' || ts
+      FROM l WHERE m = 5
+    UNION ALL
+    SELECT event_id, 2 + q.j,
+           name || '.quantile;quantile=' || q.lab || ' ' ||
+           CAST(CAST(event_id % q.md AS DOUBLE) + q.add AS VARCHAR) ||
+           ' ' || ts
+      FROM l, (VALUES (0, '50', 20, 0.25),
+                      (1, '75', 9, 0.5)) AS q(j, lab, md, add)
+     WHERE m = 5
+    ORDER BY event_id, line_seq
 """
 
 # statsdreceiver: counters sum per-line trunc(value/rate); gauges =
