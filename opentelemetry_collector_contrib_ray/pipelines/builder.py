@@ -444,6 +444,14 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("parse_prw")
+def _parse_prw(ds, body_col: str = "body", **kwargs):
+    """prometheusremotewritereceiver writev2 decode (round 5)."""
+    from ..stages.prwreceive import parse_prometheus_remote_write
+
+    return parse_prometheus_remote_write(ds, body_col, **kwargs)
+
+
 @register_stage("to_carbon")
 def _to_carbon(ds, **kwargs):
     """carbonexporter plaintext line rendering (round 5)."""

@@ -1048,6 +1048,130 @@ def q_carbon_render(sf_dir: str):
     return metrics_to_carbon(flat, id_cols=("event_id",))
 
 
+def q_prw_decode(sf_dir: str):
+    """prometheusremotewritereceiver: writev2 request decode → flat
+    datapoint rows (symbol-table labels, job/instance→service.*,
+    target_info resource attrs, exponential + NHCB native histograms,
+    ms→ns times — receiver.go:235-806)."""
+    from ..stages.prwreceive import (build_symbolized_request,
+                                     parse_prometheus_remote_write)
+    from ..stages.statsd import serialize_tags
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eids = t.column("event_id").to_pylist()
+        uids = t.column("user_id").to_pylist()
+        bodies = []
+        for e, u in zip(eids, uids):
+            m = e % 5
+            v = e % 50
+            if m == 0:
+                series = [{
+                    "labels": [("__name__", f"pm{u % 3}"),
+                               ("job", f"ns{u % 2}/svc{u % 3}"),
+                               ("instance", f"inst{u % 4}"),
+                               ("le", f"x{e % 7}")],
+                    "metadata": (2, 0, 0),
+                    "samples": [(v + 0.5, 1000 + e), (v + 1.5, 2000 + e)],
+                    "created_timestamp": e % 100}]
+            elif m == 1:
+                series = [{
+                    "labels": [("__name__", f"ct{u % 2}"),
+                               ("job", f"solo{u % 3}"),
+                               ("otel_scope_name", f"sc{u % 2}"),
+                               ("otel_scope_version", "v1"),
+                               ("k", f"val{e % 4}")],
+                    "metadata": (1, f"H{e % 3}", f"u{e % 2}"),
+                    "samples": [(v + 0.5, 1500 + e)],
+                    "created_timestamp": 3}]
+            elif m == 2:
+                series = [
+                    {"labels": [("__name__", "target_info"),
+                                ("job", f"ns/tgt{u % 2}"),
+                                ("instance", "i9"),
+                                ("dc", f"d{u % 3}"), ("env", "prod")],
+                     "metadata": (0, 0, 0)},
+                    {"labels": [("__name__", "tg"),
+                                ("job", f"ns/tgt{u % 2}"),
+                                ("instance", "i9")],
+                     "metadata": (2, 0, 0),
+                     "samples": [(v + 0.5, 2500 + e)],
+                     "created_timestamp": 4}]
+            elif m == 3:
+                d0, d1, d2 = e % 5 + 1, e % 3, e % 4
+                series = [{
+                    "labels": [("__name__", "eh"), ("job", "j3"),
+                               ("instance", "i3")],
+                    "metadata": (3, 0, 0), "created_timestamp": 5,
+                    "histograms": [{
+                        "count_int": e % 30, "sum": e % 20 + 0.5,
+                        "timestamp": 3000 + e,
+                        "zero_count_int": e % 3,
+                        "zero_threshold": 0.125,
+                        "schema": e % 13 - 4,
+                        "positive_spans": [(1, 2), (2, 1)],
+                        "positive_deltas": [d0, d1, d2]}]}]
+            else:
+                a, b, c = e % 4, e % 6, e % 2
+                series = [{
+                    "labels": [("__name__", "nh"), ("job", "ns4/s4"),
+                               ("instance", "i4")],
+                    "metadata": (3, 0, 0), "created_timestamp": 7,
+                    "histograms": [{
+                        "count_int": e % 40, "sum": e % 30 + 0.25,
+                        "timestamp": 4000 + e, "schema": -53,
+                        "custom_values": [1.0, 2.5, 5.0],
+                        "positive_spans": [(0, 4)],
+                        "positive_deltas": [a, b, c, 0]}]}]
+            bodies.append(build_symbolized_request(series))
+        return pa.table({"event_id": t.column("event_id"),
+                         "body": pa.array(bodies, pa.binary())})
+
+    enc = ds.map_batches(fixture, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    dec = parse_prometheus_remote_write(
+        enc, "body", id_cols=("event_id",),
+        scope_name_default="OpenTelemetry Collector",
+        scope_version_default="latest")
+
+    def finish(t: pa.Table) -> pa.Table:
+        def list_stats(col, out_type):
+            vals = t.column(col).to_pylist()
+            n = [None if v is None else len(v) for v in vals]
+            s = [None if v is None else sum(v) for v in vals]
+            return (pa.array(n, pa.int32()), pa.array(s, out_type))
+
+        pos_n, pos_sum = list_stats("positive_buckets", pa.int64())
+        bkt_n, bkt_sum = list_stats("bucket_counts", pa.int64())
+        bnd_n, bnd_sum = list_stats("explicit_bounds", pa.float64())
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": t.column("name"), "mtype": t.column("mtype"),
+            "unit": t.column("unit"),
+            "description": t.column("description"),
+            "service_namespace": t.column("service_namespace"),
+            "service_name": t.column("service_name"),
+            "service_instance_id": t.column("service_instance_id"),
+            "resource_tags": serialize_tags(t.column("resource_attrs")),
+            "scope_name": t.column("scope_name"),
+            "scope_version": t.column("scope_version"),
+            "attr_tags": serialize_tags(t.column("attributes")),
+            "start_time_ns": t.column("start_time_ns"),
+            "time_ns": t.column("time_ns"),
+            "value_double": t.column("value_double"),
+            "scale": t.column("scale"),
+            "zero_count": t.column("zero_count"),
+            "count": t.column("count"), "sum": t.column("sum"),
+            "pos_n": pos_n, "pos_sum": pos_sum,
+            "bkt_n": bkt_n, "bkt_sum": bkt_sum,
+            "bnd_n": bnd_n, "bnd_sum": bnd_sum,
+        })
+
+    return dec.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_wavefront_parse(sf_dir: str):
     """wavefrontreceiver: Wavefront data-format lines → typed datapoints
     (quoted names/values, omitted-timestamp tag fallback, collectd
@@ -5473,6 +5597,7 @@ QUERIES = {
     "statsd_metrics": q_statsd_metrics,
     "carbon_parse": q_carbon_parse,
     "carbon_render": q_carbon_render,
+    "prw_decode": q_prw_decode,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
     "influx_parse": q_influx_parse,
@@ -6732,6 +6857,77 @@ ORACLE_SQL["carbon_parse"] = """
            ELSE CAST(0 AS BIGINT) END AS timestamp_extra_ns
     FROM l WHERE m <> 5
     ORDER BY event_id
+"""
+
+# prometheusremotewritereceiver writev2 decode: per-sample/-histogram
+# fan-out restated per fixture branch; list columns reduced to
+# (len, sum) scalars in the finish step (pytest pins full contents)
+ORACLE_SQL["prw_decode"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id AS u,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(event_id % 50 AS DOUBLE) AS v
+      FROM events)
+    SELECT e AS event_id,
+           'pm' || CAST(u % 3 AS VARCHAR) AS name,
+           'gauge' AS mtype, '' AS unit, '' AS description,
+           'ns' || CAST(u % 2 AS VARCHAR) AS service_namespace,
+           'svc' || CAST(u % 3 AS VARCHAR) AS service_name,
+           'inst' || CAST(u % 4 AS VARCHAR) AS service_instance_id,
+           '' AS resource_tags,
+           'OpenTelemetry Collector' AS scope_name,
+           'latest' AS scope_version,
+           'le:x' || CAST(e % 7 AS VARCHAR) AS attr_tags,
+           CAST((e % 100) * 1000000 AS BIGINT) AS start_time_ns,
+           CAST((s.base + e) * 1000000 AS BIGINT) AS time_ns,
+           v + s.add AS value_double,
+           CAST(NULL AS INTEGER) AS scale,
+           CAST(NULL AS BIGINT) AS zero_count,
+           CAST(NULL AS BIGINT) AS count,
+           CAST(NULL AS DOUBLE) AS sum,
+           CAST(NULL AS INTEGER) AS pos_n, CAST(NULL AS BIGINT) AS pos_sum,
+           CAST(NULL AS INTEGER) AS bkt_n, CAST(NULL AS BIGINT) AS bkt_sum,
+           CAST(NULL AS INTEGER) AS bnd_n, CAST(NULL AS DOUBLE) AS bnd_sum
+      FROM l, (VALUES (1000, 0.5), (2000, 1.5)) AS s(base, add)
+     WHERE m = 0
+    UNION ALL
+    SELECT e, 'ct' || CAST(u % 2 AS VARCHAR), 'sum',
+           'u' || CAST(e % 2 AS VARCHAR), 'H' || CAST(e % 3 AS VARCHAR),
+           NULL, 'solo' || CAST(u % 3 AS VARCHAR), NULL, '',
+           'sc' || CAST(u % 2 AS VARCHAR), 'v1',
+           'k:val' || CAST(e % 4 AS VARCHAR),
+           3000000, (1500 + e) * 1000000, v + 0.5,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      FROM l WHERE m = 1
+    UNION ALL
+    SELECT e, 'tg', 'gauge', '', '',
+           'ns', 'tgt' || CAST(u % 2 AS VARCHAR), 'i9',
+           'dc:d' || CAST(u % 3 AS VARCHAR) || ',env:prod',
+           'OpenTelemetry Collector', 'latest', '',
+           4000000, (2500 + e) * 1000000, v + 0.5,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+      FROM l WHERE m = 2
+    UNION ALL
+    SELECT e, 'eh', 'exponential_histogram', '', '',
+           NULL, 'j3', 'i3', '',
+           'OpenTelemetry Collector', 'latest', '',
+           5000000, (3000 + e) * 1000000, NULL,
+           CAST(e % 13 - 4 AS INTEGER), e % 3, e % 30,
+           CAST(e % 20 AS DOUBLE) + 0.5,
+           5, 3 * (e % 5 + 1) + 2 * (e % 3) + (e % 4),
+           NULL, NULL, NULL, NULL
+      FROM l WHERE m = 3
+    UNION ALL
+    SELECT e, 'nh', 'histogram', '', '',
+           'ns4', 's4', 'i4', '',
+           'OpenTelemetry Collector', 'latest', '',
+           7000000, (4000 + e) * 1000000, NULL,
+           NULL, NULL, e % 40, CAST(e % 30 AS DOUBLE) + 0.25,
+           NULL, NULL,
+           4, 4 * (e % 4) + 3 * (e % 6) + 2 * (e % 2),
+           3, CAST(8.5 AS DOUBLE)
+      FROM l WHERE m = 4
+    ORDER BY event_id, time_ns
 """
 
 # carbonexporter render: one row per emitted plaintext line; m=3 rows
