@@ -444,6 +444,22 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("to_sumologic_prom")
+def _to_sumologic_prom(ds, **kwargs):
+    """sumologicexporter prometheus metric format (round 5)."""
+    from ..stages.sumologicout import metrics_to_sumologic_prometheus
+
+    return metrics_to_sumologic_prometheus(ds, **kwargs)
+
+
+@register_stage("to_sumologic_logs")
+def _to_sumologic_logs(ds, **kwargs):
+    """sumologicexporter text/json log format (round 5)."""
+    from ..stages.sumologicout import logs_to_sumologic
+
+    return logs_to_sumologic(ds, **kwargs)
+
+
 @register_stage("parse_prw")
 def _parse_prw(ds, body_col: str = "body", **kwargs):
     """prometheusremotewritereceiver writev2 decode (round 5)."""

@@ -1172,6 +1172,123 @@ def q_prw_decode(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_sumologic_prom_render(sf_dir: str):
+    """sumologicexporter prometheus metric format: flat datapoints →
+    ``name{k="v"} value ts_ms`` lines (resource-then-dp label merge,
+    cumulative buckets with +Inf, quantile/le json-float labels, empty
+    lines for valueless points — prometheus_formatter.go:34-405)."""
+    from ..stages.sumologicout import metrics_to_sumologic_prometheus
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        m = eid % 5
+        v = eid % 89
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "name": pa.array(
+                np.select([m == 0, m == 1, m == 2, m == 3],
+                          [np.char.add("mg", (uid % 4).astype(str)),
+                           "ms", "me", "mh"], "msum").tolist(),
+                pa.string()),
+            "mtype": pa.array(
+                np.select([m == 3, m == 4], ["histogram", "summary"],
+                          np.where(m == 1, "sum", "gauge")).tolist(),
+                pa.string()),
+            "time_ns": pa.array(
+                (1_600_000_000_000 + eid) * 1_000_000, pa.int64()),
+            "resource_attrs": pa.array(
+                [[("foo", "bar")] if mm == 0
+                 else ([("bar", "foo")] if mm == 3 else [])
+                 for mm in m], pa.map_(pa.string(), pa.string())),
+            "attributes": pa.array(
+                [[("rn", f"r{e % 3}")] if mm == 0
+                 else ([("ns", f"n{u % 2}")] if mm == 1
+                       else ([("pod", f"p{u % 3}")] if mm == 4 else []))
+                 for mm, e, u in zip(m, eid, uid)],
+                pa.map_(pa.string(), pa.string())),
+            "value_int": pa.array(
+                [int(vv) if mm == 0 else None for mm, vv in zip(m, v)],
+                pa.int64()),
+            "value_double": pa.array(
+                [vv + 0.5 if mm == 1 else None for mm, vv in zip(m, v)],
+                pa.float64()),
+            "count": pa.array(
+                [int(e % 30) if mm == 3 else (int(e % 40) if mm == 4
+                                              else None)
+                 for mm, e in zip(m, eid)], pa.int64()),
+            "sum": pa.array(
+                [e % 20 + 0.5 if mm == 3 else (e % 25 + 0.75
+                                               if mm == 4 else None)
+                 for mm, e in zip(m, eid)], pa.float64()),
+            "explicit_bounds": pa.array(
+                [[0.5, 2.0] if mm == 3 else None for mm in m],
+                pa.list_(pa.float64())),
+            "bucket_counts": pa.array(
+                [[int(e % 4), int(e % 6), int(e % 3)] if mm == 3
+                 else None for mm, e in zip(m, eid)],
+                pa.list_(pa.int64())),
+            "quantiles": pa.array(
+                [[0.5, 0.75] if mm == 4 else None for mm in m],
+                pa.list_(pa.float64())),
+            "quantile_values": pa.array(
+                [[e % 10 + 0.25, e % 7 + 0.5] if mm == 4 else None
+                 for mm, e in zip(m, eid)], pa.list_(pa.float64())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_sumologic_prometheus(flat, id_cols=("event_id",))
+
+
+def q_sumologic_log_json(sf_dir: str):
+    """sumologicexporter json log format: attributes + body under the
+    ``log`` key, sorted-key no-HTML-escape encoding, empty bodies
+    omitted (sender.go:345-380); plus the X-Sumo-Fields string
+    (fields.go:30-87)."""
+    from ..stages.sumologicout import logs_to_sumologic, sumo_fields
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        et = t.column("event_type").to_pylist()
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "body": pa.array(
+                ["" if e % 7 == 0 else f"line & {e % 13}<{ty}>"
+                 for e, ty in zip(eid, et)], pa.string()),
+            "attributes": pa.array(
+                [[("svc", f"s{u % 3}"), ("app", ty)]
+                 for u, ty in zip(uid, et)],
+                pa.map_(pa.string(), pa.string())),
+            "resource": pa.array(
+                [[("_sourceCategory", "cat"), ("host", f"h{u % 2}"),
+                  ("dep,env", f"d={u % 3}")] for u in uid],
+                pa.map_(pa.string(), pa.string())),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    enc = logs_to_sumologic(flat, log_format="json",
+                            id_cols=("event_id", "resource"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "sumo_line": t.column("sumo_line"),
+            "sumo_fields": pa.array(
+                [sumo_fields(a) for a in
+                 t.column("resource").to_pylist()], pa.string())})
+
+    return enc.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_wavefront_parse(sf_dir: str):
     """wavefrontreceiver: Wavefront data-format lines → typed datapoints
     (quoted names/values, omitted-timestamp tag fallback, collectd
@@ -5598,6 +5715,8 @@ QUERIES = {
     "carbon_parse": q_carbon_parse,
     "carbon_render": q_carbon_render,
     "prw_decode": q_prw_decode,
+    "sumo_prom_render": q_sumologic_prom_render,
+    "sumo_log_json": q_sumologic_log_json,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
     "influx_parse": q_influx_parse,
@@ -6928,6 +7047,84 @@ ORACLE_SQL["prw_decode"] = """
            3, CAST(8.5 AS DOUBLE)
       FROM l WHERE m = 4
     ORDER BY event_id, time_ns
+"""
+
+# sumologicexporter prometheus format: per-line fan-out; m=2 rows are
+# valueless number points which render EMPTY lines (bug-compatible)
+ORACLE_SQL["sumo_prom_render"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id AS u,
+             CAST(event_id % 5 AS INTEGER) AS m,
+             CAST(event_id % 89 AS BIGINT) AS v,
+             CAST(1600000000000 + event_id AS VARCHAR) AS ts
+      FROM events)
+    SELECT e AS event_id, CAST(0 AS INTEGER) AS line_seq,
+           'mg' || CAST(u % 4 AS VARCHAR) || '{foo="bar",rn="r' ||
+           CAST(e % 3 AS VARCHAR) || '"} ' || CAST(v AS VARCHAR) ||
+           ' ' || ts AS sumo_line
+      FROM l WHERE m = 0
+    UNION ALL
+    SELECT e, 0,
+           'ms{ns="n' || CAST(u % 2 AS VARCHAR) || '"} ' ||
+           CAST(CAST(v AS DOUBLE) + 0.5 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 1
+    UNION ALL
+    SELECT e, 0, '' FROM l WHERE m = 2
+    UNION ALL
+    SELECT e, b.j,
+           'mh_bucket{bar="foo",le="' || b.lab || '"} ' ||
+           CAST(CASE b.j WHEN 0 THEN e % 4
+                         WHEN 1 THEN e % 4 + e % 6
+                         ELSE e % 4 + e % 6 + e % 3 END AS VARCHAR) ||
+           ' ' || ts
+      FROM l, (VALUES (0, '0.5'), (1, '2'), (2, '+Inf')) AS b(j, lab)
+     WHERE m = 3
+    UNION ALL
+    SELECT e, 3,
+           'mh_sum{bar="foo"} ' ||
+           CAST(CAST(e % 20 AS DOUBLE) + 0.5 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 3
+    UNION ALL
+    SELECT e, 4,
+           'mh_count{bar="foo"} ' || CAST(e % 30 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 3
+    UNION ALL
+    SELECT e, q.j,
+           'msum{quantile="' || q.lab || '",pod="p' ||
+           CAST(u % 3 AS VARCHAR) || '"} ' ||
+           CAST(CAST(e % q.md AS DOUBLE) + q.a AS VARCHAR) || ' ' || ts
+      FROM l, (VALUES (0, '0.5', 10, 0.25),
+                      (1, '0.75', 7, 0.5)) AS q(j, lab, md, a)
+     WHERE m = 4
+    UNION ALL
+    SELECT e, 2,
+           'msum_sum{pod="p' || CAST(u % 3 AS VARCHAR) || '"} ' ||
+           CAST(CAST(e % 25 AS DOUBLE) + 0.75 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 4
+    UNION ALL
+    SELECT e, 3,
+           'msum_count{pod="p' || CAST(u % 3 AS VARCHAR) || '"} ' ||
+           CAST(e % 40 AS VARCHAR) || ' ' || ts
+      FROM l WHERE m = 4
+    ORDER BY event_id, line_seq
+"""
+
+# sumologicexporter json log format + X-Sumo-Fields: sorted keys, raw
+# &<>, empty bodies omitted, source attrs / sanitized k=v fields
+ORACLE_SQL["sumo_log_json"] = """
+    SELECT event_id,
+           CASE WHEN event_id % 7 = 0
+                THEN '{"app":"' || event_type || '","svc":"s' ||
+                     CAST(user_id % 3 AS VARCHAR) || '"}'
+                ELSE '{"app":"' || event_type || '","log":"line & ' ||
+                     CAST(event_id % 13 AS VARCHAR) || '<' ||
+                     event_type || '>","svc":"s' ||
+                     CAST(user_id % 3 AS VARCHAR) || '"}'
+           END AS sumo_line,
+           'dep_env=d:' || CAST(user_id % 3 AS VARCHAR) ||
+           ', host=h' || CAST(user_id % 2 AS VARCHAR) AS sumo_fields
+    FROM events
+    ORDER BY event_id
 """
 
 # carbonexporter render: one row per emitted plaintext line; m=3 rows
