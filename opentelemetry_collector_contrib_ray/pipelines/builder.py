@@ -444,6 +444,14 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("to_zipkin")
+def _to_zipkin(ds, **kwargs):
+    """zipkinexporter v2 JSON encode (round 5)."""
+    from ..stages.zipkinout import spans_to_zipkin
+
+    return spans_to_zipkin(ds, **kwargs)
+
+
 @register_stage("to_sumologic_prom")
 def _to_sumologic_prom(ds, **kwargs):
     """sumologicexporter prometheus metric format (round 5)."""

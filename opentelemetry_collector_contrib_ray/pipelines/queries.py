@@ -13,6 +13,8 @@ Entries without an oracle (heuristic / sketch-based) are listed in
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1287,6 +1289,133 @@ def q_sumologic_log_json(sf_dir: str):
 
     return enc.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_zipkin_roundtrip(sf_dir: str):
+    """zipkin export direction (from_translator.go + zipkin-go marshal
+    rules) round-tripped through the zipkin receiver parser: flat spans
+    → v2 JSON spans → flat again; times µs-aligned and names lowercase
+    so the trip is the identity."""
+    from ..stages.zipkin import parse_zipkin_spans
+    from ..stages.zipkinout import spans_to_zipkin
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "status_code", "status_message",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 4
+            start = 1_600_000_000_000_000_000 + e * 1000
+            rows["trace_id"].append(
+                f"{e + 1:016x}".rjust(32, "0") if m == 1
+                else f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 1:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 2:016x}" if m != 0 else None)
+            rows["trace_state"].append(
+                f"k=v{e % 7}" if e % 2 == 0 else None)
+            rows["span_name"].append(f"op{e % 5}")
+            rows["span_kind"].append(e % 6)
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(start + (e % 50) * 1000)
+            s = e % 3
+            rows["status_code"].append(s)
+            rows["status_message"].append(f"boom{e % 9}" if s == 2
+                                          else None)
+            attrs = {"http.method": f"m{e % 2}"}
+            if m == 2:
+                attrs["net.host.ip"] = f"10.0.0.{e % 200}"
+                attrs["net.host.port"] = str(e % 6000 + 1)
+            if m == 3:
+                attrs["peer.service"] = f"peer{u % 3}"
+            rows["attributes"].append(json.dumps(attrs))
+            rows["resource_attributes"].append(json.dumps(
+                {"service.name": f"svc{u % 3}", "host.name": f"h{u % 2}"}))
+            rows["scope_name"].append(f"sc{u % 2}")
+            rows["scope_version"].append("v1")
+            rows["events"].append(json.dumps(
+                [{"name": f"ev{e % 3}", "timeUnixNano": start + 5000,
+                  "attributes": {}, "droppedAttributesCount": 0}]
+                if m == 0 else []))
+            rows["links"].append(json.dumps(
+                [{"traceId": f"{e + 7:032x}", "spanId": f"{e + 7:016x}",
+                  "traceState": f"t={e % 5}", "attributes": {},
+                  "droppedAttributesCount": 0}] if m == 3 else []))
+        out = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            out[k] = pa.array(
+                v, pa.int64() if k in ("span_kind",
+                                       "start_time_unix_nano",
+                                       "end_time_unix_nano",
+                                       "status_code") else pa.string())
+        return pa.table(out)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    enc = spans_to_zipkin(flat, id_cols=("event_id",))
+
+    def wrap(t: pa.Table) -> pa.Table:
+        docs = pc.binary_join_element_wise(
+            "[", t.column("zipkin_json").cast(pa.string()), "]", "")
+        return pa.table({"event_id": t.column("event_id"),
+                         "doc": docs})
+
+    wrapped = enc.map_batches(wrap, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    back = parse_zipkin_spans(wrapped, "doc")
+
+    def finish(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        out = {
+            "event_id": [], "trace_id": [], "span_id": [],
+            "parent_span_id": [], "trace_state": [], "span_name": [],
+            "span_kind": [], "start_ns": [], "end_ns": [],
+            "status_code": [], "status_message": [], "scope_name": [],
+            "http_method": [], "host_ip": [], "host_port": [],
+            "peer_service": [], "n_events": [], "ev0_name": [],
+            "n_links": [], "link0_state": [],
+        }
+        for r in rows:
+            attrs = json.loads(r["attributes"] or "{}")
+            events = json.loads(r["events"] or "[]")
+            links = json.loads(r["links"] or "[]")
+            out["event_id"].append(r["event_id"])
+            out["trace_id"].append(r["trace_id"])
+            out["span_id"].append(r["span_id"])
+            out["parent_span_id"].append(r["parent_span_id"])
+            out["trace_state"].append(r["trace_state"])
+            out["span_name"].append(r["span_name"])
+            out["span_kind"].append(r["span_kind"])
+            out["start_ns"].append(r["start_time_unix_nano"])
+            out["end_ns"].append(r["end_time_unix_nano"])
+            out["status_code"].append(r["status_code"])
+            out["status_message"].append(r["status_message"])
+            out["scope_name"].append(r["scope_name"])
+            out["http_method"].append(attrs.get("http.method"))
+            out["host_ip"].append(attrs.get("net.host.ip"))
+            out["host_port"].append(attrs.get("net.host.port"))
+            out["peer_service"].append(attrs.get("peer.service"))
+            out["n_events"].append(len(events))
+            out["ev0_name"].append(events[0]["name"] if events else None)
+            out["n_links"].append(len(links))
+            out["link0_state"].append(links[0]["traceState"]
+                                      if links else None)
+        types = {"event_id": pa.int64(), "span_kind": pa.int64(),
+                 "start_ns": pa.int64(), "end_ns": pa.int64(),
+                 "status_code": pa.int64(), "host_port": pa.int64(),
+                 "n_events": pa.int32(), "n_links": pa.int32()}
+        return pa.table({k: pa.array(v, types.get(k, pa.string()))
+                        for k, v in out.items()})
+
+    return back.map_batches(finish, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def q_wavefront_parse(sf_dir: str):
@@ -5716,6 +5845,7 @@ QUERIES = {
     "carbon_render": q_carbon_render,
     "prw_decode": q_prw_decode,
     "sumo_prom_render": q_sumologic_prom_render,
+    "zipkin_roundtrip": q_zipkin_roundtrip,
     "sumo_log_json": q_sumologic_log_json,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
@@ -7047,6 +7177,51 @@ ORACLE_SQL["prw_decode"] = """
            3, CAST(8.5 AS DOUBLE)
       FROM l WHERE m = 4
     ORDER BY event_id, time_ns
+"""
+
+# zipkin export round trip: encode (from_translator semantics +
+# zipkin-go marshal) then the receiver parser; µs-aligned fixture makes
+# the trip the identity, restated here directly from the fixture params
+ORACLE_SQL["zipkin_roundtrip"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id AS u,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             CAST(event_id % 3 AS BIGINT) AS s,
+             1600000000000000000 + event_id * 1000 AS start_ns
+      FROM events)
+    SELECT e AS event_id,
+           lpad(lower(hex(e + 1)), 32, '0') AS trace_id,
+           lpad(lower(hex(e + 1)), 16, '0') AS span_id,
+           CASE WHEN m <> 0
+                THEN lpad(lower(hex(e + 2)), 16, '0') END
+               AS parent_span_id,
+           CASE WHEN e % 2 = 0
+                THEN 'k=v' || CAST(e % 7 AS VARCHAR) END AS trace_state,
+           'op' || CAST(e % 5 AS VARCHAR) AS span_name,
+           CAST(e % 6 AS BIGINT) AS span_kind,
+           CAST(start_ns AS BIGINT) AS start_ns,
+           CAST(start_ns + (e % 50) * 1000 AS BIGINT) AS end_ns,
+           s AS status_code,
+           CASE WHEN s = 2 THEN 'boom' || CAST(e % 9 AS VARCHAR) END
+               AS status_message,
+           'sc' || CAST(u % 2 AS VARCHAR) AS scope_name,
+           'm' || CAST(e % 2 AS VARCHAR) AS http_method,
+           CASE WHEN m = 2 THEN '10.0.0.' || CAST(e % 200 AS VARCHAR)
+                END AS host_ip,
+           CASE WHEN m = 2 THEN CAST(e % 6000 + 1 AS BIGINT) END
+               AS host_port,
+           CASE WHEN m = 3 THEN 'peer' || CAST(u % 3 AS VARCHAR) END
+               AS peer_service,
+           CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_events,
+           CASE WHEN m = 0 THEN 'ev' || CAST(e % 3 AS VARCHAR) END
+               AS ev0_name,
+           CAST(CASE WHEN m = 3 THEN 1 ELSE 0 END AS INTEGER)
+               AS n_links,
+           CASE WHEN m = 3 THEN 't=' || CAST(e % 5 AS VARCHAR) END
+               AS link0_state
+    FROM l
+    ORDER BY event_id
 """
 
 # sumologicexporter prometheus format: per-line fan-out; m=2 rows are
