@@ -444,6 +444,14 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
+@register_stage("datadog_semantics")
+def _datadog_semantics(ds, **kwargs):
+    """datadogsemanticsprocessor datadog.* stamping (round 5)."""
+    from ..stages.ddsemantics import datadog_semantics
+
+    return datadog_semantics(ds, **kwargs)
+
+
 @register_stage("to_zipkin")
 def _to_zipkin(ds, **kwargs):
     """zipkinexporter v2 JSON encode (round 5)."""

@@ -1418,6 +1418,97 @@ def q_zipkin_roundtrip(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_datadog_semantics(sf_dir: str):
+    """datadogsemanticsprocessor: datadog.* attribute stamping
+    (insert-if-missing, service/env/version/host resolution,
+    operation-name-v2 / resource-v2 / span-type naming, status2Error —
+    processor.go:20-229)."""
+    from ..stages.ddsemantics import datadog_semantics
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {"span_name": [], "span_kind": [], "status_code": [],
+                "status_message": [], "attributes": [],
+                "resource_attributes": [], "events": []}
+        for e, u in zip(eid, uid):
+            m = e % 4
+            k = e % 6
+            s = e % 3
+            rows["span_name"].append(f"sp{e % 7}")
+            rows["span_kind"].append(k)
+            rows["status_code"].append(s)
+            rows["status_message"].append(f"M{e % 5}" if s == 2
+                                          else None)
+            if m in (0, 1):
+                res = {"service.name": f"Svc{u % 3}",
+                       "service.version": f"v{u % 2}",
+                       "deployment.environment.name": f"env{u % 3}",
+                       "host.name": f"h{u % 2}"}
+            elif m == 2:
+                res = {}
+            else:
+                res = {"service.name": f"S{u % 2}",
+                       "datadog.host.name": f"ddh{u % 3}"}
+            rows["resource_attributes"].append(json.dumps(res))
+            if m == 0:
+                attrs = {"http.request.method": "GET",
+                         "http.route": f"/r{e % 5}",
+                         "http.status_code": 200 + e % 100}
+            elif m == 1:
+                attrs = {"db.system": "redis" if e % 2 else "mysql"}
+            elif m == 2:
+                attrs = {"messaging.system": "kafka",
+                         "messaging.operation": "send",
+                         "messaging.destination.name": f"q{e % 3}"}
+            else:
+                attrs = {"operation.name": f"Op{e % 3}"}
+            rows["attributes"].append(json.dumps(attrs))
+            rows["events"].append("[]")
+        out = {"event_id": t.column("event_id")}
+        for kk, v in rows.items():
+            out[kk] = pa.array(
+                v, pa.int64() if kk in ("span_kind", "status_code")
+                else pa.string())
+        return pa.table(out)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    dd = datadog_semantics(flat)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = {"event_id": t.column("event_id").to_pylist()}
+        cols = {"dd_service": [], "dd_env": [], "dd_version": [],
+                "dd_host": [], "dd_name": [], "dd_resource": [],
+                "dd_type": [], "dd_kind": [], "dd_http_code": [],
+                "dd_error": [], "dd_error_msg": []}
+        for ra, sa in zip(t.column("resource_attributes").to_pylist(),
+                          t.column("attributes").to_pylist()):
+            r, a = json.loads(ra), json.loads(sa)
+            cols["dd_service"].append(r.get("datadog.service"))
+            cols["dd_env"].append(r.get("datadog.env"))
+            cols["dd_version"].append(r.get("datadog.version"))
+            cols["dd_host"].append(r.get("datadog.host.name"))
+            cols["dd_name"].append(a.get("datadog.name"))
+            cols["dd_resource"].append(a.get("datadog.resource"))
+            cols["dd_type"].append(a.get("datadog.type"))
+            cols["dd_kind"].append(a.get("datadog.span.kind"))
+            cols["dd_http_code"].append(
+                a.get("datadog.http_status_code"))
+            cols["dd_error"].append(a.get("datadog.error"))
+            cols["dd_error_msg"].append(a.get("datadog.error.msg"))
+        data = {"event_id": pa.array(out["event_id"], pa.int64())}
+        for kk, v in cols.items():
+            data[kk] = pa.array(
+                v, pa.int64() if kk == "dd_error" else pa.string())
+        return pa.table(data)
+
+    return dd.map_batches(finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_wavefront_parse(sf_dir: str):
     """wavefrontreceiver: Wavefront data-format lines → typed datapoints
     (quoted names/values, omitted-timestamp tag fallback, collectd
@@ -5846,6 +5937,7 @@ QUERIES = {
     "prw_decode": q_prw_decode,
     "sumo_prom_render": q_sumologic_prom_render,
     "zipkin_roundtrip": q_zipkin_roundtrip,
+    "datadog_semantics": q_datadog_semantics,
     "sumo_log_json": q_sumologic_log_json,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
@@ -7177,6 +7269,59 @@ ORACLE_SQL["prw_decode"] = """
            3, CAST(8.5 AS DOUBLE)
       FROM l WHERE m = 4
     ORDER BY event_id, time_ns
+"""
+
+# datadogsemanticsprocessor: datadog.* stamping restated per fixture
+# branch (m = attr shape, k = span kind, s = status)
+ORACLE_SQL["datadog_semantics"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id AS u,
+             CAST(event_id % 4 AS INTEGER) AS m,
+             CAST(event_id % 6 AS INTEGER) AS k,
+             CAST(event_id % 3 AS INTEGER) AS s
+      FROM events)
+    SELECT e AS event_id,
+      CASE WHEN m IN (0, 1) THEN 'svc' || CAST(u % 3 AS VARCHAR)
+           WHEN m = 2 THEN 'otlpresourcenoservicename'
+           ELSE 's' || CAST(u % 2 AS VARCHAR) END AS dd_service,
+      CASE WHEN m IN (0, 1) THEN 'env' || CAST(u % 3 AS VARCHAR)
+           ELSE 'default' END AS dd_env,
+      CASE WHEN m IN (0, 1) THEN 'v' || CAST(u % 2 AS VARCHAR)
+           ELSE '' END AS dd_version,
+      CASE WHEN m IN (0, 1) THEN 'h' || CAST(u % 2 AS VARCHAR)
+           WHEN m = 2 THEN ''
+           ELSE 'ddh' || CAST(u % 3 AS VARCHAR) END AS dd_host,
+      CASE WHEN m = 3 THEN 'op' || CAST(e % 3 AS VARCHAR)
+           WHEN m = 0 AND k = 2 THEN 'http.server.request'
+           WHEN m = 0 AND k = 3 THEN 'http.client.request'
+           WHEN m = 1 AND k = 3 THEN
+             CASE WHEN e % 2 = 1 THEN 'redis.query'
+                  ELSE 'mysql.query' END
+           WHEN m = 2 AND k IN (2, 3, 4, 5) THEN 'kafka.send'
+           WHEN k = 2 THEN 'server.request'
+           WHEN k = 3 THEN 'client.request'
+           WHEN k = 0 THEN 'internal'
+           WHEN k = 1 THEN 'internal'
+           WHEN k = 4 THEN 'producer'
+           ELSE 'consumer' END AS dd_name,
+      CASE WHEN m = 0 THEN 'GET /r' || CAST(e % 5 AS VARCHAR)
+           WHEN m = 2 THEN 'send q' || CAST(e % 3 AS VARCHAR)
+           ELSE 'sp' || CAST(e % 7 AS VARCHAR) END AS dd_resource,
+      CASE WHEN k = 2 THEN 'web'
+           WHEN k = 3 AND m <> 1 THEN 'http'
+           WHEN k = 3 AND e % 2 = 1 THEN 'cache'
+           WHEN k = 3 THEN 'db'
+           ELSE 'custom' END AS dd_type,
+      CASE k WHEN 0 THEN 'unspecified' WHEN 1 THEN 'internal'
+             WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+             WHEN 4 THEN 'producer' ELSE 'consumer' END AS dd_kind,
+      CASE WHEN m = 0 THEN CAST(200 + e % 100 AS VARCHAR) END
+          AS dd_http_code,
+      CAST(CASE WHEN s = 2 THEN 1 ELSE 0 END AS BIGINT) AS dd_error,
+      CASE WHEN s = 2 THEN 'M' || CAST(e % 5 AS VARCHAR) END
+          AS dd_error_msg
+    FROM l
+    ORDER BY event_id
 """
 
 # zipkin export round trip: encode (from_translator semantics +
