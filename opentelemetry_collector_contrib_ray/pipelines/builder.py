@@ -444,9 +444,10 @@ def _parse_carbon(ds, line_col: str = "line", on_error: str = "drop"):
     return parse_carbon(ds, line_col, on_error=on_error)
 
 
-@register_stage("datadog_semantics")
-def _datadog_semantics(ds, **kwargs):
-    """datadogsemanticsprocessor datadog.* stamping (round 5)."""
+@register_stage("datadog_semantics_naming")
+def _datadog_semantics_naming(ds, **kwargs):
+    """datadogsemanticsprocessor attr-map variant with the
+    datadog-agent naming restatements (round 5)."""
     from ..stages.ddsemantics import datadog_semantics
 
     return datadog_semantics(ds, **kwargs)

@@ -1418,7 +1418,7 @@ def q_zipkin_roundtrip(sf_dir: str):
                             zero_copy_batch=True)
 
 
-def q_datadog_semantics(sf_dir: str):
+def q_datadog_semantics_naming(sf_dir: str):
     """datadogsemanticsprocessor: datadog.* attribute stamping
     (insert-if-missing, service/env/version/host resolution,
     operation-name-v2 / resource-v2 / span-type naming, status2Error —
@@ -1507,6 +1507,43 @@ def q_datadog_semantics(sf_dir: str):
 
     return dd.map_batches(finish, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def q_s3_partition_keys(sf_dir: str):
+    """awss3exporter partition keys: strftime time buckets,
+    per-resource prefix overrides, file suffix composition
+    (upload/partition.go:47-89, exporter.go:43-61) stamped per row for
+    the partitioned sink."""
+    from ..stages.objectstore import PartitionKeyBuilder, \
+        assign_object_keys
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "time_ns": pa.array(
+                (1_700_000_000 + eid * 37) * 1_000_000_000, pa.int64()),
+            "pfx": pa.array(
+                np.where(eid % 3 == 0,
+                         np.char.add("tenant-",
+                                     (uid % 3).astype(str)),
+                         "").tolist(), pa.string()),
+        })
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    b = PartitionKeyBuilder(
+        partition_prefix="telemetry",
+        partition_format="dt=%Y-%m-%d/hr=%H",
+        file_prefix="logs-", metadata="svc", file_format="parquet",
+        compression="gzip")
+    keyed = assign_object_keys(flat, b, ts_col="time_ns",
+                               prefix_col="pfx",
+                               shard_col="event_id")
+    return keyed.drop_columns(["time_ns", "pfx"])
 
 
 def q_wavefront_parse(sf_dir: str):
@@ -5937,7 +5974,8 @@ QUERIES = {
     "prw_decode": q_prw_decode,
     "sumo_prom_render": q_sumologic_prom_render,
     "zipkin_roundtrip": q_zipkin_roundtrip,
-    "datadog_semantics": q_datadog_semantics,
+    "datadog_semantics_naming": q_datadog_semantics_naming,
+    "s3_partition_keys": q_s3_partition_keys,
     "sumo_log_json": q_sumologic_log_json,
     "wavefront_parse": q_wavefront_parse,
     "collectd_parse": q_collectd_parse,
@@ -7271,9 +7309,33 @@ ORACLE_SQL["prw_decode"] = """
     ORDER BY event_id, time_ns
 """
 
-# datadogsemanticsprocessor: datadog.* stamping restated per fixture
+# awss3exporter partition keys: strftime buckets + per-resource prefix
+# override + suffix composition, reproduced with DuckDB strftime
+ORACLE_SQL["s3_partition_keys"] = """
+    WITH l AS (
+      SELECT event_id AS e, user_id AS u,
+             make_timestamp((1700000000 + event_id * 37) * 1000000)
+                 AS ts
+      FROM events),
+    d AS (
+      SELECT e, u,
+             CASE WHEN e % 3 = 0
+                  THEN 'tenant-' || CAST(u % 3 AS VARCHAR)
+                  ELSE 'telemetry' END ||
+             '/dt=' || strftime(ts, '%Y-%m-%d') ||
+             '/hr=' || strftime(ts, '%H') AS dir
+      FROM l)
+    SELECT e AS event_id, dir AS partition_dir,
+           dir || '/logs-svc_' || CAST(e AS VARCHAR) || '.parquet.gz'
+               AS object_key
+    FROM d
+    ORDER BY event_id
+"""
+
+# datadogsemanticsprocessor NAMING variant: attr-map semantics +
+# operation-name-v2/resource-v2/span-type restatements per fixture
 # branch (m = attr shape, k = span kind, s = status)
-ORACLE_SQL["datadog_semantics"] = """
+ORACLE_SQL["datadog_semantics_naming"] = """
     WITH l AS (
       SELECT event_id AS e, user_id AS u,
              CAST(event_id % 4 AS INTEGER) AS m,
