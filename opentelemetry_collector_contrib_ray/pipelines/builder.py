@@ -810,6 +810,14 @@ def _to_xray(ds, **opts):
     return spans_to_xray(ds, **opts)
 
 
+@register_stage("to_cwlogs")
+def _to_cwlogs(ds, **opts):
+    """awscloudwatchlogsexporter event rows (round 5)."""
+    from ..stages.cwlogsout import logs_to_cwlogs
+
+    return logs_to_cwlogs(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -79,7 +79,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "webhook_parse", "github_parse", "gitlab_parse", "url_filter",
                    "carbon_render", "prw_decode", "sumo_prom_render",
                    "zipkin_roundtrip", "datadog_semantics_naming",
-                   "s3_partition_keys", "sumo_log_json"}
+                   "s3_partition_keys", "sumo_log_json",
+                   "cwlogs_export", "prom_render"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
