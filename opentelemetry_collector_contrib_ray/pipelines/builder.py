@@ -818,6 +818,22 @@ def _to_cwlogs(ds, **opts):
     return logs_to_cwlogs(ds, **opts)
 
 
+@register_stage("prom_accumulate")
+def _prom_accumulate(ds, **opts):
+    """prometheusexporter accumulator fold (round 5)."""
+    from ..stages.promexport import prom_accumulate
+
+    return prom_accumulate(ds, **opts)
+
+
+@register_stage("to_prometheus_text")
+def _to_prometheus_text(ds, **opts):
+    """prometheusexporter exposition lines (round 5)."""
+    from ..stages.promexport import metrics_to_prometheus_text
+
+    return metrics_to_prometheus_text(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

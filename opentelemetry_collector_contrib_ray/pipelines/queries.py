@@ -5932,6 +5932,116 @@ def q_cwlogs_export(sf_dir: str):
     return structured.union(raw)
 
 
+def q_prom_render(sf_dir: str):
+    """prometheusexporter: datapoints → accumulated series →
+    Prometheus text-exposition lines — last-ts-wins accumulation with
+    staleness deletes, delta-sum chaining (start == stored ts), the
+    unspecified/delta-non-monotonic sum drops, compliant naming with
+    unit/total/ratio suffixes, job/instance + otel_scope_* labels,
+    the histogram first-slot duplicate-bound quirk, summary quantile
+    lines, HELP/TYPE family headers, target_info per job+instance
+    identity (accumulator.go, collector.go, utils.go)."""
+    from ..stages.promexport import metrics_to_prometheus_text
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    T0 = 1_600_000_000_000_000_000
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows: dict = {k: [] for k in (
+            "name", "description", "unit", "mtype",
+            "aggregation_temporality", "is_monotonic", "time_ns",
+            "start_time_ns", "seq", "value_int", "value_double",
+            "count", "hsum", "explicit_bounds", "bucket_counts",
+            "quantiles", "quantile_values", "ssum", "attributes",
+            "resource", "scope_name", "scope_version",
+            "scope_schema_url", "scope_attributes",
+            "flags_no_recorded")}
+
+        def put(**kw):
+            for k in rows:
+                rows[k].append(kw.get(k))
+
+        for e, u in zip(eid, uid):
+            m, v = e % 5, e % 97
+            if m == 0:
+                put(name="cpu.util", description="Cpu utilization",
+                    unit="1", mtype="gauge",
+                    time_ns=T0 + (e % 13) * 1_000_000_000, seq=e,
+                    value_double=v + 0.25,
+                    attributes=[("core", f"c{u % 4}")],
+                    resource=[("service.name", f"svc{u % 2}"),
+                              ("service.instance.id", f"i{u % 3}"),
+                              ("host.name", f"h{u % 5}")],
+                    scope_name="lib", scope_version="1.0",
+                    flags_no_recorded=(e % 31 == 5))
+            elif m == 1:
+                put(name="requests", description="Request count",
+                    unit="1", mtype="sum", is_monotonic=True,
+                    aggregation_temporality=0 if e % 11 == 0 else 2,
+                    time_ns=T0 + (e % 13) * 1_000_000_000, seq=e,
+                    value_int=e % 89, attributes=[], resource=[])
+            elif m == 2:
+                ts = T0 + e * 1000
+                put(name="bytes", description="Bytes moved",
+                    unit="By", mtype="sum",
+                    is_monotonic=(e % 17 != 0),
+                    aggregation_temporality=1, time_ns=ts,
+                    start_time_ns=ts - 5000
+                    + (1 if e % 20 == 12 else 0),
+                    seq=e, value_int=e % 89, attributes=[],
+                    resource=[("service.name", "svcd")])
+            elif m == 3:
+                c = [e % 7, (e + 1) % 7, (e + 2) % 7, (e + 3) % 7]
+                put(name="latency", description="Latency hist",
+                    unit="ms", mtype="histogram",
+                    aggregation_temporality=2,
+                    time_ns=T0 + (e % 7) * 1_000_000_000, seq=e,
+                    count=sum(c) + 1, hsum=v + 0.5,
+                    explicit_bounds=[1.0, 2.5, 1.0],
+                    bucket_counts=c,
+                    attributes=[("path", f"/{u % 3}")],
+                    resource=[("service.name", "hsvc")])
+            else:
+                put(name="rpc.duration", description="RPC duration",
+                    mtype="summary",
+                    time_ns=T0 + (e % 13) * 1_000_000_000, seq=e,
+                    count=v + 1, ssum=v + 0.75,
+                    quantiles=[0.5, 0.99],
+                    quantile_values=[float(v), v + 1.0],
+                    attributes=[("q", f"{u % 2}")], resource=[])
+        n = len(eid)
+        str_cols = ("name", "description", "unit", "mtype",
+                    "scope_name", "scope_version", "scope_schema_url")
+        out = {}
+        for k, vals in rows.items():
+            if k in str_cols:
+                out[k] = pa.array([x or "" for x in vals], pa.string())
+            elif k in ("aggregation_temporality",):
+                out[k] = pa.array([x or 0 for x in vals], pa.int32())
+            elif k in ("is_monotonic", "flags_no_recorded"):
+                out[k] = pa.array([bool(x) for x in vals], pa.bool_())
+            elif k in ("time_ns", "start_time_ns", "seq", "value_int",
+                       "count"):
+                out[k] = pa.array(vals, pa.int64())
+            elif k in ("value_double", "hsum", "ssum"):
+                out[k] = pa.array(vals, pa.float64())
+            elif k in ("explicit_bounds", "quantiles",
+                       "quantile_values"):
+                out[k] = pa.array(vals, pa.list_(pa.float64()))
+            elif k == "bucket_counts":
+                out[k] = pa.array(vals, pa.list_(pa.int64()))
+            else:
+                out[k] = pa.array([x or [] for x in vals],
+                                  pa.map_(pa.string(), pa.string()))
+        return pa.table(out)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_prometheus_text(flat)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6128,6 +6238,7 @@ QUERIES = {
     "gitlab_parse": q_gitlab_parse,
     "url_filter": q_url_filter,
     "cwlogs_export": q_cwlogs_export,
+    "prom_render": q_prom_render,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -9704,4 +9815,200 @@ ORACLE_SQL["cwlogs_export"] = """
       ts, body, 'raw'
     FROM b
     ORDER BY event_id, mode
+"""
+
+# prometheusexporter exposition lines (accumulate + render)
+ORACLE_SQL["prom_render"] = """
+    WITH ev AS (
+      SELECT event_id e, user_id u, event_id % 5 AS m,
+             event_id % 97 AS v
+      FROM events),
+    -- gauges: series (core=u%4, job=svc(u%2), instance=i(u%3)),
+    -- staleness markers at e%31=5 delete everything at-or-before
+    g0 AS (
+      SELECT e, u, v, 1600000000000000000 + (e % 13) * 1000000000 AS ts,
+             u % 4 AS c4, u % 2 AS u2, u % 3 AS u3, u % 5 AS u5,
+             (e % 31 = 5) AS mark
+      FROM ev WHERE m = 0),
+    g1 AS (
+      SELECT *, max(CASE WHEN mark THEN e END)
+             OVER (PARTITION BY c4, u2, u3) AS lastmark
+      FROM g0),
+    gw AS (
+      SELECT *, row_number() OVER (PARTITION BY c4, u2, u3
+                                   ORDER BY ts DESC, e DESC) AS rn
+      FROM g1
+      WHERE NOT mark AND (lastmark IS NULL OR e > lastmark)),
+    -- cumulative sum: one series, unspecified-temporality rows dropped
+    r0 AS (
+      SELECT e, e % 89 AS v,
+             1600000000000000000 + (e % 13) * 1000000000 AS ts
+      FROM ev WHERE m = 1 AND e % 11 <> 0),
+    rw AS (
+      SELECT *, row_number() OVER (ORDER BY ts DESC, e DESC) AS rn
+      FROM r0),
+    -- delta sum: chain where start == prev ts, trailing segment sums
+    d0 AS (
+      SELECT e, e % 89 AS v, 1600000000000000000 + e * 1000 AS ts,
+             1600000000000000000 + e * 1000 - 5000
+             + CASE WHEN e % 20 = 12 THEN 1 ELSE 0 END AS st
+      FROM ev WHERE m = 2 AND e % 17 <> 0),
+    d1 AS (
+      SELECT *, CASE WHEN st = lag(ts) OVER (ORDER BY e)
+                     THEN 0 ELSE 1 END AS brk
+      FROM d0),
+    d2 AS (SELECT *, sum(brk) OVER (ORDER BY e) AS seg FROM d1),
+    dsum AS (
+      SELECT sum(v) AS total FROM d2
+      WHERE seg = (SELECT max(seg) FROM d2)),
+    -- cumulative histogram: series per path=u%3
+    h0 AS (
+      SELECT e, u, v, 1600000000000000000 + (e % 7) * 1000000000 AS ts,
+             u % 3 AS p3, e % 7 AS c0, (e + 1) % 7 AS c1,
+             (e % 7) + ((e + 1) % 7) + ((e + 2) % 7) + ((e + 3) % 7)
+               + 1 AS total
+      FROM ev WHERE m = 3),
+    hw AS (
+      SELECT *, row_number() OVER (PARTITION BY p3
+                                   ORDER BY ts DESC, e DESC) AS rn
+      FROM h0),
+    -- summary: series per q=u%2
+    s0 AS (
+      SELECT e, u, v, 1600000000000000000 + (e % 13) * 1000000000 AS ts,
+             u % 2 AS q2
+      FROM ev WHERE m = 4),
+    sw AS (
+      SELECT *, row_number() OVER (PARTITION BY q2
+                                   ORDER BY ts DESC, e DESC) AS rn
+      FROM s0),
+    -- target_info identities: min-seq surviving gauge winner per
+    -- (job, instance)
+    ti AS (
+      SELECT *, row_number() OVER (PARTITION BY u2, u3
+                                   ORDER BY e) AS tirn
+      FROM gw WHERE rn = 1)
+    -- gauge sample lines
+    SELECT 'sample' AS kind, 'cpu_util_ratio' AS fam,
+      'cpu_util_ratio{core="c' || CAST(c4 AS VARCHAR)
+      || '",instance="i' || CAST(u3 AS VARCHAR)
+      || '",job="svc' || CAST(u2 AS VARCHAR)
+      || '",otel_scope_name="lib",otel_scope_schema_url="",'
+      || 'otel_scope_version="1.0"} '
+      || CAST(v AS VARCHAR) || '.25' AS line
+    FROM gw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'requests_total',
+      'requests_total{otel_scope_name="",otel_scope_schema_url="",'
+      || 'otel_scope_version=""} ' || CAST(v AS VARCHAR)
+    FROM rw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'bytes_total',
+      'bytes_total{job="svcd",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version=""} '
+      || CAST(total AS VARCHAR)
+    FROM dsum WHERE total IS NOT NULL
+    UNION ALL
+    SELECT 'sample', 'latency_milliseconds',
+      'latency_milliseconds_bucket{job="hsvc",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version="",path="/'
+      || CAST(p3 AS VARCHAR) || '",le="1"} ' || CAST(c0 AS VARCHAR)
+    FROM hw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'latency_milliseconds',
+      'latency_milliseconds_bucket{job="hsvc",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version="",path="/'
+      || CAST(p3 AS VARCHAR) || '",le="2.5"} '
+      || CAST(c0 + c1 AS VARCHAR)
+    FROM hw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'latency_milliseconds',
+      'latency_milliseconds_bucket{job="hsvc",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version="",path="/'
+      || CAST(p3 AS VARCHAR) || '",le="+Inf"} '
+      || CAST(total AS VARCHAR)
+    FROM hw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'latency_milliseconds',
+      'latency_milliseconds_sum{job="hsvc",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version="",path="/'
+      || CAST(p3 AS VARCHAR) || '"} ' || CAST(v AS VARCHAR) || '.5'
+    FROM hw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'latency_milliseconds',
+      'latency_milliseconds_count{job="hsvc",otel_scope_name="",'
+      || 'otel_scope_schema_url="",otel_scope_version="",path="/'
+      || CAST(p3 AS VARCHAR) || '"} ' || CAST(total AS VARCHAR)
+    FROM hw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'rpc_duration',
+      'rpc_duration{otel_scope_name="",otel_scope_schema_url="",'
+      || 'otel_scope_version="",q="' || CAST(q2 AS VARCHAR)
+      || '",quantile="0.5"} ' || CAST(v AS VARCHAR)
+    FROM sw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'rpc_duration',
+      'rpc_duration{otel_scope_name="",otel_scope_schema_url="",'
+      || 'otel_scope_version="",q="' || CAST(q2 AS VARCHAR)
+      || '",quantile="0.99"} ' || CAST(v + 1 AS VARCHAR)
+    FROM sw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'rpc_duration',
+      'rpc_duration_sum{otel_scope_name="",otel_scope_schema_url="",'
+      || 'otel_scope_version="",q="' || CAST(q2 AS VARCHAR) || '"} '
+      || CAST(v AS VARCHAR) || '.75'
+    FROM sw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'rpc_duration',
+      'rpc_duration_count{otel_scope_name="",otel_scope_schema_url="",'
+      || 'otel_scope_version="",q="' || CAST(q2 AS VARCHAR) || '"} '
+      || CAST(v + 1 AS VARCHAR)
+    FROM sw WHERE rn = 1
+    UNION ALL
+    SELECT 'sample', 'target_info',
+      'target_info{host_name="h' || CAST(u5 AS VARCHAR)
+      || '",instance="i' || CAST(u3 AS VARCHAR)
+      || '",job="svc' || CAST(u2 AS VARCHAR) || '"} 1'
+    FROM ti WHERE tirn = 1
+    UNION ALL
+    SELECT k.kind, 'cpu_util_ratio',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP cpu_util_ratio Cpu utilization'
+        ELSE '# TYPE cpu_util_ratio gauge' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM gw WHERE rn = 1)
+    UNION ALL
+    SELECT k.kind, 'requests_total',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP requests_total Request count'
+        ELSE '# TYPE requests_total counter' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM rw WHERE rn = 1)
+    UNION ALL
+    SELECT k.kind, 'bytes_total',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP bytes_total Bytes moved'
+        ELSE '# TYPE bytes_total counter' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM dsum WHERE total IS NOT NULL)
+    UNION ALL
+    SELECT k.kind, 'latency_milliseconds',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP latency_milliseconds Latency hist'
+        ELSE '# TYPE latency_milliseconds histogram' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM hw WHERE rn = 1)
+    UNION ALL
+    SELECT k.kind, 'rpc_duration',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP rpc_duration RPC duration'
+        ELSE '# TYPE rpc_duration summary' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM sw WHERE rn = 1)
+    UNION ALL
+    SELECT k.kind, 'target_info',
+      CASE k.kind WHEN 'help'
+        THEN '# HELP target_info Target metadata'
+        ELSE '# TYPE target_info gauge' END
+    FROM (VALUES ('help'), ('type')) k(kind)
+    WHERE EXISTS (SELECT 1 FROM ti WHERE tirn = 1)
 """
