@@ -834,6 +834,22 @@ def _to_prometheus_text(ds, **opts):
     return metrics_to_prometheus_text(ds, **opts)
 
 
+@register_stage("to_opensearch_logs")
+def _to_opensearch_logs(ds, **opts):
+    """opensearchexporter log documents (round 5)."""
+    from ..stages.opensearchout import logs_to_opensearch
+
+    return logs_to_opensearch(ds, **opts)
+
+
+@register_stage("to_opensearch_spans")
+def _to_opensearch_spans(ds, **opts):
+    """opensearchexporter SS4O span documents (round 5)."""
+    from ..stages.opensearchout import spans_to_opensearch
+
+    return spans_to_opensearch(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

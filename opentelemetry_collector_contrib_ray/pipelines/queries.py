@@ -6042,6 +6042,197 @@ def q_prom_render(sf_dir: str):
     return metrics_to_prometheus_text(flat)
 
 
+def q_opensearch_logs(sf_dir: str):
+    """opensearchexporter logs: SS4O records (struct-order JSON with
+    data_stream injection, observed-timestamp refinement) + the Log
+    Data Model mode (objmodel insertion order retaining duplicate
+    keys), %{placeholder} index resolution with fallback and
+    Java-format date suffix vs the joined default index
+    (encoder.go:42-142, sso_log_exporter.go:100-160)."""
+    import json as _json
+
+    from ..stages.opensearchout import logs_to_opensearch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    T0 = 1_700_000_000_000_000_000
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "observed_time_unix_nano",
+            "severity_number", "severity_text", "body", "trace_id",
+            "span_id", "attributes", "resource_attributes",
+            "scope_name", "scope_version")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            ts = T0 + (e % 40) * 1_000_000_000 \
+                + (e % 2) * 250_000_000
+            rows["time_unix_nano"].append(ts)
+            rows["observed_time_unix_nano"].append(ts + 500_000_000)
+            if m == 0:
+                rows["severity_number"].append(9)
+                rows["severity_text"].append("Info")
+                rows["body"].append(f"log {e}")
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["attributes"].append(
+                    _json.dumps({"k": f"v{u % 7}"}))
+                rows["resource_attributes"].append(_json.dumps(
+                    {"service.name": f"svc{u % 2}",
+                     "env": f"p{u % 3}"}))
+                rows["scope_name"].append("lib")
+                rows["scope_version"].append("1.0")
+            elif m == 1:
+                rows["severity_number"].append(0)
+                rows["severity_text"].append("")
+                rows["body"].append("")
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+            else:
+                rows["severity_number"].append(17)
+                rows["severity_text"].append("Error")
+                rows["body"].append(f"dup {e}")
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["attributes"].append(
+                    _json.dumps({"k": f"rec{e % 5}"}))
+                rows["resource_attributes"].append(_json.dumps(
+                    {"k": f"res{u % 3}", "service.name": "s2"}))
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "observed_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    keep = ["event_id", "os_index", "os_doc"]
+
+    def tag(mode):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "mode", pa.array([mode] * t.num_rows, pa.string()))
+        return fn
+
+    sso = logs_to_opensearch(
+        flat, mode="ss4o", dataset="ds", namespace="",
+        logs_index="l-%{service.name}", logs_index_fallback="fb",
+        logs_index_time_format="yyyy.MM.dd") \
+        .select_columns(keep) \
+        .map_batches(tag("ss4o"), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    ldm = logs_to_opensearch(flat, mode="ecs", dataset="ds",
+                             namespace="") \
+        .select_columns(keep) \
+        .map_batches(tag("ldm"), batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return sso.union(ldm)
+
+
+def q_opensearch_spans(sf_dir: str):
+    """opensearchexporter traces: SS4O span documents — struct field
+    order, Kind/StatusCode enum names, the never-assigned @timestamp
+    zero-time quirk, the event ts.Unix()!=0 timestamp-vs-observed
+    split, link rows, data_stream type span, the joined trace index
+    (encoder.go:146-220, trace_bulk_indexer.go:121-147)."""
+    import json as _json
+
+    from ..stages.opensearchout import spans_to_opensearch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    T0 = 1_700_000_000_000_000_000
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "status_code", "status_message",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            start = T0 + (e % 50) * 1_000_000_000
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(start + 1_500_000_000)
+            rows["span_kind"].append(e % 6)
+            rows["status_code"].append(e % 3)
+            if m == 0:
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["parent_span_id"].append(f"{e + 3:016x}")
+                rows["trace_state"].append("")
+                rows["span_name"].append(f"op{e % 4}")
+                rows["status_message"].append("")
+                rows["attributes"].append(_json.dumps({"a": e % 7}))
+                rows["resource_attributes"].append(
+                    _json.dumps({"service.name": "svc"}))
+                rows["scope_name"].append("lib")
+                rows["scope_version"].append("1.0")
+                ts = (start + 500_000_000 if e % 2
+                      else 123_456)  # < 1s → observed branch
+                rows["events"].append(_json.dumps(
+                    [{"name": "ev", "timeUnixNano": ts,
+                      "attributes": {"x": f"y{u % 3}"}}]))
+                rows["links"].append("[]")
+            elif m == 1:
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["parent_span_id"].append("")
+                rows["trace_state"].append("")
+                rows["span_name"].append("")
+                rows["status_message"].append("")
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+                rows["events"].append("[]")
+                rows["links"].append("[]")
+            else:
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["parent_span_id"].append("")
+                rows["trace_state"].append("w=1")
+                rows["span_name"].append("err")
+                rows["status_message"].append(f"boom {e % 5}")
+                rows["attributes"].append(
+                    _json.dumps({"p": f"x{u % 2}"}))
+                rows["resource_attributes"].append(
+                    _json.dumps({"service.name": "svc"}))
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+                rows["events"].append("[]")
+                rows["links"].append(_json.dumps(
+                    [{"traceId": f"{e + 9:032x}",
+                      "spanId": f"{e + 8:016x}"}]))
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("span_kind", "start_time_unix_nano",
+                     "end_time_unix_nano", "status_code"):
+                cols[k] = pa.array(v, pa.int64())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = spans_to_opensearch(flat, dataset="d", namespace="n",
+                              observed_ns=T0)
+    return out.select_columns(["event_id", "os_index", "os_doc"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6239,6 +6430,8 @@ QUERIES = {
     "url_filter": q_url_filter,
     "cwlogs_export": q_cwlogs_export,
     "prom_render": q_prom_render,
+    "opensearch_logs": q_opensearch_logs,
+    "opensearch_spans": q_opensearch_spans,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -10011,4 +10204,155 @@ ORACLE_SQL["prom_render"] = """
         ELSE '# TYPE target_info gauge' END
     FROM (VALUES ('help'), ('type')) k(kind)
     WHERE EXISTS (SELECT 1 FROM ti WHERE tirn = 1)
+"""
+
+# opensearch SS4O + Log Data Model log documents and index resolution
+ORACLE_SQL["opensearch_logs"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 3 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             strftime(to_timestamp(1700000000 + event_id % 40)
+                      AT TIME ZONE 'UTC', '%Y-%m-%dT%H:%M:%S') AS base,
+             strftime(to_timestamp(1700000000 + event_id % 40)
+                      AT TIME ZONE 'UTC', '%Y.%m.%d') AS day,
+             event_id % 2 AS odd
+      FROM events),
+    b AS (
+      SELECT *,
+        base || CASE odd WHEN 1 THEN '.25Z' ELSE 'Z' END AS iso,
+        base || CASE odd WHEN 1 THEN '.75Z' ELSE '.5Z' END AS obs,
+        base || CASE odd WHEN 1 THEN '.250000000Z'
+                ELSE '.000000000Z' END AS iso9
+      FROM l)
+    SELECT e AS event_id,
+      'l-' || CASE m WHEN 0 THEN 'svc' || u2 WHEN 2 THEN 's2'
+              ELSE 'fb' END || '-' || day AS os_index,
+      CASE m
+        WHEN 0 THEN '{"attributes":{"data_stream":{"dataset":"ds",'
+          || '"type":"record"},"k":"v' || u7 || '"},"body":"log '
+          || CAST(e AS VARCHAR)
+          || '","instrumentationScope":{"name":"lib","version":"1.0"},'
+          || '"observedTimestamp":"' || obs
+          || '","resource":{"env":"p' || u3
+          || '","service.name":"svc' || u2
+          || '"},"severity":{"text":"Info","number":9},"spanId":"'
+          || sid || '","@timestamp":"' || iso || '","traceId":"'
+          || tid || '"}'
+        WHEN 1 THEN '{"attributes":{"data_stream":{"dataset":"ds",'
+          || '"type":"record"}},"body":"","instrumentationScope":{},'
+          || '"observedTimestamp":"' || obs
+          || '","severity":{},"@timestamp":"' || iso || '"}'
+        ELSE '{"attributes":{"data_stream":{"dataset":"ds",'
+          || '"type":"record"},"k":"rec' || e5 || '"},"body":"dup '
+          || CAST(e AS VARCHAR) || '","instrumentationScope":{},'
+          || '"observedTimestamp":"' || obs
+          || '","resource":{"k":"res' || u3
+          || '","service.name":"s2"},'
+          || '"severity":{"text":"Error","number":17},"@timestamp":"'
+          || iso || '"}'
+      END AS os_doc,
+      'ss4o' AS mode
+    FROM b
+    UNION ALL
+    SELECT e, 'ss4o_logs-ds-',
+      CASE m
+        WHEN 0 THEN '{"Attributes.service.name":"svc' || u2
+          || '","Attributes.env":"p' || u3 || '","@timestamp":"'
+          || iso9 || '","TraceId":"' || tid || '","SpanId":"' || sid
+          || '","TraceFlags":0,"SeverityText":"Info",'
+          || '"SeverityNumber":9,"Body":"log ' || CAST(e AS VARCHAR)
+          || '","Attributes.k":"v' || u7 || '"}'
+        WHEN 1 THEN '{"@timestamp":"' || iso9
+          || '","TraceFlags":0,"SeverityNumber":0,"Body":""}'
+        ELSE '{"Attributes.k":"res' || u3
+          || '","Attributes.service.name":"s2","@timestamp":"' || iso9
+          || '","TraceFlags":0,"SeverityText":"Error",'
+          || '"SeverityNumber":17,"Body":"dup ' || CAST(e AS VARCHAR)
+          || '","Attributes.k":"rec' || e5 || '"}'
+      END,
+      'ldm'
+    FROM b
+    ORDER BY event_id, mode
+"""
+
+# opensearch SS4O span documents
+ORACLE_SQL["opensearch_spans"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 3 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(event_id % 7 AS VARCHAR) AS e7,
+             CAST(event_id % 4 AS VARCHAR) AS e4,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             lpad(printf('%x', event_id + 9), 32, '0') AS ltid,
+             lpad(printf('%x', event_id + 8), 16, '0') AS lsid,
+             strftime(to_timestamp(1700000000 + event_id % 50)
+                      AT TIME ZONE 'UTC',
+                      '%Y-%m-%dT%H:%M:%S') AS s0,
+             strftime(to_timestamp(1700000001 + event_id % 50)
+                      AT TIME ZONE 'UTC',
+                      '%Y-%m-%dT%H:%M:%S') AS s1,
+             CASE event_id % 6 WHEN 0 THEN 'Unspecified'
+               WHEN 1 THEN 'Internal' WHEN 2 THEN 'Server'
+               WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+               ELSE 'Consumer' END AS kind,
+             CASE event_id % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok'
+               ELSE 'Error' END AS st,
+             event_id % 2 AS odd
+      FROM events),
+    b AS (SELECT *, s0 || 'Z' AS startiso, s1 || '.5Z' AS endiso,
+                 s0 || '.5Z' AS eviso FROM l)
+    SELECT e AS event_id, 'ss4o_traces-d-n' AS os_index,
+      CASE m
+        WHEN 0 THEN '{"attributes":{"a":' || e7
+          || ',"data_stream":{"dataset":"d","namespace":"n",'
+          || '"type":"span"}},"droppedAttributesCount":0,'
+          || '"droppedEventsCount":0,"droppedLinksCount":0,'
+          || '"endTime":"' || endiso
+          || '","events":[{"attributes":{"x":"y' || u3
+          || '"},"droppedAttributesCount":0,"name":"ev",'
+          || CASE odd WHEN 1 THEN '"@timestamp":"' || eviso || '"'
+             ELSE '"observedTimestamp":"2023-11-14T22:13:20Z"' END
+          || '}],"instrumentationScope":{"droppedAttributesCount":0,'
+          || '"name":"lib","schemaUrl":"","version":"1.0"},"kind":"'
+          || kind || '","name":"op' || e4 || '","parentSpanId":"'
+          || pid || '","resource":{"service.name":"svc"},"spanId":"'
+          || sid || '","startTime":"' || startiso
+          || '","status":{"code":"' || st || '","message":""},'
+          || '"@timestamp":"0001-01-01T00:00:00Z","traceId":"' || tid
+          || '","traceState":""}'
+        WHEN 1 THEN '{"attributes":{"data_stream":{"dataset":"d",'
+          || '"namespace":"n","type":"span"}},'
+          || '"droppedAttributesCount":0,"droppedEventsCount":0,'
+          || '"droppedLinksCount":0,"endTime":"' || endiso
+          || '","instrumentationScope":{"droppedAttributesCount":0,'
+          || '"name":"","schemaUrl":"","version":""},"kind":"' || kind
+          || '","name":"","parentSpanId":"","spanId":"",'
+          || '"startTime":"' || startiso || '","status":{"code":"'
+          || st || '","message":""},'
+          || '"@timestamp":"0001-01-01T00:00:00Z","traceId":"",'
+          || '"traceState":""}'
+        ELSE '{"attributes":{"data_stream":{"dataset":"d",'
+          || '"namespace":"n","type":"span"},"p":"x' || u2
+          || '"},"droppedAttributesCount":0,"droppedEventsCount":0,'
+          || '"droppedLinksCount":0,"endTime":"' || endiso
+          || '","instrumentationScope":{"droppedAttributesCount":0,'
+          || '"name":"","schemaUrl":"","version":""},"kind":"' || kind
+          || '","links":[{"spanId":"' || lsid || '","traceId":"'
+          || ltid || '"}],"name":"err","parentSpanId":"",'
+          || '"resource":{"service.name":"svc"},"spanId":"' || sid
+          || '","startTime":"' || startiso
+          || '","status":{"code":"' || st || '","message":"boom '
+          || e5 || '"},"@timestamp":"0001-01-01T00:00:00Z",'
+          || '"traceId":"' || tid || '","traceState":"w=1"}'
+      END AS os_doc
+    FROM b ORDER BY event_id
 """

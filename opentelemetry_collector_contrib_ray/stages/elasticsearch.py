@@ -186,8 +186,18 @@ class ESDoc:
                 fields[i][1] = _IGNORE
         self.fields = fields
 
-    def serialize(self, dedot: bool) -> str:
-        self.dedup()
+    def serialize(self, dedot: bool, dedup: bool = True,
+                  sort: bool = False) -> str:
+        """Serialize; Go's Document.Serialize does NOT dedup — the ES
+        exporter always calls Dedup() first (kept as the default), the
+        opensearch exporter only deduPs/Sorts per config
+        (opensearchexporter/encoder.go:133-140)."""
+        if dedup:
+            self.dedup()
+        elif sort:
+            idx = list(range(len(self.fields)))
+            idx.sort(key=lambda i: self.fields[i][0])  # stable Sort()
+            self.fields = [self.fields[i] for i in idx]
         out = []
         if not dedot:
             out.append("{")
