@@ -850,6 +850,14 @@ def _to_opensearch_spans(ds, **opts):
     return spans_to_opensearch(ds, **opts)
 
 
+@register_stage("to_sentry")
+def _to_sentry(ds, **opts):
+    """sentryexporter transactions/spans/exceptions (round 5)."""
+    from ..stages.sentryout import spans_to_sentry
+
+    return spans_to_sentry(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

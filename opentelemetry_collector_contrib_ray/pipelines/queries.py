@@ -6233,6 +6233,127 @@ def q_opensearch_spans(sf_dir: str):
     return out.select_columns(["event_id", "os_index", "os_doc"])
 
 
+def q_sentry_export(sf_dir: str):
+    """sentryexporter: flat spans → Sentry transactions / member
+    spans / exception events — root = empty parent or Server/Consumer
+    kind, members attach to the first root ancestor, orphan chains
+    become their own transactions, semantic-convention op/description
+    descriptors, scalar-only tags with resource overlay, the
+    http/grpc canonical status tables with the Unset-and-Ok→ok quirk,
+    exception span events (sentry_exporter.go:79-433)."""
+    import json as _json
+
+    from ..stages.sentryout import spans_to_sentry
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    T0 = 1_700_000_000_000_000_000
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "span_name",
+            "span_kind", "start_time_unix_nano", "end_time_unix_nano",
+            "status_code", "status_message", "attributes",
+            "resource_attributes", "scope_name", "scope_version",
+            "events")}
+        for e, u in zip(eid, uid):
+            tr, j = e // 8, e % 8
+            sid = lambda k: f"{tr * 8 + k + 1:016x}"  # noqa: E731
+            rows["trace_id"].append(f"{tr + 1:032x}")
+            rows["span_id"].append(f"{e + 1:016x}")
+            rows["start_time_unix_nano"].append(T0 + e * 1000)
+            rows["end_time_unix_nano"].append(T0 + e * 1000 + 999)
+            rows["scope_name"].append("lib")
+            rows["scope_version"].append("1.0")
+            rows["resource_attributes"].append(
+                _json.dumps({"service.name": f"svc{u % 2}"}))
+            rows["events"].append("[]")
+            if j == 0:
+                rows["parent_span_id"].append("")
+                rows["span_kind"].append(2)
+                rows["span_name"].append(f"op{e % 4}")
+                rows["status_code"].append(0)
+                rows["status_message"].append("")
+                rows["attributes"].append(
+                    _json.dumps({"http.method": "GET"}))
+            elif j == 1:
+                rows["parent_span_id"].append(sid(0))
+                rows["span_kind"].append(3)
+                rows["span_name"].append("q")
+                rows["status_code"].append(2)
+                rows["status_message"].append(f"bad {e % 3}")
+                rows["attributes"].append(_json.dumps(
+                    {"db.system": "postgres",
+                     "db.statement": f"SELECT x FROM t{u % 4}"}))
+            elif j == 2:
+                rows["parent_span_id"].append(sid(1))
+                rows["span_kind"].append(1)
+                rows["span_name"].append(f"rp{e % 5}")
+                rows["status_code"].append(2)
+                rows["status_message"].append("")
+                rows["attributes"].append(_json.dumps(
+                    {"rpc.service": "S",
+                     "rpc.grpc.status_code": 13}))
+            elif j == 3:
+                rows["parent_span_id"].append(sid(2))
+                rows["span_kind"].append(4)
+                rows["span_name"].append(f"msg{e % 3}")
+                rows["status_code"].append(1)
+                rows["status_message"].append("")
+                rows["attributes"].append(
+                    _json.dumps({"messaging.system": "kafka"}))
+            elif j == 4:
+                rows["parent_span_id"].append(sid(1))
+                rows["span_kind"].append(2)
+                rows["span_name"].append(f"fn{e % 3}")
+                rows["status_code"].append(2)
+                rows["status_message"].append("")
+                rows["attributes"].append(_json.dumps(
+                    {"faas.trigger": "pubsub",
+                     "http.status_code": 404}))
+            elif j == 5:
+                rows["parent_span_id"].append(sid(4))
+                rows["span_kind"].append(3)
+                rows["span_name"].append(f"leaf{u % 2}")
+                rows["status_code"].append(0)
+                rows["status_message"].append("")
+                rows["attributes"].append("{}")
+                rows["events"][-1] = _json.dumps([
+                    {"name": "exception",
+                     "attributes": {"exception.type": f"E{e % 3}",
+                                    "exception.message": f"m{u % 2}"}},
+                    {"name": "exception", "attributes": {}},
+                ])
+            elif j == 6:
+                rows["parent_span_id"].append("dead0dead0dead0d")
+                rows["span_kind"].append(1)
+                rows["span_name"].append(f"or{e % 3}")
+                rows["status_code"].append(2)
+                rows["status_message"].append("")
+                rows["attributes"].append(_json.dumps(
+                    {"flag": True, "ratio": 0.25}))
+            else:
+                rows["parent_span_id"].append(sid(6))
+                rows["span_kind"].append(3)
+                rows["span_name"].append("ch")
+                rows["status_code"].append(1)
+                rows["status_message"].append("")
+                rows["attributes"].append("{}")
+        cols = {}
+        for k, v in rows.items():
+            if k in ("span_kind", "start_time_unix_nano",
+                     "end_time_unix_nano", "status_code"):
+                cols[k] = pa.array(v, pa.int64())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return spans_to_sentry(flat, environment="prod")
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6432,6 +6553,7 @@ QUERIES = {
     "prom_render": q_prom_render,
     "opensearch_logs": q_opensearch_logs,
     "opensearch_spans": q_opensearch_spans,
+    "sentry_export": q_sentry_export,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -10355,4 +10477,112 @@ ORACLE_SQL["opensearch_spans"] = """
           || '"traceId":"' || tid || '","traceState":"w=1"}'
       END AS os_doc
     FROM b ORDER BY event_id
+"""
+
+# sentry transactions / member spans / exception events
+ORACLE_SQL["sentry_export"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 8 AS j,
+             (event_id // 8) * 8 AS e0,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 4 AS VARCHAR) AS u4,
+             CAST(event_id % 3 AS VARCHAR) AS e3,
+             CAST(event_id % 4 AS VARCHAR) AS e4,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             lpad(printf('%x', (event_id // 8) + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 1), 16, '0') AS sid,
+             1700000000000000000 + event_id * 1000 AS t_start
+      FROM events),
+    x AS (
+      SELECT l.*,
+        lpad(printf('%x', e0 + 1), 16, '0') AS sid0,
+        lpad(printf('%x', e0 + 5), 16, '0') AS sid4,
+        EXISTS (SELECT 1 FROM events v WHERE v.event_id = e0) AS ex0,
+        EXISTS (SELECT 1 FROM events v
+                WHERE v.event_id = e0 + 1) AS ex1,
+        EXISTS (SELECT 1 FROM events v
+                WHERE v.event_id = e0 + 2) AS ex2,
+        EXISTS (SELECT 1 FROM events v
+                WHERE v.event_id = e0 + 4) AS ex4,
+        CASE j WHEN 0 THEN '' WHEN 1 THEN
+            lpad(printf('%x', e0 + 1), 16, '0')
+          WHEN 2 THEN lpad(printf('%x', e0 + 2), 16, '0')
+          WHEN 3 THEN lpad(printf('%x', e0 + 3), 16, '0')
+          WHEN 4 THEN lpad(printf('%x', e0 + 2), 16, '0')
+          WHEN 5 THEN lpad(printf('%x', e0 + 5), 16, '0')
+          WHEN 6 THEN 'dead0dead0dead0d'
+          ELSE lpad(printf('%x', e0 + 7), 16, '0') END AS pid,
+        CASE j WHEN 0 THEN 'http.server' WHEN 1 THEN 'db'
+          WHEN 2 THEN 'rpc' WHEN 3 THEN 'message'
+          WHEN 4 THEN 'pubsub' ELSE '' END AS op,
+        CASE j WHEN 0 THEN 'GET op' || e4
+          WHEN 1 THEN 'SELECT x FROM t' || u4
+          WHEN 2 THEN 'rp' || e5 WHEN 3 THEN 'msg' || e3
+          WHEN 4 THEN 'fn' || e3 WHEN 5 THEN 'leaf' || u2
+          WHEN 6 THEN 'or' || e3 ELSE 'ch' END AS descr,
+        CASE j WHEN 0 THEN 'ok' WHEN 1 THEN 'unknown'
+          WHEN 2 THEN 'internal_error' WHEN 3 THEN 'ok'
+          WHEN 4 THEN 'not_found' WHEN 5 THEN 'ok'
+          WHEN 6 THEN 'unknown' ELSE 'ok' END AS st,
+        CASE j
+          WHEN 0 THEN '{"http.method": "GET", "library_name": "lib",'
+            || ' "library_version": "1.0", "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_SERVER"}'
+          WHEN 1 THEN '{"db.statement": "SELECT x FROM t' || u4
+            || '", "db.system": "postgres", "library_name": "lib",'
+            || ' "library_version": "1.0", "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_CLIENT",'
+            || ' "status_message": "bad ' || e3 || '"}'
+          WHEN 2 THEN '{"library_name": "lib",'
+            || ' "library_version": "1.0",'
+            || ' "rpc.grpc.status_code": "13", "rpc.service": "S",'
+            || ' "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_INTERNAL"}'
+          WHEN 3 THEN '{"library_name": "lib",'
+            || ' "library_version": "1.0",'
+            || ' "messaging.system": "kafka",'
+            || ' "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_PRODUCER"}'
+          WHEN 4 THEN '{"faas.trigger": "pubsub",'
+            || ' "http.status_code": "404", "library_name": "lib",'
+            || ' "library_version": "1.0", "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_SERVER"}'
+          WHEN 6 THEN '{"flag": "true", "library_name": "lib",'
+            || ' "library_version": "1.0", "ratio": "0.25",'
+            || ' "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_INTERNAL"}'
+          ELSE '{"library_name": "lib", "library_version": "1.0",'
+            || ' "service.name": "svc' || u2
+            || '", "span_kind": "SPAN_KIND_CLIENT"}'
+        END AS tags
+      FROM l),
+    y AS (
+      SELECT x.*,
+        CASE
+          WHEN j = 1 AND ex0 THEN TRUE
+          WHEN j = 2 AND ex0 AND ex1 THEN TRUE
+          WHEN j = 3 AND ex0 AND ex1 AND ex2 THEN TRUE
+          WHEN j = 5 AND ex4 THEN TRUE
+          ELSE FALSE END AS is_member
+      FROM x)
+    SELECT
+      CASE WHEN is_member THEN 'span' ELSE 'transaction' END AS kind,
+      CASE WHEN is_member THEN '' ELSE md5(tid || ':' || sid) END
+        AS event_id,
+      CASE WHEN NOT is_member THEN sid
+           WHEN j = 5 THEN sid4 ELSE sid0 END AS root_span_id,
+      tid AS trace_id, sid AS span_id, pid AS parent_span_id,
+      op, descr AS description, st AS status, tags,
+      t_start AS start_time_unix_nano,
+      t_start + 999 AS end_time_unix_nano,
+      descr AS transaction, 'prod' AS environment,
+      '' AS exception_type, '' AS exception_message
+    FROM y
+    UNION ALL
+    SELECT 'exception', md5(tid || ':' || sid || ':exc:0'), '',
+      tid, sid, pid, op, descr, st, tags,
+      t_start, t_start + 999, descr, 'prod',
+      'E' || e3, 'm' || u2
+    FROM y WHERE j = 5
+    ORDER BY span_id, kind
 """
