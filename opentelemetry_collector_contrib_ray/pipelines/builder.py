@@ -858,6 +858,22 @@ def _to_sentry(ds, **opts):
     return spans_to_sentry(ds, **opts)
 
 
+@register_stage("to_mezmo")
+def _to_mezmo(ds, **opts):
+    """mezmoexporter line objects (round 5)."""
+    from ..stages.mezmo import logs_to_mezmo
+
+    return logs_to_mezmo(ds, **opts)
+
+
+@register_stage("parse_k8s_events")
+def _parse_k8s_events(ds, **opts):
+    """k8seventsreceiver event decode (round 5)."""
+    from ..stages.k8sevents import parse_k8s_events
+
+    return parse_k8s_events(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

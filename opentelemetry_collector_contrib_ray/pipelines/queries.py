@@ -6354,6 +6354,136 @@ def q_sentry_export(sf_dir: str):
     return spans_to_sentry(flat, environment="prod")
 
 
+def q_mezmo_export(sf_dir: str):
+    """mezmoexporter: flat logs → Mezmo line JSON — struct-order
+    lines, hostname/trace/span meta with attr overwrite, Str()-only
+    values, zero-timestamp now substitution, strictly-less truncation,
+    info default level (exporter.go:75-165, utils.go)."""
+    import json as _json
+
+    from ..stages.mezmo import logs_to_mezmo
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "severity_text", "body", "trace_id",
+            "span_id", "attributes", "resource_attributes")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            if m == 0:
+                rows["time_unix_nano"].append(
+                    1_700_000_000_000_000_000 + e * 1_000_003)
+                rows["severity_text"].append("DEBUG")
+                rows["body"].append(f"msg {e}")
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["attributes"].append(_json.dumps(
+                    {"appname": f"app{u % 3}", "k": f"v{u % 7}",
+                     "n": e % 5}))
+                rows["resource_attributes"].append(
+                    _json.dumps({"host.name": f"h{u % 2}"}))
+            elif m == 1:
+                rows["time_unix_nano"].append(0)
+                rows["severity_text"].append("")
+                rows["body"].append("")
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+            else:
+                rows["time_unix_nano"].append(
+                    1_700_000_000_000_000_000 + e * 1_000_003)
+                rows["severity_text"].append("warn")
+                rows["body"].append(f"b{e % 7}")
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["attributes"].append(
+                    _json.dumps({"hostname": f"ah{e % 4}"}))
+                rows["resource_attributes"].append(
+                    _json.dumps({"host.name": "rh"}))
+        cols = {"event_id": t.column("event_id"),
+                "time_unix_nano": pa.array(rows["time_unix_nano"],
+                                           pa.int64())}
+        for k in ("severity_text", "body", "trace_id", "span_id",
+                  "attributes", "resource_attributes"):
+            cols[k] = pa.array(rows[k], pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_mezmo(flat, now_ms=777) \
+        .select_columns(["event_id", "mezmo_line"])
+
+
+def q_k8s_events_parse(sf_dir: str):
+    """k8seventsreceiver: K8s Event JSON → flat log rows — resource
+    involvedObject attrs, EventTime>Last>First timestamp priority,
+    Normal/Warning severity with original-casing text, Go
+    time.Time.String() creation stamps, non-zero-only count, invalid
+    docs dropped (k8s_event_to_logdata.go, receiver.go:138-161)."""
+    import json as _json
+
+    from ..stages.k8sevents import parse_k8s_events
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        from datetime import datetime, timezone
+
+        def iso(sec):
+            return datetime.fromtimestamp(
+                sec, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs = []
+        for e, u in zip(eid, uid):
+            m = e % 4
+            if m == 3:
+                docs.append("oops not json")
+                continue
+            ev = {
+                "metadata": {"name": f"ev{e % 9}", "uid": f"u{e % 6}",
+                             "creationTimestamp":
+                             iso(1_700_000_000 + e % 20)},
+                "involvedObject": {
+                    "kind": "Pod", "name": f"pod{u % 4}",
+                    "uid": f"ou{u % 5}", "fieldPath": "",
+                    "apiVersion": "v1",
+                    "resourceVersion": str(1000 + e % 7),
+                    "namespace": f"ns{u % 2}"},
+                "source": {"host": f"node{u % 3}"},
+                "reason": f"R{e % 3}", "action": "Do",
+                "message": f"event {e}",
+                "lastTimestamp": iso(1_700_000_000 + e % 40),
+            }
+            if m == 0:
+                ev["type"] = "Normal"
+                ev["count"] = e % 5
+            elif m == 1:
+                ev["type"] = "Warning"
+                ev["eventTime"] = (
+                    iso(1_700_000_050 + e % 10)[:-1] + ".25Z")
+                ev["count"] = 1
+            else:
+                ev["type"] = "Weird"
+                del ev["metadata"]["creationTimestamp"]
+            docs.append(_json.dumps(ev))
+        return pa.table({"event_id": t.column("event_id"),
+                         "event_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_k8s_events(flat)
+    return out.select_columns(
+        ["event_id", "time_unix_nano", "severity_number",
+         "severity_text", "body", "attributes",
+         "resource_attributes"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6554,6 +6684,8 @@ QUERIES = {
     "opensearch_logs": q_opensearch_logs,
     "opensearch_spans": q_opensearch_spans,
     "sentry_export": q_sentry_export,
+    "mezmo_export": q_mezmo_export,
+    "k8s_events_parse": q_k8s_events_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -10585,4 +10717,85 @@ ORACLE_SQL["sentry_export"] = """
       'E' || e3, 'm' || u2
     FROM y WHERE j = 5
     ORDER BY span_id, kind
+"""
+
+# mezmo line objects
+ORACLE_SQL["mezmo_export"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 3 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(event_id % 4 AS VARCHAR) AS e4,
+             CAST(event_id % 7 AS VARCHAR) AS e7,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             CAST((1700000000000000000 + event_id * 1000003)
+                  // 1000000 AS BIGINT) AS ms
+      FROM events)
+    SELECT e AS event_id,
+      CASE m
+        WHEN 0 THEN '{"timestamp":' || CAST(ms AS VARCHAR)
+          || ',"line":"msg ' || CAST(e AS VARCHAR)
+          || '","app":"app' || u3 || '","level":"DEBUG",'
+          || '"meta":{"appname":"app' || u3
+          || '","hostname":"h' || u2 || '","k":"v' || u7
+          || '","n":"","span.id":"' || sid || '","trace.id":"'
+          || tid || '"}}'
+        WHEN 1 THEN '{"timestamp":777,"line":"","app":"",'
+          || '"level":"info","meta":{}}'
+        ELSE '{"timestamp":' || CAST(ms AS VARCHAR)
+          || ',"line":"b' || e7 || '","app":"","level":"warn",'
+          || '"meta":{"hostname":"ah' || e4 || '"}}'
+      END AS mezmo_line
+    FROM l ORDER BY event_id
+"""
+
+# k8s events → flat log rows
+ORACLE_SQL["k8s_events_parse"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             strftime(to_timestamp(1700000000 + event_id % 20)
+                      AT TIME ZONE 'UTC',
+                      '%Y-%m-%d %H:%M:%S') AS created,
+             1700000000 + event_id % 40 AS last_sec,
+             1700000050 + event_id % 10 AS ev_sec
+      FROM events WHERE event_id % 4 <> 3),
+    b AS (
+      SELECT *,
+        CASE WHEN m = 1 THEN ev_sec * 1000000000 + 250000000
+             ELSE last_sec * 1000000000 END AS ts,
+        CASE m WHEN 0 THEN 9 WHEN 1 THEN 13 ELSE 0 END AS sev_num,
+        CASE m WHEN 0 THEN 'Normal' WHEN 1 THEN 'Warning'
+               ELSE '' END AS sev_text,
+        '{"k8s.event.reason": "R' || CAST(e % 3 AS VARCHAR)
+          || '", "k8s.event.action": "Do", "k8s.event.start_time": "'
+          || CASE WHEN m = 2 THEN '0001-01-01 00:00:00' ELSE created
+             END
+          || ' +0000 UTC", "k8s.event.name": "ev'
+          || CAST(e % 9 AS VARCHAR) || '", "k8s.event.uid": "u'
+          || CAST(e % 6 AS VARCHAR)
+          || '", "k8s.namespace.name": "ns'
+          || CAST(u % 2 AS VARCHAR) || '"'
+          || CASE WHEN m = 0 AND e % 5 <> 0
+                  THEN ', "k8s.event.count": '
+                       || CAST(e % 5 AS VARCHAR)
+                  WHEN m = 1 THEN ', "k8s.event.count": 1'
+                  ELSE '' END
+          || '}' AS attrs,
+        '{"k8s.node.name": "node' || CAST(u % 3 AS VARCHAR)
+          || '", "k8s.object.kind": "Pod", "k8s.object.name": "pod'
+          || CAST(u % 4 AS VARCHAR) || '", "k8s.object.uid": "ou'
+          || CAST(u % 5 AS VARCHAR)
+          || '", "k8s.object.fieldpath": "",'
+          || ' "k8s.object.api_version": "v1",'
+          || ' "k8s.object.resource_version": "'
+          || CAST(1000 + e % 7 AS VARCHAR) || '"}' AS res
+      FROM l)
+    SELECT e AS event_id, ts AS time_unix_nano,
+      CAST(sev_num AS INTEGER) AS severity_number,
+      sev_text AS severity_text,
+      'event ' || CAST(e AS VARCHAR) AS body,
+      attrs AS attributes, res AS resource_attributes
+    FROM b ORDER BY event_id
 """

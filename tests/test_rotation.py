@@ -82,7 +82,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "s3_partition_keys", "sumo_log_json",
                    "cwlogs_export", "prom_render",
                    "opensearch_logs", "opensearch_spans",
-                   "sentry_export"}
+                   "sentry_export", "mezmo_export",
+                   "k8s_events_parse"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
