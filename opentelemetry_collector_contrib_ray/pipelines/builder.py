@@ -874,6 +874,22 @@ def _parse_k8s_events(ds, **opts):
     return parse_k8s_events(ds, **opts)
 
 
+@register_stage("parse_cloudfoundry_logs")
+def _parse_cf_logs(ds, **opts):
+    """cloudfoundryreceiver log envelopes (round 5)."""
+    from ..stages.cloudfoundry import parse_cloudfoundry_logs
+
+    return parse_cloudfoundry_logs(ds, **opts)
+
+
+@register_stage("parse_cloudfoundry_metrics")
+def _parse_cf_metrics(ds, **opts):
+    """cloudfoundryreceiver counter/gauge envelopes (round 5)."""
+    from ..stages.cloudfoundry import parse_cloudfoundry_metrics
+
+    return parse_cloudfoundry_metrics(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

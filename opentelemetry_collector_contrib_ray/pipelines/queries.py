@@ -6484,6 +6484,80 @@ def q_k8s_events_parse(sf_dir: str):
          "resource_attributes"])
 
 
+def _cf_fixture(t: pa.Table) -> pa.Table:
+    """Shared loggregator envelope fixture (cloudfoundry queries)."""
+    import base64 as _b64
+    import json as _json
+
+    eid = t.column("event_id").to_pylist()
+    uid = t.column("user_id").to_pylist()
+    docs = []
+    for e, u in zip(eid, uid):
+        m = e % 4
+        env: dict = {"timestamp": 1_700_000_000_000_000_000 + e * 1000}
+        if m == 0:
+            env["sourceId"] = f"s{e % 5}"
+            env["tags"] = {"origin": f"go{u % 2}",
+                           "deployment": "cf",
+                           "custom": f"c{u % 3}"}
+            env["counter"] = {"name": f"ctr{e % 3}",
+                              "total": str(e % 1000)}
+        elif m == 1:
+            env["tags"] = {"origin": "g"}
+            env["gauge"] = {"metrics": {
+                "mem": {"value": (e % 97) + 0.5, "unit": "bytes"},
+                "du": {"value": float(e % 7)}}}
+        else:
+            env["sourceId"] = f"ls{e % 3}"
+            env["instanceId"] = f"i{u % 2}"
+            env["tags"] = {"origin": "rep", "custom": "x"}
+            typ = "OUT" if m == 2 else (
+                "ERR" if e % 8 == 3 else "WEIRD")
+            env["log"] = {
+                "payload": _b64.b64encode(
+                    f"hello {e}".encode()).decode(),
+                "type": typ}
+        docs.append(_json.dumps(env))
+    return pa.table({"event_id": t.column("event_id"),
+                     "envelope": pa.array(docs, pa.string())})
+
+
+def q_cloudfoundry_metrics(sf_dir: str):
+    """cloudfoundryreceiver metrics: Counter → origin-prefixed Sum
+    (uint64 total as double), Gauge → per-entry fan-out, the
+    resourceAttributes feature-gate tag split
+    (converter.go:47-80,108-144)."""
+    from ..stages.cloudfoundry import parse_cloudfoundry_metrics
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    flat = ds.map_batches(_cf_fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_cloudfoundry_metrics(
+        flat, start_ns=1_600_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "value_double",
+         "time_unix_nano", "start_time_unix_nano", "attributes",
+         "resource_attributes"])
+
+
+def q_cloudfoundry_logs(sf_dir: str):
+    """cloudfoundryreceiver logs: OUT/ERR severity with
+    SeverityNumber.String() texts, base64 payload bodies,
+    unsupported-type drops, prefixed tag/resource split
+    (converter.go:82-144)."""
+    from ..stages.cloudfoundry import parse_cloudfoundry_logs
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    flat = ds.map_batches(_cf_fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_cloudfoundry_logs(
+        flat, observed_ns=1_600_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "time_unix_nano", "observed_time_unix_nano",
+         "severity_number", "severity_text", "body", "attributes",
+         "resource_attributes"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6686,6 +6760,8 @@ QUERIES = {
     "sentry_export": q_sentry_export,
     "mezmo_export": q_mezmo_export,
     "k8s_events_parse": q_k8s_events_parse,
+    "cloudfoundry_metrics": q_cloudfoundry_metrics,
+    "cloudfoundry_logs": q_cloudfoundry_logs,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -10798,4 +10874,57 @@ ORACLE_SQL["k8s_events_parse"] = """
       'event ' || CAST(e AS VARCHAR) AS body,
       attrs AS attributes, res AS resource_attributes
     FROM b ORDER BY event_id
+"""
+
+# cloudfoundry counter/gauge envelopes → metric rows
+ORACLE_SQL["cloudfoundry_metrics"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             1700000000000000000 + event_id * 1000 AS ts
+      FROM events)
+    SELECT e AS event_id,
+      'go' || u2 || '.ctr' || CAST(e % 3 AS VARCHAR) AS name,
+      'sum' AS mtype, CAST(e % 1000 AS DOUBLE) AS value_double,
+      ts AS time_unix_nano,
+      1600000000000000000 AS start_time_unix_nano,
+      '{"org.cloudfoundry.custom": "c' || u3 || '"}' AS attributes,
+      '{"org.cloudfoundry.deployment": "cf",'
+        || ' "org.cloudfoundry.origin": "go' || u2
+        || '", "org.cloudfoundry.source_id": "s'
+        || CAST(e % 5 AS VARCHAR) || '"}' AS resource_attributes
+    FROM l WHERE m = 0
+    UNION ALL
+    SELECT e, 'g.mem', 'gauge', CAST(e % 97 AS DOUBLE) + 0.5, ts,
+      1600000000000000000, '{}', '{"org.cloudfoundry.origin": "g"}'
+    FROM l WHERE m = 1
+    UNION ALL
+    SELECT e, 'g.du', 'gauge', CAST(e % 7 AS DOUBLE), ts,
+      1600000000000000000, '{}', '{"org.cloudfoundry.origin": "g"}'
+    FROM l WHERE m = 1
+    ORDER BY event_id, name
+"""
+
+# cloudfoundry log envelopes → log rows
+ORACLE_SQL["cloudfoundry_logs"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             1700000000000000000 + event_id * 1000 AS ts
+      FROM events
+      WHERE event_id % 4 = 2
+         OR (event_id % 4 = 3 AND event_id % 8 = 3))
+    SELECT e AS event_id, ts AS time_unix_nano,
+      1600000000000000000 AS observed_time_unix_nano,
+      CAST(CASE WHEN m = 2 THEN 9 ELSE 17 END AS INTEGER)
+        AS severity_number,
+      CASE WHEN m = 2 THEN 'Info' ELSE 'Error' END AS severity_text,
+      'hello ' || CAST(e AS VARCHAR) AS body,
+      '{"org.cloudfoundry.custom": "x"}' AS attributes,
+      '{"org.cloudfoundry.instance_id": "i' || u2
+        || '", "org.cloudfoundry.origin": "rep",'
+        || ' "org.cloudfoundry.source_id": "ls'
+        || CAST(e % 3 AS VARCHAR) || '"}' AS resource_attributes
+    FROM l ORDER BY event_id
 """
