@@ -890,6 +890,30 @@ def _parse_cf_metrics(ds, **opts):
     return parse_cloudfoundry_metrics(ds, **opts)
 
 
+@register_stage("to_logservice_logs")
+def _to_ls_logs(ds, **opts):
+    """alibabacloud/tencentcloud LogService log records (round 5)."""
+    from ..stages.logservice import logs_to_logservice
+
+    return logs_to_logservice(ds, **opts)
+
+
+@register_stage("to_logservice_spans")
+def _to_ls_spans(ds, **opts):
+    """alibabacloud LogService span records (round 5)."""
+    from ..stages.logservice import spans_to_logservice
+
+    return spans_to_logservice(ds, **opts)
+
+
+@register_stage("to_logservice_metrics")
+def _to_ls_metrics(ds, **opts):
+    """alibabacloud LogService metric rows (round 5)."""
+    from ..stages.logservice import metrics_to_logservice
+
+    return metrics_to_logservice(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

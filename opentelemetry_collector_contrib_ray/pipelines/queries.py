@@ -6558,6 +6558,238 @@ def q_cloudfoundry_logs(sf_dir: str):
          "resource_attributes"])
 
 
+def q_logservice_logs(sf_dir: str):
+    """alibabacloud/tencentcloud LogService logs: host/service/
+    resource-JSON contents, AsString attr maps, lowercase-hex flags,
+    empty-body drops, zero-ts now fallback
+    (logsdata_to_logservice.go:35-185)."""
+    import json as _json
+
+    from ..stages.logservice import logs_to_logservice
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "severity_number", "severity_text",
+            "body", "flags", "trace_id", "span_id", "attributes",
+            "resource_attributes", "scope_name", "scope_version")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            if m == 0:
+                rows["time_unix_nano"].append(
+                    1_700_000_000_000_000_000 + e * 1000)
+                rows["severity_number"].append(9)
+                rows["severity_text"].append("Info")
+                rows["body"].append(f"log {e}")
+                rows["flags"].append(e % 300)
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["attributes"].append(_json.dumps(
+                    {"k": f"v{u % 7}", "n": e % 5}))
+                rows["resource_attributes"].append(_json.dumps(
+                    {"host.name": f"h{u % 2}",
+                     "service.name": f"svc{u % 3}",
+                     "env": f"p{u % 5}"}))
+                rows["scope_name"].append("lib")
+                rows["scope_version"].append("1.0")
+            elif m == 1:
+                for k in rows:
+                    rows[k].append(None)  # empty body → dropped
+                rows["time_unix_nano"][-1] = 1
+                rows["severity_number"][-1] = 0
+                rows["flags"][-1] = 0
+            else:
+                rows["time_unix_nano"].append(0)
+                rows["severity_number"].append(0)
+                rows["severity_text"].append("")
+                rows["body"].append("")
+                rows["flags"].append(0)
+                rows["trace_id"].append("")
+                rows["span_id"].append("")
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "flags"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    from ..stages.logservice import _LOG_COLS
+    return logs_to_logservice(
+        flat, now_ns=1_650_000_000_000_000_000).select_columns(
+        ["event_id", *_LOG_COLS])
+
+
+def q_logservice_spans(sf_dir: str):
+    """alibabacloud LogService traces: OpenTracing short kinds,
+    links/logs JSON arrays with raw-ns event times, µs
+    start/end/duration strings, UNSET/OK/ERROR status, end-ts seconds
+    with the now fallback (tracedata_to_logservice.go:38-203)."""
+    import json as _json
+
+    from ..stages.logservice import spans_to_logservice
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "status_code", "status_message",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 + 1500
+            rows["span_kind"].append(e % 6)
+            rows["status_code"].append(e % 3)
+            if m == 1:
+                rows["start_time_unix_nano"].append(0)
+                rows["end_time_unix_nano"].append(0)
+                for k in ("trace_id", "span_id", "parent_span_id",
+                          "trace_state", "span_name",
+                          "status_message", "scope_name",
+                          "scope_version"):
+                    rows[k].append("")
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+                rows["events"].append("[]")
+                rows["links"].append("[]")
+                continue
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(start + 1_000_002_500)
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["trace_state"].append("" if m == 0 else "w=1")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_message"].append(
+                "" if m == 0 else f"boom {e % 5}")
+            rows["attributes"].append(_json.dumps({"a": e % 7}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"service.name": "svc", "host.name": f"h{u % 2}"}))
+            rows["scope_name"].append("lib")
+            rows["scope_version"].append("1.0")
+            if m == 0:
+                rows["events"].append(_json.dumps(
+                    [{"name": "ev", "timeUnixNano": start + 500,
+                      "attributes": {"x": f"y{u % 3}"}}]))
+                rows["links"].append("[]")
+            else:
+                rows["events"].append("[]")
+                rows["links"].append(_json.dumps(
+                    [{"traceId": f"{e + 9:032x}",
+                      "spanId": f"{e + 8:016x}",
+                      "attributes": {}}]))
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("span_kind", "start_time_unix_nano",
+                     "end_time_unix_nano", "status_code"):
+                cols[k] = pa.array(v, pa.int64())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    from ..stages.logservice import _SPAN_COLS
+    return spans_to_logservice(
+        flat, now_ns=1_650_000_000_000_000_000).select_columns(
+        ["event_id", *_SPAN_COLS])
+
+
+def q_logservice_metrics(sf_dir: str):
+    """alibabacloud LogService metrics: __name__/__labels__/
+    __time_nano__/__value__ rows with sanitized sorted labels,
+    'g'-shortest values, histogram le / summary quantile Replace
+    fan-outs, +Inf overflow (metricsdata_to_logservice.go:29-301)."""
+    import json as _json
+
+    from ..stages.logservice import metrics_to_logservice
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows: dict = {k: [] for k in (
+            "mtype", "name", "value_int", "value_double", "count",
+            "hsum", "ssum", "explicit_bounds", "bucket_counts",
+            "quantiles", "quantile_values", "time_unix_nano",
+            "attributes", "resource_attributes")}
+
+        def put(**kw):
+            for k in rows:
+                rows[k].append(kw.get(k))
+
+        for e, u in zip(eid, uid):
+            m, v = e % 4, e % 97
+            ts = (1_700_000_000 + e % 40) * 1_000_000_000
+            if m == 0:
+                put(mtype="gauge", name="cpu.util",
+                    value_double=v + 0.25, time_unix_nano=ts,
+                    attributes=_json.dumps({"core": f"c{u % 4}",
+                                            "0bad": "x"}),
+                    resource_attributes=_json.dumps(
+                        {"host.name": f"h{u % 2}"}))
+            elif m == 1:
+                put(mtype="sum", name="req-total", value_int=e % 89,
+                    time_unix_nano=ts, attributes="{}",
+                    resource_attributes="{}")
+            elif m == 2:
+                c = [e % 7, (e + 1) % 7, (e + 2) % 7]
+                put(mtype="histogram", name="lat", count=sum(c) + 1,
+                    hsum=v + 0.5, explicit_bounds=[0.5, 2.0],
+                    bucket_counts=c, time_unix_nano=ts,
+                    attributes=_json.dumps({"p": f"a{u % 2}"}),
+                    resource_attributes="{}")
+            else:
+                put(mtype="summary", name="rpc", count=v + 1,
+                    ssum=v + 0.75, quantiles=[0.5, 0.99],
+                    quantile_values=[float(v), v + 1.0],
+                    time_unix_nano=ts,
+                    attributes=_json.dumps({"q": f"{u % 2}"}),
+                    resource_attributes="{}")
+        cols = {"event_id": t.column("event_id")}
+        for k, vals in rows.items():
+            if k in ("mtype", "name", "attributes",
+                     "resource_attributes"):
+                cols[k] = pa.array(
+                    [x or ("{}" if "attr" in k else "")
+                     for x in vals], pa.string())
+            elif k in ("value_int", "count", "time_unix_nano"):
+                cols[k] = pa.array(vals, pa.int64())
+            elif k in ("value_double", "hsum", "ssum"):
+                cols[k] = pa.array(vals, pa.float64())
+            elif k in ("explicit_bounds", "quantiles",
+                       "quantile_values"):
+                cols[k] = pa.array(vals, pa.list_(pa.float64()))
+            else:
+                cols[k] = pa.array(vals, pa.list_(pa.int64()))
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = metrics_to_logservice(flat)
+    return out.select_columns(
+        ["event_id", "__name__", "__labels__", "__time_nano__",
+         "__value__", "sls_time"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6762,6 +6994,9 @@ QUERIES = {
     "k8s_events_parse": q_k8s_events_parse,
     "cloudfoundry_metrics": q_cloudfoundry_metrics,
     "cloudfoundry_logs": q_cloudfoundry_logs,
+    "logservice_logs": q_logservice_logs,
+    "logservice_spans": q_logservice_spans,
+    "logservice_metrics": q_logservice_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -10927,4 +11162,157 @@ ORACLE_SQL["cloudfoundry_logs"] = """
         || ' "org.cloudfoundry.source_id": "ls'
         || CAST(e % 3 AS VARCHAR) || '"}' AS resource_attributes
     FROM l ORDER BY event_id
+"""
+
+# LogService log contents
+ORACLE_SQL["logservice_logs"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 3 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             1700000000000000000 + event_id * 1000 AS ts
+      FROM events WHERE event_id % 3 <> 1)
+    SELECT e AS event_id,
+      CAST(CASE m WHEN 0 THEN 1700000000 ELSE 1650000000 END
+           AS BIGINT) AS sls_time,
+      CASE m WHEN 0 THEN 'h' || u2 ELSE '' END AS host,
+      CASE m WHEN 0 THEN 'svc' || u3 ELSE '' END AS service,
+      CASE m WHEN 0 THEN '{"env":"p' || u5 || '"}' ELSE '{}' END
+        AS resource,
+      CASE m WHEN 0 THEN 'lib' ELSE '' END AS otlp_name,
+      CASE m WHEN 0 THEN '1.0' ELSE '' END AS otlp_version,
+      CASE m WHEN 0 THEN CAST(ts AS VARCHAR) ELSE '0' END
+        AS time_unix_nano,
+      CASE m WHEN 0 THEN '9' ELSE '0' END AS severity_number,
+      CASE m WHEN 0 THEN 'Info' ELSE '' END AS severity_text,
+      CASE m WHEN 0 THEN '{"k":"v' || u7 || '","n":"' || e5 || '"}'
+           ELSE '{}' END AS attribute,
+      CASE m WHEN 0 THEN 'log ' || CAST(e AS VARCHAR) ELSE '' END
+        AS content,
+      CASE m WHEN 0 THEN printf('%x', e % 300) ELSE '0' END AS flags,
+      CASE m WHEN 0 THEN tid ELSE '' END AS "traceID",
+      CASE m WHEN 0 THEN sid ELSE '' END AS "spanID"
+    FROM l ORDER BY event_id
+"""
+
+# LogService span contents
+ORACLE_SQL["logservice_spans"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 3 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(event_id % 7 AS VARCHAR) AS e7,
+             CAST(event_id % 4 AS VARCHAR) AS e4,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             lpad(printf('%x', event_id + 1), 32, '0') AS tid,
+             lpad(printf('%x', event_id + 2), 16, '0') AS sid,
+             lpad(printf('%x', event_id + 3), 16, '0') AS pid,
+             lpad(printf('%x', event_id + 9), 32, '0') AS ltid,
+             lpad(printf('%x', event_id + 8), 16, '0') AS lsid,
+             1700000000 + event_id % 50 AS s,
+             CASE event_id % 6 WHEN 0 THEN '' WHEN 1 THEN 'internal'
+               WHEN 2 THEN 'server' WHEN 3 THEN 'client'
+               WHEN 4 THEN 'producer' ELSE 'consumer' END AS kind,
+             CASE event_id % 3 WHEN 0 THEN 'UNSET' WHEN 1 THEN 'OK'
+               ELSE 'ERROR' END AS st
+      FROM events)
+    SELECT e AS event_id,
+      CASE m WHEN 1 THEN 1650000000 ELSE s + 1 END AS sls_time,
+      CASE m WHEN 1 THEN '' ELSE 'h' || u2 END AS host,
+      CASE m WHEN 1 THEN '' ELSE 'svc' END AS service,
+      '{}' AS resource,
+      CASE m WHEN 1 THEN '' ELSE 'lib' END AS otlp_name,
+      CASE m WHEN 1 THEN '' ELSE '1.0' END AS otlp_version,
+      CASE m WHEN 1 THEN '' ELSE tid END AS "traceID",
+      CASE m WHEN 1 THEN '' ELSE sid END AS "spanID",
+      CASE m WHEN 0 THEN pid ELSE '' END AS "parentSpanID",
+      kind,
+      CASE m WHEN 1 THEN '' ELSE 'op' || e4 END AS name,
+      CASE m WHEN 2 THEN '[{"attribute":{},"spanID":"' || lsid
+        || '","traceID":"' || ltid || '"}]' ELSE '[]' END AS links,
+      CASE m WHEN 0 THEN '[{"attribute":{"x":"y' || u3
+        || '"},"name":"ev","time":'
+        || CAST(s * 1000000000 + 2000 AS VARCHAR) || '}]'
+        ELSE '[]' END AS logs,
+      CASE m WHEN 2 THEN 'w=1' ELSE '' END AS "traceState",
+      CASE m WHEN 1 THEN '0'
+        ELSE CAST(s * 1000000 + 1 AS VARCHAR) END AS start,
+      CASE m WHEN 1 THEN '0'
+        ELSE CAST(s * 1000000 + 1000004 AS VARCHAR) END AS "end",
+      CASE m WHEN 1 THEN '0' ELSE '1000002' END AS duration,
+      CASE m WHEN 1 THEN '{}' ELSE '{"a":' || e7 || '}' END
+        AS attribute,
+      st AS "statusCode",
+      CASE m WHEN 2 THEN 'boom ' || e5 ELSE '' END
+        AS "statusMessage"
+    FROM l ORDER BY event_id
+"""
+
+# LogService prometheus-shaped metric rows
+ORACLE_SQL["logservice_metrics"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             event_id % 97 AS v,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 4 AS VARCHAR) AS u4,
+             1700000000 + event_id % 40 AS sec
+      FROM events),
+    b AS (SELECT *, CAST(sec AS BIGINT) * 1000000000 AS ns,
+                 CAST(CAST(sec AS BIGINT) * 1000000000 AS VARCHAR)
+                   AS nss,
+                 e % 7 AS c0, (e + 1) % 7 AS c1, (e + 2) % 7 AS c2
+          FROM l)
+    SELECT e AS event_id, 'cpu_util' AS "__name__",
+      'core#$#c' || u4 || '|host_name#$#h' || u2 || '|key_0bad#$#x'
+        AS "__labels__",
+      nss AS "__time_nano__",
+      CAST(v AS VARCHAR) || '.25' AS "__value__",
+      CAST(sec AS BIGINT) AS sls_time
+    FROM b WHERE m = 0
+    UNION ALL
+    SELECT e, 'req_total', '', nss, CAST(e % 89 AS VARCHAR),
+      CAST(sec AS BIGINT)
+    FROM b WHERE m = 1
+    UNION ALL
+    SELECT e, 'lat_sum', 'p#$#a' || u2, nss,
+      CAST(v AS VARCHAR) || '.5', CAST(sec AS BIGINT)
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT e, 'lat_count', 'p#$#a' || u2, nss,
+      CAST(c0 + c1 + c2 + 1 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT e, 'lat_bucket', 'le#$#0.5|p#$#a' || u2, nss,
+      CAST(c0 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT e, 'lat_bucket', 'le#$#2|p#$#a' || u2, nss,
+      CAST(c1 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT e, 'lat_bucket', 'le#$#+Inf|p#$#a' || u2, nss,
+      CAST(c2 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 2
+    UNION ALL
+    SELECT e, 'rpc_sum', 'q#$#' || u2, nss,
+      CAST(v AS VARCHAR) || '.75', CAST(sec AS BIGINT)
+    FROM b WHERE m = 3
+    UNION ALL
+    SELECT e, 'rpc_count', 'q#$#' || u2, nss,
+      CAST(v + 1 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 3
+    UNION ALL
+    SELECT e, 'rpc', 'q#$#' || u2 || '|quantile#$#0.5', nss,
+      CAST(v AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 3
+    UNION ALL
+    SELECT e, 'rpc', 'q#$#' || u2 || '|quantile#$#0.99', nss,
+      CAST(v + 1 AS VARCHAR), CAST(sec AS BIGINT)
+    FROM b WHERE m = 3
+    ORDER BY event_id, "__name__", "__labels__"
 """
