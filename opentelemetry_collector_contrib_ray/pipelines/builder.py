@@ -914,6 +914,15 @@ def _to_ls_metrics(ds, **opts):
     return metrics_to_logservice(ds, **opts)
 
 
+@register_stage("honeycomb_markers")
+def _honeycomb_markers(ds, **opts):
+    """honeycombmarkerexporter marker POST rows (round 5)."""
+    from ..stages.honeycomb import honeycomb_markers
+
+    markers = opts.pop("markers")
+    return honeycomb_markers(ds, markers, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -6790,6 +6790,55 @@ def q_logservice_metrics(sf_dir: str):
          "__value__", "sls_time"])
 
 
+def q_honeycomb_markers(sf_dir: str):
+    """honeycombmarkerexporter: OTTL-condition markers over log rows
+    — one POST row per (record, matching marker), {type, message?,
+    url?} request maps, __all__ default slug
+    (logs_exporter.go:79-157)."""
+    from ..stages.honeycomb import honeycomb_markers
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        sev, attrs = [], []
+        for e, u in zip(eid, uid):
+            m = e % 4
+            if m == 0:
+                sev.append("ERROR")
+                attrs.append([("msg", f"oom {e % 5}"),
+                              ("url", f"http://h/{u % 3}")])
+            elif m == 1:
+                sev.append("INFO")
+                attrs.append([("deploy", f"v{e % 9}")])
+            elif m == 2:
+                sev.append("ERROR")
+                attrs.append([("deploy", f"v{e % 9}"),
+                              ("msg", "both")])
+            else:
+                sev.append("INFO")
+                attrs.append([])
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "severity_text": pa.array(sev, pa.string()),
+            "attributes": pa.array(attrs, pa.map_(pa.string(),
+                                                  pa.string()))})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = honeycomb_markers(flat, [
+        {"type": "error-marker", "message_key": "msg",
+         "url_key": "url",
+         "log_conditions": ['severity_text == "ERROR"']},
+        {"type": "deploy", "dataset_slug": "prod",
+         "message_key": "deploy",
+         "log_conditions": ['attributes["deploy"] != nil']},
+    ], api_url="https://api.honeycomb.io/")
+    return out.select_columns(
+        ["event_id", "marker_type", "marker_request", "marker_url"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -6997,6 +7046,7 @@ QUERIES = {
     "logservice_logs": q_logservice_logs,
     "logservice_spans": q_logservice_spans,
     "logservice_metrics": q_logservice_metrics,
+    "honeycomb_markers": q_honeycomb_markers,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -11315,4 +11365,27 @@ ORACLE_SQL["logservice_metrics"] = """
       CAST(v + 1 AS VARCHAR), CAST(sec AS BIGINT)
     FROM b WHERE m = 3
     ORDER BY event_id, "__name__", "__labels__"
+"""
+
+# honeycomb marker POSTs from OTTL-matched log rows
+ORACLE_SQL["honeycomb_markers"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             CAST(event_id % 9 AS VARCHAR) AS e9,
+             CAST(user_id % 3 AS VARCHAR) AS u3
+      FROM events)
+    SELECT e AS event_id, 'error-marker' AS marker_type,
+      CASE m WHEN 0 THEN '{"message":"oom ' || e5
+          || '","type":"error-marker","url":"http://h/' || u3 || '"}'
+        ELSE '{"message":"both","type":"error-marker"}' END
+        AS marker_request,
+      'https://api.honeycomb.io/1/markers/__all__' AS marker_url
+    FROM l WHERE m IN (0, 2)
+    UNION ALL
+    SELECT e, 'deploy',
+      '{"message":"v' || e9 || '","type":"deploy"}',
+      'https://api.honeycomb.io/1/markers/prod'
+    FROM l WHERE m IN (1, 2)
+    ORDER BY event_id, marker_type
 """
