@@ -923,6 +923,14 @@ def _honeycomb_markers(ds, **opts):
     return honeycomb_markers(ds, markers, **opts)
 
 
+@register_stage("parse_expvar")
+def _parse_expvar(ds, **opts):
+    """expvarreceiver memstats decode (round 5)."""
+    from ..stages.expvar import parse_expvar
+
+    return parse_expvar(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):
