@@ -931,6 +931,14 @@ def _parse_expvar(ds, **opts):
     return parse_expvar(ds, **opts)
 
 
+@register_stage("parse_mongodb_atlas")
+def _parse_mongodb_atlas(ds, **opts):
+    """mongodbatlasreceiver log decode (round 5)."""
+    from ..stages.mongodbatlas import parse_mongodb_atlas_logs
+
+    return parse_mongodb_atlas_logs(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -6879,6 +6879,98 @@ def q_expvar_parse(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_mongodb_atlas_logs(sf_dir: str):
+    """mongodbatlasreceiver logs: 4.4+ structured JSON lines, the 4.2
+    console regex (no id attr), audit records (INFO-forced severity,
+    optional address fields, users/roles maps), severity table with
+    the D5→Debug4 quirk, attr-map overwrite order, zero-time parse
+    fallback (log_decoder.go, mongodb_event_to_logdata.go)."""
+    import json as _json
+    from datetime import datetime, timezone
+
+    from ..stages.mongodbatlas import parse_mongodb_atlas_logs
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def iso(sec, frac, console):
+        base = datetime.fromtimestamp(sec, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%S")
+        return base + f".{frac:03d}" + ("+0000" if console
+                                        else "+00:00")
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        docs, modes = [], []
+        for e, u in zip(eid, uid):
+            m = e % 4
+            modes.append(m)
+            sec = 1_700_000_000 + e % 40
+            if m == 0:
+                sev = ["I", "E", "W", "D5", "XX"][e % 5]
+                docs.append(_json.dumps({
+                    "t": {"$date": iso(sec, 250, False)},
+                    "s": sev, "c": "NETWORK", "id": 22943,
+                    "ctx": f"conn{u % 3}",
+                    "msg": f"m{e % 5}",
+                    "attr": {"port": e % 1000, "ok": True}}))
+            elif m == 1:
+                docs.append("not json at all")
+            elif m == 2:
+                docs.append(
+                    f"{iso(sec, 500, True)} W NETWORK "
+                    f"[conn{u % 3}] listening on port {e % 9}")
+            else:
+                docs.append(_json.dumps({
+                    "atype": "authenticate",
+                    "ts": {"$date": iso(sec, 750, False)},
+                    "uuid": {"$binary": f"b{e % 6}",
+                             "$type": "04"},
+                    "local": {"ip": "10.0.0.1", "port": 27017},
+                    "remote": {"ip": f"10.0.1.{u % 9}",
+                               "port": 50000 + e % 100},
+                    "users": [{"user": f"u{u % 4}", "db": "admin"}],
+                    "roles": [{"role": "readWrite", "db": "app"}],
+                    "result": e % 2,
+                    "param": {"db": "admin",
+                              "mechanism": "SCRAM-SHA-256"}}))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "m": pa.array(modes, pa.int64()),
+            "log_doc": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def only(mvals):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(
+                t.column("m"), value_set=pa.array(mvals, pa.int64())))
+        return fn
+
+    def tag(mode):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "mode", pa.array([mode] * t.num_rows, pa.string()))
+        return fn
+
+    cfg = dict(org="org1", project="proj", cluster="c0",
+               region="US_EAST", provider="AWS", hostname="h0",
+               observed_ns=1_690_000_000_000_000_000)
+    keep = ["event_id", "time_unix_nano", "observed_time_unix_nano",
+            "severity_number", "severity_text", "body", "attributes",
+            "resource_attributes"]
+    parts = []
+    for mode, mvals in (("json", [0, 1]), ("console", [2]),
+                        ("audit", [3])):
+        sub = flat.map_batches(only(mvals), batch_format="pyarrow",
+                               zero_copy_batch=True)
+        parts.append(parse_mongodb_atlas_logs(
+            sub, mode=mode, **cfg).select_columns(keep).map_batches(
+            tag(mode), batch_format="pyarrow", zero_copy_batch=True))
+    return parts[0].union(parts[1]).union(parts[2])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -7088,6 +7180,7 @@ QUERIES = {
     "logservice_metrics": q_logservice_metrics,
     "honeycomb_markers": q_honeycomb_markers,
     "expvar_parse": q_expvar_parse,
+    "mongodb_atlas_logs": q_mongodb_atlas_logs,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -11467,4 +11560,84 @@ ORACLE_SQL["expvar_parse"] = """
       CAST(NULL AS DOUBLE), 1690000000000000000
     FROM l
     ORDER BY event_id, name
+"""
+
+# mongodb atlas host/console/audit log rows
+ORACLE_SQL["mongodb_atlas_logs"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             1700000000 + event_id % 40 AS sec,
+             CAST(user_id % 3 AS VARCHAR) AS u3,
+             CAST(event_id % 5 AS VARCHAR) AS e5,
+             CAST(event_id % 9 AS VARCHAR) AS e9,
+             strftime(to_timestamp(1700000000 + event_id % 40)
+                      AT TIME ZONE 'UTC',
+                      '%Y-%m-%dT%H:%M:%S') AS iso
+      FROM events),
+    res AS (
+      SELECT '{"mongodb_atlas.org": "org1", "mongodb_atlas.project":'
+        || ' "proj", "mongodb_atlas.cluster": "c0",'
+        || ' "mongodb_atlas.region.name": "US_EAST",'
+        || ' "mongodb_atlas.provider.name": "AWS",'
+        || ' "mongodb_atlas.host.name": "h0"}' AS r)
+    SELECT e AS event_id,
+      CAST(sec AS BIGINT) * 1000000000 + 250000000 AS time_unix_nano,
+      1690000000000000000 AS observed_time_unix_nano,
+      CAST(CASE e % 5 WHEN 0 THEN 9 WHEN 1 THEN 17 WHEN 2 THEN 13
+           WHEN 3 THEN 8 ELSE 0 END AS INTEGER) AS severity_number,
+      CASE e % 5 WHEN 0 THEN 'I' WHEN 1 THEN 'E' WHEN 2 THEN 'W'
+           WHEN 3 THEN 'D5' ELSE '' END AS severity_text,
+      '{"t": {"$date": "' || iso || '.250+00:00"}, "s": "'
+        || CASE e % 5 WHEN 0 THEN 'I' WHEN 1 THEN 'E'
+           WHEN 2 THEN 'W' WHEN 3 THEN 'D5' ELSE 'XX' END
+        || '", "c": "NETWORK", "id": 22943, "ctx": "conn' || u3
+        || '", "msg": "m' || e5
+        || '", "attr": {"port": ' || CAST(e % 1000 AS VARCHAR)
+        || ', "ok": true}}' AS body,
+      '{"port": ' || CAST(e % 1000 AS VARCHAR)
+        || ', "ok": true, "message": "m' || e5
+        || '", "component": "NETWORK", "context": "conn' || u3
+        || '", "id": 22943, "log_name": "mongodb.gz"}' AS attributes,
+      r AS resource_attributes, 'json' AS mode
+    FROM l, res WHERE m = 0
+    UNION ALL
+    SELECT e, CAST(sec AS BIGINT) * 1000000000 + 500000000,
+      1690000000000000000, CAST(13 AS INTEGER), 'W',
+      iso || '.500+0000 W NETWORK [conn' || u3
+        || '] listening on port ' || e9,
+      '{"message": "listening on port ' || e9
+        || '", "component": "NETWORK", "context": "conn' || u3
+        || '", "log_name": "mongodb.gz"}',
+      r, 'console'
+    FROM l, res WHERE m = 2
+    UNION ALL
+    SELECT e, CAST(sec AS BIGINT) * 1000000000 + 750000000,
+      1690000000000000000, CAST(9 AS INTEGER), 'INFO',
+      '{"atype": "authenticate", "ts": {"$date": "' || iso
+        || '.750+00:00"}, "uuid": {"$binary": "b'
+        || CAST(e % 6 AS VARCHAR)
+        || '", "$type": "04"}, "local": {"ip": "10.0.0.1",'
+        || ' "port": 27017}, "remote": {"ip": "10.0.1.'
+        || CAST(u % 9 AS VARCHAR) || '", "port": '
+        || CAST(50000 + e % 100 AS VARCHAR)
+        || '}, "users": [{"user": "u' || CAST(u % 4 AS VARCHAR)
+        || '", "db": "admin"}], "roles": [{"role": "readWrite",'
+        || ' "db": "app"}], "result": ' || CAST(e % 2 AS VARCHAR)
+        || ', "param": {"db": "admin",'
+        || ' "mechanism": "SCRAM-SHA-256"}}',
+      '{"atype": "authenticate", "local.ip": "10.0.0.1",'
+        || ' "local.port": 27017, "remote.ip": "10.0.1.'
+        || CAST(u % 9 AS VARCHAR) || '", "remote.port": '
+        || CAST(50000 + e % 100 AS VARCHAR)
+        || ', "uuid.binary": "b' || CAST(e % 6 AS VARCHAR)
+        || '", "uuid.type": "04", "result": '
+        || CAST(e % 2 AS VARCHAR)
+        || ', "param": {"db": "admin",'
+        || ' "mechanism": "SCRAM-SHA-256"}, "users": [{"user": "u'
+        || CAST(u % 4 AS VARCHAR)
+        || '", "db": "admin"}], "roles": [{"role": "readWrite",'
+        || ' "db": "app"}], "log_name": "mongodb.gz"}',
+      r, 'audit'
+    FROM l, res WHERE m = 3
+    ORDER BY event_id
 """
