@@ -179,6 +179,14 @@ OPERATOR_QUERIES = [
     "github_parse",
     "gitlab_parse",
     "url_filter",
+    # round-5 continuation: the two new stages with real exchanges
+    # (prometheus accumulate groupby, sentry per-trace grouping) plus
+    # representative per-row codecs from the final batch
+    "prom_render",
+    "sentry_export",
+    "opensearch_logs",
+    "logservice_metrics",
+    "mongodb_atlas_logs",
 ]
 
 

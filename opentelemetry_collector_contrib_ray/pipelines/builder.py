@@ -939,6 +939,14 @@ def _parse_mongodb_atlas(ds, **opts):
     return parse_mongodb_atlas_logs(ds, **opts)
 
 
+@register_stage("parse_solace")
+def _parse_solace(ds, **opts):
+    """solacereceiver broker trace decode (round 5)."""
+    from ..stages.solace import parse_solace
+
+    return parse_solace(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

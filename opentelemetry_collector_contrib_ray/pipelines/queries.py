@@ -6971,6 +6971,115 @@ def q_mongodb_atlas_logs(sf_dir: str):
     return parts[0].union(parts[1]).union(parts[2])
 
 
+def q_solace_parse(sf_dir: str):
+    """solacereceiver: broker trace receive/egress/move v1 messages →
+    flat spans — topic multiplexing with unknown-topic drops, the
+    messaging.solace.* attribute sets, delivery-mode/outcome enum
+    tables, enqueue events, egress send/delete fan-out, move
+    source/destination pairs (unmarshaller*.go)."""
+    import base64 as _b64
+    import json as _json
+
+    from ..stages.solace import parse_solace
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def b64i(n: int, width: int) -> str:
+        return _b64.b64encode(n.to_bytes(width, "big")).decode()
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        topics, payloads = [], []
+        for e, u in zip(eid, uid):
+            m = e % 4
+            base = {"routerName": f"r{u % 2}",
+                    "solosVersion": "10.5",
+                    "messageVpnName": "vpn"}
+            if m == 0:
+                topics.append("_telemetry/broker/trace/receive/v1")
+                payloads.append(_json.dumps({
+                    **base,
+                    "traceId": b64i(e + 1, 16),
+                    "spanId": b64i(e + 2, 8),
+                    "startTimeUnixNano": 1000 + e,
+                    "endTimeUnixNano": 2000 + e,
+                    "topic": f"t/{e % 5}", "protocol": "MQTT",
+                    "binaryAttachmentSize": e % 10,
+                    "xmlAttachmentSize": e % 5,
+                    "metadataSize": e % 3,
+                    "clientUsername": f"u{u % 4}",
+                    "clientName": "c",
+                    "brokerReceiveTimeUnixNano": 900 + e,
+                    "deliveryMode": ["DIRECT", "PERSISTENT",
+                                     "NON_PERSISTENT"][e % 3],
+                    "dmqEligible": e % 2 == 0,
+                    "droppedEnqueueEventsSuccess": 1,
+                    "droppedEnqueueEventsFailed": 0,
+                    "enqueueEvents": [
+                        {"queueName": f"q{e % 3}",
+                         "timeUnixNano": 1500 + e,
+                         "rejectsAllEnqueues": False}],
+                    "errorDescription": "",
+                }))
+            elif m == 1:
+                outcome = ["ACCEPTED", "REJECTED", "RELEASED",
+                           "DELIVERY_FAILED", "FLOW_UNBOUND",
+                           "TRANSACTION_COMMIT",
+                           "TRANSACTION_COMMIT_FAILED",
+                           "TRANSACTION_ROLLBACK"][e % 8]
+                topics.append("_telemetry/broker/trace/egress/v1")
+                payloads.append(_json.dumps({
+                    **base,
+                    "egressSpans": [
+                        {"traceId": b64i(2 * e + 1, 16),
+                         "spanId": b64i(2 * e + 2, 8),
+                         "startTimeUnixNano": 10 + e,
+                         "endTimeUnixNano": 20 + e,
+                         "sendSpan": {
+                             "queueName": f"eq{e % 3}",
+                             "protocol": "SMF",
+                             "consumerClientUsername": "cu",
+                             "consumerClientName": "cn",
+                             "replayedMsg": e % 2 == 1,
+                             "outcome": outcome}},
+                        {"traceId": b64i(2 * e + 3, 16),
+                         "spanId": b64i(2 * e + 4, 8),
+                         "startTimeUnixNano": 30 + e,
+                         "endTimeUnixNano": 40 + e,
+                         "deleteSpan": {"queueName": "dq",
+                                        "ttlExpiredInfo": {}}},
+                    ]}))
+            elif m == 2:
+                topics.append("_telemetry/broker/trace/move/v1")
+                payloads.append(_json.dumps({
+                    **base,
+                    "traceId": b64i(e + 5, 16),
+                    "spanId": b64i(e + 6, 8),
+                    "startTimeUnixNano": 50 + e,
+                    "endTimeUnixNano": 60 + e,
+                    "sourceQueueName": f"mq{e % 3}",
+                    "destinationQueueName": "md",
+                    "rejectedOutcomeInfo": {},
+                }))
+            else:
+                topics.append("other/topic")
+                payloads.append("{}")
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "topic": pa.array(topics, pa.string()),
+            "payload": pa.array(payloads, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_solace(flat)
+    return out.select_columns(
+        ["event_id", "trace_id", "span_id", "parent_span_id",
+         "span_name", "span_kind", "start_time_unix_nano",
+         "end_time_unix_nano", "status_code", "status_message",
+         "attributes", "resource_attributes", "events"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -7181,6 +7290,7 @@ QUERIES = {
     "honeycomb_markers": q_honeycomb_markers,
     "expvar_parse": q_expvar_parse,
     "mongodb_atlas_logs": q_mongodb_atlas_logs,
+    "solace_parse": q_solace_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -11640,4 +11750,115 @@ ORACLE_SQL["mongodb_atlas_logs"] = """
       r, 'audit'
     FROM l, res WHERE m = 3
     ORDER BY event_id
+"""
+
+# solace broker trace spans (receive/egress/move)
+ORACLE_SQL["solace_parse"] = """
+    WITH l AS (
+      SELECT event_id e, user_id u, event_id % 4 AS m,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(user_id % 4 AS VARCHAR) AS u4,
+             CAST(event_id % 3 AS VARCHAR) AS e3,
+             CAST(event_id % 5 AS VARCHAR) AS e5
+      FROM events),
+    res AS (
+      SELECT l.*, '{"service.name": "r' || u2
+        || '", "service.version": "10.5",'
+        || ' "service.instance.id": "vpn"}' AS r
+      FROM l)
+    -- receive spans
+    SELECT e AS event_id,
+      lpad(printf('%x', e + 1), 32, '0') AS trace_id,
+      lpad(printf('%x', e + 2), 16, '0') AS span_id,
+      '' AS parent_span_id,
+      't/' || e5 || ' receive' AS span_name,
+      CAST(5 AS BIGINT) AS span_kind,
+      CAST(1000 + e AS BIGINT) AS start_time_unix_nano,
+      CAST(2000 + e AS BIGINT) AS end_time_unix_nano,
+      CAST(0 AS BIGINT) AS status_code, '' AS status_message,
+      '{"messaging.system": "SolacePubSub+",'
+        || ' "messaging.operation.name": "receive",'
+        || ' "messaging.operation.type": "receive",'
+        || ' "network.protocol.name": "MQTT",'
+        || ' "messaging.message.body.size": '
+        || CAST(e % 10 + e % 5 AS VARCHAR)
+        || ', "messaging.message.envelope.size": '
+        || CAST(e % 10 + e % 5 + e % 3 AS VARCHAR)
+        || ', "messaging.solace.client_username": "u' || u4
+        || '", "messaging.solace.client_name": "c",'
+        || ' "messaging.solace.broker_receive_time_unix_nano": '
+        || CAST(900 + e AS VARCHAR)
+        || ', "messaging.destination.name": "t/' || e5
+        || '", "messaging.solace.delivery_mode": "'
+        || CASE e % 3 WHEN 0 THEN 'direct' WHEN 1 THEN 'persistent'
+           ELSE 'non_persistent' END
+        || '", "messaging.solace.dmq_eligible": '
+        || CASE e % 2 WHEN 0 THEN 'true' ELSE 'false' END
+        || ', "messaging.solace.dropped_enqueue_events_success": 1,'
+        || ' "messaging.solace.dropped_enqueue_events_failed": 0,'
+        || ' "messaging.solace.dropped_application_message_properties'
+        || '": false}' AS attributes,
+      r AS resource_attributes,
+      '[{"name": "q' || e3 || ' enqueue", "timeUnixNano": '
+        || CAST(1500 + e AS VARCHAR)
+        || ', "attributes": {"messaging.solace.destination.type":'
+        || ' "queue", "messaging.solace.rejects_all_enqueues":'
+        || ' false}}]' AS events
+    FROM res WHERE m = 0
+    UNION ALL
+    -- egress send spans
+    SELECT e, lpad(printf('%x', 2 * e + 1), 32, '0'),
+      lpad(printf('%x', 2 * e + 2), 16, '0'), '',
+      'eq' || e3 || ' send', 4,
+      CAST(10 + e AS BIGINT), CAST(20 + e AS BIGINT), 0, '',
+      '{"messaging.system": "SolacePubSub+",'
+        || ' "messaging.operation.name": "send",'
+        || ' "messaging.operation.type": "publish",'
+        || ' "network.protocol.name": "SMF",'
+        || ' "messaging.source.name": "eq' || e3
+        || '", "messaging.source.kind": "queue",'
+        || ' "messaging.solace.client_username": "cu",'
+        || ' "messaging.solace.client_name": "cn",'
+        || ' "messaging.solace.message_replayed": '
+        || CASE e % 2 WHEN 1 THEN 'true' ELSE 'false' END
+        || ', "messaging.solace.send.outcome": "'
+        || CASE e % 8 WHEN 0 THEN 'accepted' WHEN 1 THEN 'rejected'
+           WHEN 2 THEN 'released' WHEN 3 THEN 'delivery failed'
+           WHEN 4 THEN 'flow unbound'
+           WHEN 5 THEN 'transaction commit'
+           WHEN 6 THEN 'transaction commit failed'
+           ELSE 'transaction rollback' END || '"}',
+      r, '[]'
+    FROM res WHERE m = 1
+    UNION ALL
+    -- egress delete spans
+    SELECT e, lpad(printf('%x', 2 * e + 3), 32, '0'),
+      lpad(printf('%x', 2 * e + 4), 16, '0'), '',
+      'dq delete', 1,
+      CAST(30 + e AS BIGINT), CAST(40 + e AS BIGINT), 0, '',
+      '{"messaging.system": "SolacePubSub+",'
+        || ' "messaging.operation.name": "delete",'
+        || ' "messaging.operation.type": "delete",'
+        || ' "messaging.destination.name": "dq",'
+        || ' "messaging.solace.destination.type": "queue",'
+        || ' "messaging.solace.operation.reason": "ttl_expired"}',
+      r, '[]'
+    FROM res WHERE m = 1
+    UNION ALL
+    -- move spans
+    SELECT e, lpad(printf('%x', e + 5), 32, '0'),
+      lpad(printf('%x', e + 6), 16, '0'), '',
+      'mq' || e3 || ' move', 1,
+      CAST(50 + e AS BIGINT), CAST(60 + e AS BIGINT), 0, '',
+      '{"messaging.system": "SolacePubSub+",'
+        || ' "messaging.operation.name": "move",'
+        || ' "messaging.operation.type": "move",'
+        || ' "messaging.source.name": "mq' || e3
+        || '", "messaging.solace.source.kind": "queue",'
+        || ' "messaging.destination.name": "md",'
+        || ' "messaging.solace.destination.type": "queue",'
+        || ' "messaging.solace.operation.reason": "rejected_nack"}',
+      r, '[]'
+    FROM res WHERE m = 2
+    ORDER BY event_id, span_id
 """

@@ -87,7 +87,7 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "cloudfoundry_logs", "logservice_logs",
                    "logservice_spans", "logservice_metrics",
                    "honeycomb_markers", "expvar_parse",
-                   "mongodb_atlas_logs"}
+                   "mongodb_atlas_logs", "solace_parse"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
