@@ -947,6 +947,30 @@ def _parse_solace(ds, **opts):
     return parse_solace(ds, **opts)
 
 
+@register_stage("to_adx_logs")
+def _to_adx_logs(ds, **opts):
+    """azuredataexplorerexporter OTELLogs rows (round 5)."""
+    from ..stages.adx import logs_to_adx
+
+    return logs_to_adx(ds, **opts)
+
+
+@register_stage("to_adx_traces")
+def _to_adx_traces(ds, **opts):
+    """azuredataexplorerexporter OTELTraces rows (round 5)."""
+    from ..stages.adx import traces_to_adx
+
+    return traces_to_adx(ds, **opts)
+
+
+@register_stage("to_adx_metrics")
+def _to_adx_metrics(ds, **opts):
+    """azuredataexplorerexporter OTELMetrics rows (round 5)."""
+    from ..stages.adx import metrics_to_adx
+
+    return metrics_to_adx(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -7080,6 +7080,227 @@ def q_solace_parse(sf_dir: str):
          "attributes", "resource_attributes", "events"])
 
 
+def q_adx_logs(sf_dir: str):
+    """azuredataexplorerexporter logs: RFC3339Nano timestamps,
+    hex-or-empty ids, LogsAttributes = attrs + scope-map overwrite
+    (logsdata_to_adx.go:30-46)."""
+    import json as _json
+
+    from ..stages.adx import _LOG_COLS, logs_to_adx
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "observed_time_unix_nano", "trace_id",
+            "span_id", "severity_text", "severity_number", "body",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            if m == 0:
+                rows["time_unix_nano"].append(ts)
+                rows["observed_time_unix_nano"].append(
+                    ts + 1_000_000_000)
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["severity_text"].append("INFO")
+                rows["severity_number"].append(9)
+                rows["body"].append(f"log {e}")
+                rows["attributes"].append(_json.dumps(
+                    {"k": f"v{u % 7}", "scope.name": "app"}))
+                rows["resource_attributes"].append(_json.dumps(
+                    {"env": f"p{u % 5}"}))
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("SV")
+            elif m == 1:
+                rows["time_unix_nano"].append(0)
+                rows["observed_time_unix_nano"].append(0)
+                rows["trace_id"].append("0" * 32)
+                rows["span_id"].append("")
+                rows["severity_text"].append("")
+                rows["severity_number"].append(0)
+                rows["body"].append(None)
+                rows["attributes"].append("{}")
+                rows["resource_attributes"].append("{}")
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+            else:
+                rows["time_unix_nano"].append(ts)
+                rows["observed_time_unix_nano"].append(ts)
+                rows["trace_id"].append(f"{e + 3:032x}")
+                rows["span_id"].append(f"{e + 4:016x}")
+                rows["severity_text"].append("ERROR")
+                rows["severity_number"].append(17)
+                rows["body"].append(f"err {e}")
+                rows["attributes"].append(_json.dumps({"n": e % 5}))
+                rows["resource_attributes"].append(_json.dumps(
+                    {"env": f"p{u % 5}", "host.name": f"h{u % 2}"}))
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "observed_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_adx(flat).select_columns(
+        ["event_id", *_LOG_COLS])
+
+
+def q_adx_traces(sf_dir: str):
+    """azuredataexplorerexporter traces: SPAN_KIND_*/STATUS_CODE_*
+    long enums, Events/Links Go-struct arrays
+    (tracesdata_to_adx.go:45-92)."""
+    import json as _json
+
+    from ..stages.adx import _TRACE_COLS, traces_to_adx
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "span_name",
+            "status_code", "status_message", "span_kind",
+            "start_time_unix_nano", "end_time_unix_nano",
+            "attributes", "resource_attributes", "scope_name",
+            "scope_version", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_code"].append(e % 3)
+            rows["status_message"].append(
+                "boom" if e % 3 == 2 else "")
+            rows["span_kind"].append(e % 6)
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(
+                start + 1_500_000_000)
+            rows["attributes"].append(_json.dumps(
+                {"k": f"v{u % 7}"} if m == 0 else {}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"env": f"p{u % 5}"}))
+            rows["scope_name"].append("SN" if m == 0 else "")
+            rows["scope_version"].append("SV" if m == 0 else "")
+            rows["events"].append(_json.dumps([
+                {"name": "ev", "timeUnixNano": start + 1,
+                 "attributes": {"a": e % 3}}]) if m == 0 else "[]")
+            rows["links"].append(_json.dumps([
+                {"traceId": f"{e + 9:032x}",
+                 "spanId": f"{e + 10:016x}", "traceState": "w=1",
+                 "attributes": {}}]) if m == 1 else "[]")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("start_time_unix_nano", "end_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k in ("status_code", "span_kind"):
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return traces_to_adx(flat).select_columns(
+        ["event_id", *_TRACE_COLS])
+
+
+def q_adx_metrics(sf_dir: str):
+    """azuredataexplorerexporter metrics: host fallback, histogram
+    cumulative _bucket fan-out with the +Inf overflow add, summary
+    quantile rows carrying qt + <name_q>=value attrs, unsupported
+    types dropped (metricsdata_to_adx.go:56-247)."""
+    import json as _json
+
+    from ..stages.adx import _METRIC_COLS, metrics_to_adx
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        n = len(eid)
+        mtypes = [("gauge", "sum", "histogram", "summary",
+                   "exponential_histogram")[e % 5] for e in eid]
+        cols = {
+            "event_id": t.column("event_id"),
+            "mtype": pa.array(mtypes, pa.string()),
+            "name": pa.array(["lat"] * n, pa.string()),
+            "description": pa.array(
+                ["d" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+            "unit": pa.array(["ms"] * n, pa.string()),
+            "time_unix_nano": pa.array(
+                [(1_700_000_000 + e % 50) * 1_000_000_000
+                 + (e % 4) * 250_000_000 for e in eid], pa.int64()),
+            "value_int": pa.array(
+                [e if e % 5 == 1 else None for e in eid],
+                pa.int64()),
+            "value_double": pa.array(
+                [e % 100 + 0.25 if e % 5 == 0 else None
+                 for e in eid], pa.float64()),
+            "hsum": pa.array(
+                [e % 10 + 0.5 if e % 5 == 2 else None for e in eid],
+                pa.float64()),
+            "count": pa.array(
+                [7 if e % 5 in (2, 3) else None for e in eid],
+                pa.int64()),
+            "explicit_bounds": pa.array(
+                [[1.0, 2.5] if e % 5 == 2 else None for e in eid],
+                pa.list_(pa.float64())),
+            "bucket_counts": pa.array(
+                [[e % 3, 2, 1] if e % 5 == 2 else None
+                 for e in eid], pa.list_(pa.int64())),
+            "ssum": pa.array(
+                [e % 10 + 0.5 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "quantiles": pa.array(
+                [[0.0, 0.5] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.float64())),
+            "quantile_values": pa.array(
+                [[1.5, float(e % 4)] if e % 5 == 3 else None
+                 for e in eid], pa.list_(pa.float64())),
+            "attributes": pa.array(
+                [_json.dumps({"k": f"v{u % 7}"})
+                 for u in uid], pa.string()),
+            "resource_attributes": pa.array(
+                [_json.dumps({"env": f"p{u % 5}"} if e % 2 == 0 else
+                             {"env": f"p{u % 5}",
+                              "host.name": f"h{u % 2}"})
+                 for e, u in zip(eid, uid)], pa.string()),
+            "scope_name": pa.array(
+                ["SN" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+            "scope_version": pa.array(
+                ["SV" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+        }
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_adx(
+        flat, default_host="collector-host").select_columns(
+        ["event_id", *_METRIC_COLS])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -7291,6 +7512,9 @@ QUERIES = {
     "expvar_parse": q_expvar_parse,
     "mongodb_atlas_logs": q_mongodb_atlas_logs,
     "solace_parse": q_solace_parse,
+    "adx_logs": q_adx_logs,
+    "adx_traces": q_adx_traces,
+    "adx_metrics": q_adx_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -11861,4 +12085,212 @@ ORACLE_SQL["solace_parse"] = """
       r, '[]'
     FROM res WHERE m = 2
     ORDER BY event_id, span_id
+"""
+
+# azuredataexplorerexporter logs: RFC3339Nano render reproduced with
+# strftime + quarter-second frac CASE; LogsAttributes = sorted-key JSON
+# of attrs with the scope map copied over (scope wins)
+ORACLE_SQL["adx_logs"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 3 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             CAST(event_id % 5 AS VARCHAR) AS e5
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts,
+        strftime(make_timestamp((sec + 1) * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts1
+      FROM b)
+    SELECT e AS event_id,
+      CASE m WHEN 1 THEN '1970-01-01T00:00:00Z' ELSE ts END
+        AS "Timestamp",
+      CASE m WHEN 0 THEN ts1 WHEN 1 THEN '1970-01-01T00:00:00Z'
+           ELSE ts END AS "ObservedTimestamp",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 1), 32, '0')
+           WHEN 1 THEN '' ELSE lpad(printf('%x', e + 3), 32, '0')
+           END AS "TraceID",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 2), 16, '0')
+           WHEN 1 THEN '' ELSE lpad(printf('%x', e + 4), 16, '0')
+           END AS "SpanID",
+      CASE m WHEN 0 THEN 'INFO' WHEN 1 THEN '' ELSE 'ERROR' END
+        AS "SeverityText",
+      CAST(CASE m WHEN 0 THEN 9 WHEN 1 THEN 0 ELSE 17 END
+           AS INTEGER) AS "SeverityNumber",
+      CASE m WHEN 0 THEN 'log ' || CAST(e AS VARCHAR)
+           WHEN 1 THEN '' ELSE 'err ' || CAST(e AS VARCHAR) END
+        AS "Body",
+      CASE m WHEN 0 THEN '{"env":"p' || u5 || '"}'
+           WHEN 1 THEN '{}'
+           ELSE '{"env":"p' || u5 || '","host.name":"h' || u2
+                || '"}' END AS "ResourceAttributes",
+      CASE m WHEN 0 THEN '{"k":"v' || u7
+                || '","scope.name":"SN","scope.version":"SV"}'
+           WHEN 1 THEN '{}'
+           ELSE '{"n":' || e5 || ',"scope.name":"SN"}' END
+        AS "LogsAttributes"
+    FROM r ORDER BY event_id
+"""
+
+# azuredataexplorerexporter traces: long SPAN_KIND_*/STATUS_CODE_*
+# enums, Events/Links arrays in Go struct declaration order
+ORACLE_SQL["adx_traces"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts,
+        strftime(make_timestamp(
+                   (sec + 1 + CASE WHEN q >= 2 THEN 1 ELSE 0 END)
+                   * 1000000), '%Y-%m-%dT%H:%M:%S')
+          || CASE (q + 2) % 4 WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts_end,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || '.' || CASE q WHEN 0 THEN '000000001'
+             WHEN 1 THEN '250000001' WHEN 2 THEN '500000001'
+             ELSE '750000001' END || 'Z' AS ts_ev
+      FROM b)
+    SELECT e AS event_id,
+      lpad(printf('%x', e + 1), 32, '0') AS "TraceID",
+      lpad(printf('%x', e + 2), 16, '0') AS "SpanID",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 3), 16, '0')
+           ELSE '' END AS "ParentID",
+      'op' || CAST(e % 4 AS VARCHAR) AS "SpanName",
+      CASE e % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+           WHEN 1 THEN 'STATUS_CODE_OK'
+           ELSE 'STATUS_CODE_ERROR' END AS "SpanStatus",
+      CASE e % 3 WHEN 2 THEN 'boom' ELSE '' END
+        AS "SpanStatusMessage",
+      CASE e % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+           WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+           WHEN 2 THEN 'SPAN_KIND_SERVER'
+           WHEN 3 THEN 'SPAN_KIND_CLIENT'
+           WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+           ELSE 'SPAN_KIND_CONSUMER' END AS "SpanKind",
+      ts AS "StartTime", ts_end AS "EndTime",
+      '{"env":"p' || u5 || '"}' AS "ResourceAttributes",
+      CASE m WHEN 0 THEN '{"k":"v' || u7
+                || '","scope.name":"SN","scope.version":"SV"}'
+           ELSE '{}' END AS "TraceAttributes",
+      CASE m WHEN 0 THEN '[{"EventName":"ev","Timestamp":"' || ts_ev
+                || '","EventAttributes":{"a":'
+                || CAST(e % 3 AS VARCHAR) || '}}]'
+           ELSE '[]' END AS "Events",
+      CASE m WHEN 1 THEN '[{"TraceID":"'
+                || lpad(printf('%x', e + 9), 32, '0')
+                || '","SpanID":"'
+                || lpad(printf('%x', e + 10), 16, '0')
+                || '","TraceState":"w=1","SpanLinkAttributes":{}}]'
+           ELSE '[]' END AS "Links"
+    FROM r ORDER BY event_id
+"""
+
+# azuredataexplorerexporter metrics: per-datapoint rows with the
+# histogram cumulative _bucket fan-out (+Inf adds the overflow count),
+# summary qt/<name_q> attrs, description fallbacks, host.name-else-
+# collector-hostname, Empty/ExponentialHistogram dropped
+ORACLE_SQL["adx_metrics"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 5 AS m, event_id % 2 AS par,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts,
+        CASE par WHEN 0
+             THEN ',"scope.name":"SN","scope.version":"SV"'
+             ELSE '' END AS sc,
+        CASE par WHEN 0 THEN 'd' ELSE '' END AS dsc,
+        CASE par WHEN 0 THEN 'collector-host' ELSE 'h' || u2 END
+          AS host,
+        CASE par WHEN 0 THEN '{"env":"p' || u5 || '"}'
+             ELSE '{"env":"p' || u5 || '","host.name":"h' || u2
+                  || '"}' END AS res
+      FROM b)
+    SELECT e AS event_id, ts AS "Timestamp",
+      'lat' AS "MetricName", 'Gauge' AS "MetricType",
+      'ms' AS "MetricUnit", dsc AS "MetricDescription",
+      CAST(e % 100 AS DOUBLE) + 0.25 AS "MetricValue",
+      '{"k":"v' || u7 || '"' || sc || '}' AS "MetricAttributes",
+      host AS "Host", res AS "ResourceAttributes"
+    FROM r WHERE m = 0
+    UNION ALL
+    SELECT e, ts, 'lat', 'Sum', 'ms', dsc, CAST(e AS DOUBLE),
+      '{"k":"v' || u7 || '"' || sc || '}', host, res
+    FROM r WHERE m = 1
+    UNION ALL
+    SELECT e, ts, 'lat_sum', 'Histogram', 'ms',
+      dsc || '(Sum total of samples)',
+      CAST(e % 10 AS DOUBLE) + 0.5,
+      '{"k":"v' || u7 || '"' || sc || '}', host, res
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, ts, 'lat_count', 'Histogram', 'ms',
+      dsc || '(Count of samples)', CAST(7 AS DOUBLE),
+      '{"k":"v' || u7 || '"' || sc || '}', host, res
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, ts, 'lat_bucket', 'Histogram', 'ms', dsc,
+      CAST(e % 3 AS DOUBLE),
+      '{"k":"v' || u7 || '","le":"1"' || sc || '}', host, res
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, ts, 'lat_bucket', 'Histogram', 'ms', dsc,
+      CAST(e % 3 + 2 AS DOUBLE),
+      '{"k":"v' || u7 || '","le":"2.5"' || sc || '}', host, res
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, ts, 'lat_bucket', 'Histogram', 'ms', dsc,
+      CAST(e % 3 + 3 AS DOUBLE),
+      '{"k":"v' || u7 || '","le":"+Inf"' || sc || '}', host, res
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, ts, 'lat_sum', 'Summary', 'ms',
+      dsc || '(Sum total of samples)',
+      CAST(e % 10 AS DOUBLE) + 0.5,
+      '{"k":"v' || u7 || '"' || sc || '}', host, res
+    FROM r WHERE m = 3
+    UNION ALL
+    SELECT e, ts, 'lat_count', 'Summary', 'ms',
+      dsc || '(Count of samples)', CAST(7 AS DOUBLE),
+      '{"k":"v' || u7 || '"' || sc || '}', host, res
+    FROM r WHERE m = 3
+    UNION ALL
+    SELECT e, ts, 'lat_0', 'Summary', 'ms',
+      dsc || '(Count of samples)', CAST(1.5 AS DOUBLE),
+      '{"k":"v' || u7 || '","lat_0":1.5,"qt":"0"' || sc || '}',
+      host, res
+    FROM r WHERE m = 3
+    UNION ALL
+    SELECT e, ts, 'lat_0.5', 'Summary', 'ms',
+      dsc || '(Count of samples)', CAST(e % 4 AS DOUBLE),
+      '{"k":"v' || u7 || '","lat_0.5":' || CAST(e % 4 AS VARCHAR)
+        || ',"qt":"0.5"' || sc || '}', host, res
+    FROM r WHERE m = 3
+    ORDER BY event_id, "MetricName", "MetricValue"
 """

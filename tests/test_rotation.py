@@ -87,7 +87,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "cloudfoundry_logs", "logservice_logs",
                    "logservice_spans", "logservice_metrics",
                    "honeycomb_markers", "expvar_parse",
-                   "mongodb_atlas_logs", "solace_parse"}
+                   "mongodb_atlas_logs", "solace_parse",
+                   "adx_logs", "adx_traces", "adx_metrics"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
