@@ -971,6 +971,30 @@ def _to_adx_metrics(ds, **opts):
     return metrics_to_adx(ds, **opts)
 
 
+@register_stage("to_clickhouse_logs")
+def _to_clickhouse_logs(ds, **opts):
+    """clickhouseexporter otel_logs INSERT rows (round 5)."""
+    from ..stages.clickhouse import logs_to_clickhouse
+
+    return logs_to_clickhouse(ds, **opts)
+
+
+@register_stage("to_clickhouse_traces")
+def _to_clickhouse_traces(ds, **opts):
+    """clickhouseexporter otel_traces INSERT rows (round 5)."""
+    from ..stages.clickhouse import spans_to_clickhouse
+
+    return spans_to_clickhouse(ds, **opts)
+
+
+@register_stage("to_clickhouse_metrics")
+def _to_clickhouse_metrics(ds, **opts):
+    """clickhouseexporter otel_metrics_* INSERT rows (round 5)."""
+    from ..stages.clickhouse import metrics_to_clickhouse
+
+    return metrics_to_clickhouse(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

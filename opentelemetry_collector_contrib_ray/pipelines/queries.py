@@ -7301,6 +7301,290 @@ def q_adx_metrics(sf_dir: str):
         ["event_id", *_METRIC_COLS])
 
 
+def q_clickhouse_logs(sf_dir: str):
+    """clickhouseexporter logs: the 15-column otel_logs INSERT row —
+    0→observed timestamp fallback, uint8 flags/severity, AsString
+    attribute maps (exporter_logs.go:104-135)."""
+    import json as _json
+
+    from ..stages.clickhouse import _LOG_COLS, logs_to_clickhouse
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "observed_time_unix_nano", "trace_id",
+            "span_id", "flags", "severity_text", "severity_number",
+            "body", "resource_schema_url", "resource_attributes",
+            "scope_schema_url", "scope_name", "scope_version",
+            "scope_attributes", "attributes")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            if m == 0:
+                rows["time_unix_nano"].append(ts)
+                rows["observed_time_unix_nano"].append(
+                    ts + 1_000_000_000)
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["flags"].append(257)  # uint8 → 1
+                rows["severity_text"].append("INFO")
+                rows["severity_number"].append(9)
+                rows["body"].append(f"log {e}")
+                rows["resource_schema_url"].append("ru")
+                rows["resource_attributes"].append(_json.dumps(
+                    {"service.name": f"s{u % 2}",
+                     "env": f"p{u % 5}"}))
+                rows["scope_schema_url"].append("su")
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("SV")
+                rows["scope_attributes"].append(_json.dumps(
+                    {"sk": e % 3}))
+                rows["attributes"].append(_json.dumps(
+                    {"k": f"v{u % 7}"}))
+            elif m == 1:
+                # zero timestamps, empty ids, everything default
+                for k in rows:
+                    if k in ("time_unix_nano",
+                             "observed_time_unix_nano", "flags",
+                             "severity_number"):
+                        rows[k].append(0)
+                    elif k in ("resource_attributes",
+                               "scope_attributes", "attributes"):
+                        rows[k].append("{}")
+                    elif k == "trace_id":
+                        rows[k].append("0" * 32)
+                    else:
+                        rows[k].append("" if k != "body" else None)
+            else:
+                rows["time_unix_nano"].append(0)  # falls to observed
+                rows["observed_time_unix_nano"].append(ts)
+                rows["trace_id"].append(f"{e + 3:032x}")
+                rows["span_id"].append(f"{e + 4:016x}")
+                rows["flags"].append(2)
+                rows["severity_text"].append("ERROR")
+                rows["severity_number"].append(17)
+                rows["body"].append(f"err {e}")
+                rows["resource_schema_url"].append("")
+                rows["resource_attributes"].append(_json.dumps(
+                    {"env": f"p{u % 5}", "n": e % 5}))
+                rows["scope_schema_url"].append("")
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("")
+                rows["scope_attributes"].append("{}")
+                rows["attributes"].append(_json.dumps(
+                    {"f": (e % 4) + 0.5, "b": e % 2 == 0}))
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "observed_time_unix_nano",
+                     "flags"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_clickhouse(flat).select_columns(
+        ["event_id", *_LOG_COLS])
+
+
+def q_clickhouse_traces(sf_dir: str):
+    """clickhouseexporter traces: the 22-column otel_traces INSERT
+    row — pdata SHORT enum names, ns Duration, Events/Links parallel
+    arrays with hex-or-empty link ids (exporter_traces.go:103-183)."""
+    import json as _json
+
+    from ..stages.clickhouse import (_TRACE_COLS,
+                                     spans_to_clickhouse)
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "status_code", "status_message",
+            "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "attributes",
+            "resource_attributes", "scope_name", "scope_version",
+            "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["trace_state"].append("w3c=1" if m == 0 else "")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_code"].append(e % 3)
+            rows["status_message"].append(
+                "boom" if e % 3 == 2 else "")
+            rows["span_kind"].append(e % 6)
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(
+                start + 1_500_000_000 + (e % 3))
+            rows["attributes"].append(_json.dumps(
+                {"k": f"v{u % 7}", "n": e % 5} if m == 0 else {}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"service.name": f"s{u % 2}", "env": f"p{u % 5}"}))
+            rows["scope_name"].append("SN" if m == 0 else "")
+            rows["scope_version"].append("SV" if m == 0 else "")
+            rows["events"].append(_json.dumps([
+                {"name": "ev", "timeUnixNano": start + 1,
+                 "attributes": {"a": e % 3}}]) if m == 0 else "[]")
+            rows["links"].append(_json.dumps([
+                {"traceId": f"{e + 9:032x}",
+                 "spanId": "0" * 16, "traceState": "w=1",
+                 "attributes": {"lk": "lv"}}]) if m == 1 else "[]")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("start_time_unix_nano", "end_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k in ("status_code", "span_kind"):
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return spans_to_clickhouse(flat).select_columns(
+        ["event_id", *_TRACE_COLS])
+
+
+def q_clickhouse_metrics(sf_dir: str):
+    """clickhouseexporter metrics: the five otel_metrics_* table
+    INSERT rows — shared 14-column identity head, per-type tails,
+    exemplar zero-id plain-hex quirk, getValue int casts
+    (internal/metrics/*_metrics.go)."""
+    import json as _json
+
+    from ..stages.clickhouse import (_METRIC_COLS,
+                                     metrics_to_clickhouse)
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        n = len(eid)
+        mtypes = [("gauge", "sum", "histogram",
+                   "exponential_histogram", "summary")[e % 5]
+                  for e in eid]
+        ts = [(1_700_000_000 + e % 50) * 1_000_000_000
+              + (e % 4) * 250_000_000 for e in eid]
+        cols = {
+            "event_id": t.column("event_id"),
+            "mtype": pa.array(mtypes, pa.string()),
+            "name": pa.array([f"m{e % 3}" for e in eid],
+                             pa.string()),
+            "description": pa.array(
+                ["d" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+            "unit": pa.array(["1"] * n, pa.string()),
+            "resource_schema_url": pa.array(["ru"] * n, pa.string()),
+            "scope_schema_url": pa.array(["su"] * n, pa.string()),
+            "scope_name": pa.array(["sn"] * n, pa.string()),
+            "scope_version": pa.array(["sv"] * n, pa.string()),
+            "scope_attributes": pa.array(
+                [_json.dumps({"sa": "1"})] * n, pa.string()),
+            "scope_dropped_attr_count": pa.array(
+                [e % 3 for e in eid], pa.int64()),
+            "attributes": pa.array(
+                [_json.dumps({"k": f"v{u % 7}"}) for u in uid],
+                pa.string()),
+            "resource_attributes": pa.array(
+                [_json.dumps({"service.name": f"s{u % 2}",
+                              "env": f"p{u % 5}"}) for u in uid],
+                pa.string()),
+            "start_time_unix_nano": pa.array(
+                [x - 1_000_000_000 for x in ts], pa.int64()),
+            "time_unix_nano": pa.array(ts, pa.int64()),
+            "flags": pa.array(
+                [(e % 4, 1, 2, 3, 0)[e % 5] for e in eid],
+                pa.int64()),
+            "value_int": pa.array(
+                [e if e % 5 == 0 else None for e in eid],
+                pa.int64()),
+            "value_double": pa.array(
+                [e % 100 + 0.25 if e % 5 == 1 else None
+                 for e in eid], pa.float64()),
+            "exemplars": pa.array(
+                [_json.dumps([{
+                    "filteredAttributes": {"fa": f"x{e % 3}"},
+                    "timeUnixNano": x - 5, "asInt": e % 7,
+                    "spanId": f"{e + 5:016x}"}])
+                 if e % 5 == 0 else "[]"
+                 for e, x in zip(eid, ts)], pa.string()),
+            "aggregation_temporality": pa.array(
+                [(None, e % 3, 2, 1, None)[e % 5] for e in eid],
+                pa.int64()),
+            "is_monotonic": pa.array(
+                [e % 2 == 0 if e % 5 == 1 else None for e in eid],
+                pa.bool_()),
+            "count": pa.array(
+                [(None, None, 7, 4, e % 6)[e % 5] for e in eid],
+                pa.int64()),
+            "hsum": pa.array(
+                [e % 10 + 0.5 if e % 5 in (2, 3) else None
+                 for e in eid], pa.float64()),
+            "ssum": pa.array(
+                [e % 10 + 0.25 if e % 5 == 4 else None
+                 for e in eid], pa.float64()),
+            "bucket_counts": pa.array(
+                [[e % 3, 2, 1] if e % 5 == 2 else None
+                 for e in eid], pa.list_(pa.int64())),
+            "explicit_bounds": pa.array(
+                [[1.0, 2.5] if e % 5 == 2 else None for e in eid],
+                pa.list_(pa.float64())),
+            "hmin": pa.array(
+                [0.25 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "hmax": pa.array(
+                [e % 2 + 1.5 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "scale": pa.array(
+                [e % 7 - 2 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "zero_count": pa.array(
+                [e % 3 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_offset": pa.array(
+                [1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_bucket_counts": pa.array(
+                [[1, e % 2] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+            "neg_offset": pa.array(
+                [-1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "neg_bucket_counts": pa.array(
+                [[e % 3] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+            "quantiles": pa.array(
+                [[0.0, 0.5, 1.0] if e % 5 == 4 else None
+                 for e in eid], pa.list_(pa.float64())),
+            "quantile_values": pa.array(
+                [[0.5, e % 4 + 0.5, 9.0] if e % 5 == 4 else None
+                 for e in eid], pa.list_(pa.float64())),
+        }
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_clickhouse(flat).select_columns(
+        ["event_id", *_METRIC_COLS])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -7515,6 +7799,9 @@ QUERIES = {
     "adx_logs": q_adx_logs,
     "adx_traces": q_adx_traces,
     "adx_metrics": q_adx_metrics,
+    "clickhouse_logs": q_clickhouse_logs,
+    "clickhouse_traces": q_clickhouse_traces,
+    "clickhouse_metrics": q_clickhouse_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -12293,4 +12580,213 @@ ORACLE_SQL["adx_metrics"] = """
         || ',"qt":"0.5"' || sc || '}', host, res
     FROM r WHERE m = 3
     ORDER BY event_id, "MetricName", "MetricValue"
+"""
+
+# clickhouseexporter logs: 15-column otel_logs INSERT rows, 0→observed
+# fallback, uint8 flags, AsString maps (sorted-key canonical JSON)
+ORACLE_SQL["clickhouse_logs"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 3 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000
+               + (event_id % 4) * 250000000 AS ts,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events)
+    SELECT e AS event_id,
+      CAST(CASE m WHEN 1 THEN 0 ELSE ts END AS BIGINT)
+        AS "Timestamp",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 1), 32, '0')
+           WHEN 1 THEN '' ELSE lpad(printf('%x', e + 3), 32, '0')
+           END AS "TraceId",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 2), 16, '0')
+           WHEN 1 THEN '' ELSE lpad(printf('%x', e + 4), 16, '0')
+           END AS "SpanId",
+      CAST(CASE m WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 2 END
+           AS INTEGER) AS "TraceFlags",
+      CASE m WHEN 0 THEN 'INFO' WHEN 1 THEN '' ELSE 'ERROR' END
+        AS "SeverityText",
+      CAST(CASE m WHEN 0 THEN 9 WHEN 1 THEN 0 ELSE 17 END
+           AS INTEGER) AS "SeverityNumber",
+      CASE m WHEN 0 THEN 's' || u2 ELSE '' END AS "ServiceName",
+      CASE m WHEN 0 THEN 'log ' || CAST(e AS VARCHAR)
+           WHEN 1 THEN '' ELSE 'err ' || CAST(e AS VARCHAR) END
+        AS "Body",
+      CASE m WHEN 0 THEN 'ru' ELSE '' END AS "ResourceSchemaUrl",
+      CASE m WHEN 0 THEN '{"env":"p' || u5
+                || '","service.name":"s' || u2 || '"}'
+           WHEN 1 THEN '{}'
+           ELSE '{"env":"p' || u5 || '","n":"'
+                || CAST(e % 5 AS VARCHAR) || '"}' END
+        AS "ResourceAttributes",
+      CASE m WHEN 0 THEN 'su' ELSE '' END AS "ScopeSchemaUrl",
+      CASE m WHEN 1 THEN '' ELSE 'SN' END AS "ScopeName",
+      CASE m WHEN 0 THEN 'SV' ELSE '' END AS "ScopeVersion",
+      CASE m WHEN 0 THEN '{"sk":"' || CAST(e % 3 AS VARCHAR)
+                || '"}' ELSE '{}' END AS "ScopeAttributes",
+      CASE m WHEN 0 THEN '{"k":"v' || u7 || '"}'
+           WHEN 1 THEN '{}'
+           ELSE '{"b":"' || CASE e % 2 WHEN 0 THEN 'true'
+                ELSE 'false' END || '","f":"'
+                || CAST(e % 4 AS VARCHAR) || '.5"}' END
+        AS "LogAttributes"
+    FROM b ORDER BY event_id
+"""
+
+# clickhouseexporter traces: 22-column otel_traces INSERT rows, pdata
+# SHORT enum names, hex-or-empty link ids, ns Duration
+ORACLE_SQL["clickhouse_traces"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000
+               + (event_id % 4) * 250000000 AS ts,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events)
+    SELECT e AS event_id,
+      ts AS "Timestamp",
+      lpad(printf('%x', e + 1), 32, '0') AS "TraceId",
+      lpad(printf('%x', e + 2), 16, '0') AS "SpanId",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 3), 16, '0')
+           ELSE '' END AS "ParentSpanId",
+      CASE m WHEN 0 THEN 'w3c=1' ELSE '' END AS "TraceState",
+      'op' || CAST(e % 4 AS VARCHAR) AS "SpanName",
+      CASE e % 6 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Internal'
+           WHEN 2 THEN 'Server' WHEN 3 THEN 'Client'
+           WHEN 4 THEN 'Producer' ELSE 'Consumer' END AS "SpanKind",
+      's' || u2 AS "ServiceName",
+      '{"env":"p' || u5 || '","service.name":"s' || u2 || '"}'
+        AS "ResourceAttributes",
+      CASE m WHEN 0 THEN 'SN' ELSE '' END AS "ScopeName",
+      CASE m WHEN 0 THEN 'SV' ELSE '' END AS "ScopeVersion",
+      CASE m WHEN 0 THEN '{"k":"v' || u7 || '","n":"'
+                || CAST(e % 5 AS VARCHAR) || '"}'
+           ELSE '{}' END AS "SpanAttributes",
+      CAST(1500000000 + e % 3 AS BIGINT) AS "Duration",
+      CASE e % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok'
+           ELSE 'Error' END AS "StatusCode",
+      CASE e % 3 WHEN 2 THEN 'boom' ELSE '' END AS "StatusMessage",
+      CASE m WHEN 0 THEN '[' || CAST(ts + 1 AS VARCHAR) || ']'
+           ELSE '[]' END AS "EventsTimestamp",
+      CASE m WHEN 0 THEN '["ev"]' ELSE '[]' END AS "EventsName",
+      CASE m WHEN 0 THEN '[{"a":"' || CAST(e % 3 AS VARCHAR)
+                || '"}]' ELSE '[]' END AS "EventsAttributes",
+      CASE m WHEN 1 THEN '["' || lpad(printf('%x', e + 9), 32, '0')
+                || '"]' ELSE '[]' END AS "LinksTraceId",
+      CASE m WHEN 1 THEN '[""]' ELSE '[]' END AS "LinksSpanId",
+      CASE m WHEN 1 THEN '["w=1"]' ELSE '[]' END
+        AS "LinksTraceState",
+      CASE m WHEN 1 THEN '[{"lk":"lv"}]' ELSE '[]' END
+        AS "LinksAttributes"
+    FROM b ORDER BY event_id
+"""
+
+# clickhouseexporter metrics: five per-type INSERT branches with the
+# shared 14-column identity head; exemplar zero ids render as plain
+# hex zeros; unset histogram Min/Max append the Go zero value
+ORACLE_SQL["clickhouse_metrics"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 5 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000
+               + (event_id % 4) * 250000000 AS ts,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        '{"env":"p' || u5 || '","service.name":"s' || u2 || '"}'
+          AS res,
+        's' || u2 AS svc,
+        'm' || CAST(e % 3 AS VARCHAR) AS mname,
+        CASE e % 2 WHEN 0 THEN 'd' ELSE '' END AS dsc,
+        '{"k":"v' || u7 || '"}' AS attrs,
+        CAST(e % 3 AS BIGINT) AS sdac,
+        ts - 1000000000 AS ts0
+      FROM b)
+    SELECT e AS event_id, 'otel_metrics_gauge' AS "ChTable",
+      res AS "ResourceAttributes", 'ru' AS "ResourceSchemaUrl",
+      'sn' AS "ScopeName", 'sv' AS "ScopeVersion",
+      '{"sa":"1"}' AS "ScopeAttributes",
+      sdac AS "ScopeDroppedAttrCount", 'su' AS "ScopeSchemaUrl",
+      svc AS "ServiceName", mname AS "MetricName",
+      dsc AS "MetricDescription", '1' AS "MetricUnit",
+      attrs AS "Attributes", ts0 AS "StartTimeUnix",
+      ts AS "TimeUnix",
+      CAST(e AS DOUBLE) AS "Value",
+      CAST(e % 4 AS BIGINT) AS "Flags",
+      '[{"fa":"x' || CAST(e % 3 AS VARCHAR) || '"}]'
+        AS "ExemplarsFilteredAttributes",
+      '[' || CAST(ts - 5 AS VARCHAR) || ']' AS "ExemplarsTimeUnix",
+      '[' || CAST(e % 7 AS VARCHAR) || ']' AS "ExemplarsValue",
+      '["' || lpad(printf('%x', e + 5), 16, '0') || '"]'
+        AS "ExemplarsSpanId",
+      '["' || repeat('0', 32) || '"]' AS "ExemplarsTraceId",
+      CAST(NULL AS INTEGER) AS "AggregationTemporality",
+      CAST(NULL AS BOOLEAN) AS "IsMonotonic",
+      CAST(NULL AS BIGINT) AS "Count",
+      CAST(NULL AS DOUBLE) AS "Sum",
+      CAST(NULL AS VARCHAR) AS "BucketCounts",
+      CAST(NULL AS VARCHAR) AS "ExplicitBounds",
+      CAST(NULL AS DOUBLE) AS "Min", CAST(NULL AS DOUBLE) AS "Max",
+      CAST(NULL AS INTEGER) AS "Scale",
+      CAST(NULL AS BIGINT) AS "ZeroCount",
+      CAST(NULL AS INTEGER) AS "PositiveOffset",
+      CAST(NULL AS VARCHAR) AS "PositiveBucketCounts",
+      CAST(NULL AS INTEGER) AS "NegativeOffset",
+      CAST(NULL AS VARCHAR) AS "NegativeBucketCounts",
+      CAST(NULL AS VARCHAR) AS "Quantiles",
+      CAST(NULL AS VARCHAR) AS "QuantileValues"
+    FROM r WHERE m = 0
+    UNION ALL
+    SELECT e, 'otel_metrics_sum', res, 'ru', 'sn', 'sv',
+      '{"sa":"1"}', sdac, 'su', svc, mname, dsc, '1', attrs, ts0, ts,
+      CAST(e % 100 AS DOUBLE) + 0.25, CAST(1 AS BIGINT),
+      '[]', '[]', '[]', '[]', '[]',
+      CAST(e % 3 AS INTEGER), e % 2 = 0,
+      NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      NULL, NULL, NULL, NULL
+    FROM r WHERE m = 1
+    UNION ALL
+    SELECT e, 'otel_metrics_histogram', res, 'ru', 'sn', 'sv',
+      '{"sa":"1"}', sdac, 'su', svc, mname, dsc, '1', attrs, ts0, ts,
+      NULL, CAST(2 AS BIGINT),
+      '[]', '[]', '[]', '[]', '[]',
+      CAST(2 AS INTEGER), NULL,
+      CAST(7 AS BIGINT), CAST(e % 10 AS DOUBLE) + 0.5,
+      '[' || CAST(e % 3 AS VARCHAR) || ',2,1]', '[1,2.5]',
+      CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+      NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, 'otel_metrics_exponential_histogram', res, 'ru', 'sn',
+      'sv', '{"sa":"1"}', sdac, 'su', svc, mname, dsc, '1', attrs,
+      ts0, ts,
+      NULL, CAST(3 AS BIGINT),
+      '[]', '[]', '[]', '[]', '[]',
+      CAST(1 AS INTEGER), NULL,
+      CAST(4 AS BIGINT), CAST(e % 10 AS DOUBLE) + 0.5,
+      NULL, NULL,
+      CAST(0.25 AS DOUBLE), CAST(e % 2 AS DOUBLE) + 1.5,
+      CAST(e % 7 - 2 AS INTEGER), CAST(e % 3 AS BIGINT),
+      CAST(1 AS INTEGER), '[1,' || CAST(e % 2 AS VARCHAR) || ']',
+      CAST(-1 AS INTEGER), '[' || CAST(e % 3 AS VARCHAR) || ']',
+      NULL, NULL
+    FROM r WHERE m = 3
+    UNION ALL
+    SELECT e, 'otel_metrics_summary', res, 'ru', 'sn', 'sv',
+      '{"sa":"1"}', sdac, 'su', svc, mname, dsc, '1', attrs, ts0, ts,
+      NULL, CAST(0 AS BIGINT),
+      NULL, NULL, NULL, NULL, NULL,
+      NULL, NULL,
+      CAST(e % 6 AS BIGINT), CAST(e % 10 AS DOUBLE) + 0.25,
+      NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      '[0,0.5,1]',
+      '[0.5,' || CAST(e % 4 AS VARCHAR) || '.5,9]'
+    FROM r WHERE m = 4
+    ORDER BY event_id
 """
