@@ -995,6 +995,30 @@ def _to_clickhouse_metrics(ds, **opts):
     return metrics_to_clickhouse(ds, **opts)
 
 
+@register_stage("to_doris_logs")
+def _to_doris_logs(ds, **opts):
+    """dorisexporter log JSON lines (round 5)."""
+    from ..stages.doris import logs_to_doris
+
+    return logs_to_doris(ds, **opts)
+
+
+@register_stage("to_doris_traces")
+def _to_doris_traces(ds, **opts):
+    """dorisexporter trace JSON lines (round 5)."""
+    from ..stages.doris import spans_to_doris
+
+    return spans_to_doris(ds, **opts)
+
+
+@register_stage("to_doris_metrics")
+def _to_doris_metrics(ds, **opts):
+    """dorisexporter per-type metric JSON lines (round 5)."""
+    from ..stages.doris import metrics_to_doris
+
+    return metrics_to_doris(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

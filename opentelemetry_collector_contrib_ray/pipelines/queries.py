@@ -7585,6 +7585,266 @@ def q_clickhouse_metrics(sf_dir: str):
         ["event_id", *_METRIC_COLS])
 
 
+def q_doris_logs(sf_dir: str):
+    """dorisexporter logs: dLog JSON lines in Go struct order,
+    trailing-zero-trimmed µs timestamps, typed AsRaw attribute maps
+    (exporter_logs.go:96-140)."""
+    import json as _json
+
+    from ..stages.doris import logs_to_doris
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "trace_id", "span_id",
+            "severity_number", "severity_text", "body",
+            "resource_attributes", "attributes", "scope_name",
+            "scope_version")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            if m == 0:
+                rows["time_unix_nano"].append(ts)
+                rows["trace_id"].append(f"{e + 1:032x}")
+                rows["span_id"].append(f"{e + 2:016x}")
+                rows["severity_number"].append(9)
+                rows["severity_text"].append("INFO")
+                rows["body"].append(f"log {e}")
+                rows["resource_attributes"].append(_json.dumps(
+                    {"env": f"p{u % 5}",
+                     "service.instance.id": f"i{u % 5}",
+                     "service.name": f"s{u % 2}"}))
+                rows["attributes"].append(_json.dumps(
+                    {"k": f"v{u % 7}"}))
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("SV")
+            elif m == 1:
+                rows["time_unix_nano"].append(0)
+                rows["trace_id"].append("0" * 32)
+                rows["span_id"].append("")
+                rows["severity_number"].append(0)
+                rows["severity_text"].append("")
+                rows["body"].append(None)
+                rows["resource_attributes"].append("{}")
+                rows["attributes"].append("{}")
+                rows["scope_name"].append("")
+                rows["scope_version"].append("")
+            else:
+                rows["time_unix_nano"].append(ts)
+                rows["trace_id"].append(f"{e + 3:032x}")
+                rows["span_id"].append(f"{e + 4:016x}")
+                rows["severity_number"].append(17)
+                rows["severity_text"].append("ERROR")
+                rows["body"].append(f"err {e}")
+                rows["resource_attributes"].append(_json.dumps(
+                    {"env": f"p{u % 5}", "n": e % 5}))
+                rows["attributes"].append(_json.dumps(
+                    {"b": e % 2 == 0, "f": (e % 4) + 0.5}))
+                rows["scope_name"].append("SN")
+                rows["scope_version"].append("")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k == "time_unix_nano":
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_doris(flat).select_columns(
+        ["event_id", "doris_line"])
+
+
+def q_doris_traces(sf_dir: str):
+    """dorisexporter traces: dTrace JSON lines with long enum names,
+    µs-truncating duration, events/links struct arrays
+    (exporter_traces.go:142-222)."""
+    import json as _json
+
+    from ..stages.doris import spans_to_doris
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "status_code", "status_message",
+            "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "attributes",
+            "resource_attributes", "scope_name", "scope_version",
+            "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["trace_state"].append("w3c=1" if m == 0 else "")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_code"].append(e % 3)
+            rows["status_message"].append(
+                "boom" if e % 3 == 2 else "")
+            rows["span_kind"].append(e % 6)
+            rows["start_time_unix_nano"].append(start)
+            # +e%3 ns truncates away in the µs duration
+            rows["end_time_unix_nano"].append(
+                start + 1_500_000_000 + (e % 3))
+            rows["attributes"].append(_json.dumps(
+                {"k": f"v{u % 7}", "n": e % 5} if m == 0 else {}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"service.instance.id": f"i{u % 5}",
+                 "service.name": f"s{u % 2}"}))
+            rows["scope_name"].append("SN" if m == 0 else "")
+            rows["scope_version"].append("SV" if m == 0 else "")
+            rows["events"].append(_json.dumps([
+                {"name": "ev", "timeUnixNano": start + 1,
+                 "attributes": {"a": e % 3}}]) if m == 0 else "[]")
+            rows["links"].append(_json.dumps([
+                {"traceId": f"{e + 9:032x}",
+                 "spanId": "0" * 16, "traceState": "w=1",
+                 "attributes": {"lk": "lv"}}]) if m == 1 else "[]")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("start_time_unix_nano", "end_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k in ("status_code", "span_kind"):
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return spans_to_doris(flat).select_columns(
+        ["event_id", "doris_line"])
+
+
+def q_doris_metrics(sf_dir: str):
+    """dorisexporter metrics: five per-type stream-load tables with
+    the inline-promoted dMetric head, temporality String() names,
+    hex-or-empty exemplar ids (metrics_*.go)."""
+    import json as _json
+
+    from ..stages.doris import metrics_to_doris
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        n = len(eid)
+        mtypes = [("gauge", "sum", "histogram",
+                   "exponential_histogram", "summary")[e % 5]
+                  for e in eid]
+        ts = [(1_700_000_000 + e % 50) * 1_000_000_000
+              + (e % 4) * 250_000_000 for e in eid]
+        cols = {
+            "event_id": t.column("event_id"),
+            "mtype": pa.array(mtypes, pa.string()),
+            "name": pa.array([f"m{e % 3}" for e in eid],
+                             pa.string()),
+            "description": pa.array(
+                ["d" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+            "unit": pa.array(["1"] * n, pa.string()),
+            "scope_name": pa.array(["sn"] * n, pa.string()),
+            "scope_version": pa.array(["sv"] * n, pa.string()),
+            "attributes": pa.array(
+                [_json.dumps({"k": f"v{u % 7}"}) for u in uid],
+                pa.string()),
+            "resource_attributes": pa.array(
+                [_json.dumps({"env": f"p{u % 5}",
+                              "service.instance.id": f"i{u % 5}",
+                              "service.name": f"s{u % 2}"})
+                 for u in uid], pa.string()),
+            "start_time_unix_nano": pa.array(
+                [x - 1_000_000_000 for x in ts], pa.int64()),
+            "time_unix_nano": pa.array(ts, pa.int64()),
+            "value_int": pa.array(
+                [e if e % 5 == 0 else None for e in eid],
+                pa.int64()),
+            "value_double": pa.array(
+                [e % 100 + 0.25 if e % 5 == 1 else None
+                 for e in eid], pa.float64()),
+            "exemplars": pa.array(
+                [_json.dumps([{
+                    "filteredAttributes": {"fa": f"x{e % 3}"},
+                    "timeUnixNano": x + 131_000_000,
+                    "asInt": e % 7,
+                    "spanId": f"{e + 5:016x}"}])
+                 if e % 5 == 0 else "[]"
+                 for e, x in zip(eid, ts)], pa.string()),
+            "aggregation_temporality": pa.array(
+                [(None, e % 3, 2, 1, None)[e % 5] for e in eid],
+                pa.int64()),
+            "is_monotonic": pa.array(
+                [e % 2 == 0 if e % 5 == 1 else None for e in eid],
+                pa.bool_()),
+            "count": pa.array(
+                [(None, None, 7, 4, e % 6)[e % 5] for e in eid],
+                pa.int64()),
+            "hsum": pa.array(
+                [e % 10 + 0.5 if e % 5 in (2, 3) else None
+                 for e in eid], pa.float64()),
+            "ssum": pa.array(
+                [e % 10 + 0.25 if e % 5 == 4 else None
+                 for e in eid], pa.float64()),
+            "bucket_counts": pa.array(
+                [[e % 3, 2, 1] if e % 5 == 2 else None
+                 for e in eid], pa.list_(pa.int64())),
+            "explicit_bounds": pa.array(
+                [[1.0, 2.5] if e % 5 == 2 else None for e in eid],
+                pa.list_(pa.float64())),
+            "hmin": pa.array(
+                [0.25 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "hmax": pa.array(
+                [e % 2 + 1.5 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "scale": pa.array(
+                [e % 7 - 2 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "zero_count": pa.array(
+                [e % 3 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_offset": pa.array(
+                [1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_bucket_counts": pa.array(
+                [[1, e % 2] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+            "neg_offset": pa.array(
+                [-1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "neg_bucket_counts": pa.array(
+                [[e % 3] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+            "quantiles": pa.array(
+                [[0.0, 0.5] if e % 5 == 4 else None for e in eid],
+                pa.list_(pa.float64())),
+            "quantile_values": pa.array(
+                [[0.5, e % 4 + 0.5] if e % 5 == 4 else None
+                 for e in eid], pa.list_(pa.float64())),
+        }
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_doris(flat).select_columns(
+        ["event_id", "doris_table", "doris_line"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -7802,6 +8062,9 @@ QUERIES = {
     "clickhouse_logs": q_clickhouse_logs,
     "clickhouse_traces": q_clickhouse_traces,
     "clickhouse_metrics": q_clickhouse_metrics,
+    "doris_logs": q_doris_logs,
+    "doris_traces": q_doris_traces,
+    "doris_metrics": q_doris_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -12787,6 +13050,216 @@ ORACLE_SQL["clickhouse_metrics"] = """
       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
       '[0,0.5,1]',
       '[0.5,' || CAST(e % 4 AS VARCHAR) || '.5,9]'
+    FROM r WHERE m = 4
+    ORDER BY event_id
+"""
+
+# dorisexporter logs: dLog JSON lines in Go struct order with typed
+# AsRaw attribute maps and trimmed-µs timestamps
+ORACLE_SQL["doris_logs"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 3 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%d %H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END AS ts
+      FROM b)
+    SELECT e AS event_id,
+      CASE m
+      WHEN 0 THEN '{"service_name":"s' || u2 || '","timestamp":"'
+        || ts || '","service_instance_id":"i' || u5
+        || '","trace_id":"' || lpad(printf('%x', e + 1), 32, '0')
+        || '","span_id":"' || lpad(printf('%x', e + 2), 16, '0')
+        || '","severity_number":9,"severity_text":"INFO","body":"log '
+        || CAST(e AS VARCHAR)
+        || '","resource_attributes":{"env":"p' || u5
+        || '","service.instance.id":"i' || u5
+        || '","service.name":"s' || u2
+        || '"},"log_attributes":{"k":"v' || u7
+        || '"},"scope_name":"SN","scope_version":"SV"}'
+      WHEN 1 THEN '{"service_name":"","timestamp":"1970-01-01 '
+        || '00:00:00","service_instance_id":"","trace_id":"",'
+        || '"span_id":"","severity_number":0,"severity_text":"",'
+        || '"body":"","resource_attributes":{},"log_attributes":{},'
+        || '"scope_name":"","scope_version":""}'
+      ELSE '{"service_name":"","timestamp":"' || ts
+        || '","service_instance_id":"","trace_id":"'
+        || lpad(printf('%x', e + 3), 32, '0') || '","span_id":"'
+        || lpad(printf('%x', e + 4), 16, '0')
+        || '","severity_number":17,"severity_text":"ERROR",'
+        || '"body":"err ' || CAST(e AS VARCHAR)
+        || '","resource_attributes":{"env":"p' || u5 || '","n":'
+        || CAST(e % 5 AS VARCHAR) || '},"log_attributes":{"b":'
+        || CASE e % 2 WHEN 0 THEN 'true' ELSE 'false' END
+        || ',"f":' || CAST(e % 4 AS VARCHAR) || '.5'
+        || '},"scope_name":"SN","scope_version":""}'
+      END AS doris_line
+    FROM r ORDER BY event_id
+"""
+
+# dorisexporter traces: dTrace JSON lines, long enum names, µs
+# duration truncation, events/links struct arrays
+ORACLE_SQL["doris_traces"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%d %H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END AS ts,
+        strftime(make_timestamp(
+                   (sec + 1 + CASE WHEN q >= 2 THEN 1 ELSE 0 END)
+                   * 1000000), '%Y-%m-%d %H:%M:%S')
+          || CASE (q + 2) % 4 WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END AS ts_end
+      FROM b)
+    SELECT e AS event_id,
+      '{"service_name":"s' || u2 || '","timestamp":"' || ts
+      || '","service_instance_id":"i' || u5 || '","trace_id":"'
+      || lpad(printf('%x', e + 1), 32, '0') || '","span_id":"'
+      || lpad(printf('%x', e + 2), 16, '0') || '","trace_state":"'
+      || CASE m WHEN 0 THEN 'w3c=1' ELSE '' END
+      || '","parent_span_id":"'
+      || CASE m WHEN 0 THEN lpad(printf('%x', e + 3), 16, '0')
+         ELSE '' END
+      || '","span_name":"op' || CAST(e % 4 AS VARCHAR)
+      || '","span_kind":"'
+      || CASE e % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+         WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+         WHEN 2 THEN 'SPAN_KIND_SERVER'
+         WHEN 3 THEN 'SPAN_KIND_CLIENT'
+         WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+         ELSE 'SPAN_KIND_CONSUMER' END
+      || '","end_time":"' || ts_end
+      || '","duration":1500000,"span_attributes":'
+      || CASE m WHEN 0 THEN '{"k":"v' || u7 || '","n":'
+           || CAST(e % 5 AS VARCHAR) || '}' ELSE '{}' END
+      || ',"events":'
+      || CASE m WHEN 0 THEN '[{"timestamp":"' || ts
+           || '","name":"ev","attributes":{"a":'
+           || CAST(e % 3 AS VARCHAR) || '}}]' ELSE '[]' END
+      || ',"links":'
+      || CASE m WHEN 1 THEN '[{"trace_id":"'
+           || lpad(printf('%x', e + 9), 32, '0')
+           || '","span_id":"","trace_state":"w=1",'
+           || '"attributes":{"lk":"lv"}}]' ELSE '[]' END
+      || ',"status_message":"'
+      || CASE e % 3 WHEN 2 THEN 'boom' ELSE '' END
+      || '","status_code":"'
+      || CASE e % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+         WHEN 1 THEN 'STATUS_CODE_OK'
+         ELSE 'STATUS_CODE_ERROR' END
+      || '","resource_attributes":{"service.instance.id":"i' || u5
+      || '","service.name":"s' || u2 || '"},"scope_name":"'
+      || CASE m WHEN 0 THEN 'SN' ELSE '' END
+      || '","scope_version":"'
+      || CASE m WHEN 0 THEN 'SV' ELSE '' END || '"}'
+      AS doris_line
+    FROM r ORDER BY event_id
+"""
+
+# dorisexporter metrics: five per-type tables with the inline dMetric
+# head, pmetric temporality String() names, hex-or-empty exemplar ids
+ORACLE_SQL["doris_metrics"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 5 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%d %H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END AS ts,
+        strftime(make_timestamp((sec - 1) * 1000000),
+                 '%Y-%m-%d %H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END AS ts0,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%d %H:%M:%S')
+          || CASE q WHEN 0 THEN '.131' WHEN 1 THEN '.381'
+             WHEN 2 THEN '.631' ELSE '.881' END AS tse,
+        '{"service_name":"s' || u2
+          || '","service_instance_id":"i' || u5
+          || '","metric_name":"m' || CAST(e % 3 AS VARCHAR)
+          || '","metric_description":"'
+          || CASE e % 2 WHEN 0 THEN 'd' ELSE '' END
+          || '","metric_unit":"1","resource_attributes":{"env":"p'
+          || u5 || '","service.instance.id":"i' || u5
+          || '","service.name":"s' || u2
+          || '"},"scope_name":"sn","scope_version":"sv"' AS head,
+        ',"timestamp":"' AS tk
+      FROM b)
+    SELECT e AS event_id, 'otel_metrics_gauge' AS doris_table,
+      head || tk || ts || '","attributes":{"k":"v' || u7
+      || '"},"start_time":"' || ts0 || '","value":'
+      || CAST(e AS VARCHAR)
+      || ',"exemplars":[{"filtered_attributes":{"fa":"x'
+      || CAST(e % 3 AS VARCHAR) || '"},"timestamp":"' || tse
+      || '","value":' || CAST(e % 7 AS VARCHAR) || ',"span_id":"'
+      || lpad(printf('%x', e + 5), 16, '0')
+      || '","trace_id":""}]}' AS doris_line
+    FROM r WHERE m = 0
+    UNION ALL
+    SELECT e, 'otel_metrics_sum',
+      head || tk || ts || '","attributes":{"k":"v' || u7
+      || '"},"start_time":"' || ts0 || '","value":'
+      || CAST(e % 100 AS VARCHAR) || '.25,"exemplars":[],'
+      || '"aggregation_temporality":"'
+      || CASE e % 3 WHEN 0 THEN 'Unspecified' WHEN 1 THEN 'Delta'
+         ELSE 'Cumulative' END || '","is_monotonic":'
+      || CASE e % 2 WHEN 0 THEN 'true' ELSE 'false' END || '}'
+    FROM r WHERE m = 1
+    UNION ALL
+    SELECT e, 'otel_metrics_histogram',
+      head || tk || ts || '","attributes":{"k":"v' || u7
+      || '"},"start_time":"' || ts0 || '","count":7,"sum":'
+      || CAST(e % 10 AS VARCHAR) || '.5,"bucket_counts":['
+      || CAST(e % 3 AS VARCHAR) || ',2,1],"explicit_bounds":'
+      || '[1,2.5],"exemplars":[],"min":0,"max":0,'
+      || '"aggregation_temporality":"Cumulative"}'
+    FROM r WHERE m = 2
+    UNION ALL
+    SELECT e, 'otel_metrics_exponential_histogram',
+      head || tk || ts || '","attributes":{"k":"v' || u7
+      || '"},"start_time":"' || ts0 || '","count":4,"sum":'
+      || CAST(e % 10 AS VARCHAR) || '.5,"scale":'
+      || CAST(e % 7 - 2 AS VARCHAR) || ',"zero_count":'
+      || CAST(e % 3 AS VARCHAR) || ',"positive_offset":1,'
+      || '"positive_bucket_counts":[1,' || CAST(e % 2 AS VARCHAR)
+      || '],"negative_offset":-1,"negative_bucket_counts":['
+      || CAST(e % 3 AS VARCHAR) || '],"exemplars":[],"min":0.25,'
+      || '"max":' || CAST(e % 2 + 1 AS VARCHAR) || '.5,'
+      || '"zero_threshold":0,'
+      || '"aggregation_temporality":"Delta"}'
+    FROM r WHERE m = 3
+    UNION ALL
+    SELECT e, 'otel_metrics_summary',
+      head || tk || ts || '","attributes":{"k":"v' || u7
+      || '"},"start_time":"' || ts0 || '","count":'
+      || CAST(e % 6 AS VARCHAR) || ',"sum":'
+      || CAST(e % 10 AS VARCHAR) || '.25,"quantile_values":'
+      || '[{"quantile":0,"value":0.5},{"quantile":0.5,"value":'
+      || CAST(e % 4 AS VARCHAR) || '.5}]}'
     FROM r WHERE m = 4
     ORDER BY event_id
 """
