@@ -1,205 +1,154 @@
-"""azurelogs translator parity (pkg/translator/azurelogs)."""
+"""pkg/translator/azure + azureeventhubreceiver parity
+(stages/azure.py)."""
 
 import json
 
-import pyarrow as pa
 import pytest
 
 from opentelemetry_collector_contrib_ray.stages.azure import (
-    as_severity,
-    azure_record_to_row,
-    extract_raw_attributes,
-    front_door_access_log_attrs,
-    parse_azure_logs,
-    parse_azure_time,
-)
+    azure_log_records, azure_metric_records, azure_timestamp,
+    azure_trace_records)
 
 
-# ---------------------------------------------------------------------------
-# severity + time
+def test_as_timestamp_vectors():
+    # TestAsTimestamp
+    assert azure_timestamp("2022-11-11T04:48:27.6767145Z") \
+        == 1668142107_676_714_500  # 7-digit fraction, ns precision
+    assert azure_timestamp(
+        "11/20/2024 13:57:18", ["01/02/2006 15:04:05"]) is not None
+    # format set but the iso fallback succeeds
+    assert azure_timestamp(
+        "2022-11-11T04:48:27.6767145Z",
+        ["01/02/2006 15:04:05"]) is not None
+    # all formats fail, fallback fails
+    assert azure_timestamp(
+        "11/20/2024 13:57:18", ["2006-01-02 15:04:05"]) is None
+    assert azure_timestamp("invalid-time") is None
+    # the "bad time" fixture form: +00:00 offset iso8601
+    assert azure_timestamp("2021-10-14T22:17:11+00:00") \
+        == azure_timestamp("2021-10-14T22:17:11Z")
 
 
-@pytest.mark.parametrize("level,num,text", [
-    ("Informational", 9, "Informational"), ("Warning", 13, "Warning"),
-    ("Error", 17, "Error"), ("Critical", 21, "Critical"),
-    (2.0, 2, "2"), ("7", 7, "7"), ("bogus", 0, "bogus"),
-    ("-3", 0, "-3"),
-])
-def test_severity(level, num, text):
-    assert as_severity(level) == (num, text)
+def test_log_records_maximum():
+    body = json.dumps({"records": [
+        {"time": "2022-11-11T04:48:27.6767145Z",
+         "resourceId": "/RESOURCE_ID-1", "tenantId": "/TENANT_ID",
+         "operationName": "SecretGet", "operationVersion": "7.0",
+         "category": "AuditEvent", "resultType": "Success",
+         "resultSignature": "Signature",
+         "resultDescription": "Description", "durationMs": "1234",
+         "callerIpAddress": "127.0.0.1",
+         "correlationId": "607964b6", "Level": "Warning",
+         "location": "ukso",
+         "identity": {"claim": {"oid": "607964b6"}},
+         "properties": {"string": "string", "int": 429,
+                        "float": 3.14, "bool": False}},
+    ]})
+    rows = azure_log_records(body, version="1.2.3")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["resource_id"] == "/RESOURCE_ID-1"
+    assert r["scope_version"] == "1.2.3"
+    assert r["severity_number"] == 13       # Warning
+    assert r["severity_text"] == "Warning"  # raw token
+    a = json.loads(r["attributes"])
+    assert a["azure.category"] == "AuditEvent"
+    assert a["azure.duration"] == 1234      # string token ParseInts
+    assert a["azure.tenant.id"] == "/TENANT_ID"
+    assert a["azure.identity"] == {"claim": {"oid": "607964b6"}}
+    assert a["azure.properties"]["float"] == 3.14
+    assert a["cloud.region"] == "ukso"
+    assert a["cloud.provider"] == "azure"
+    assert a["net.sock.peer.addr"] == "127.0.0.1"
 
 
-def test_time_iso8601_variants():
-    assert parse_azure_time("2023-11-14T22:13:20Z") == \
-        1700000000 * 10**9
-    assert parse_azure_time("2023-11-14T22:13:20.123Z") == \
-        1700000000 * 10**9 + 123_000_000
-    assert parse_azure_time("2023-11-14T22:13:20+00:00") == \
-        1700000000 * 10**9
-    assert parse_azure_time("not a time") is None
+def test_log_records_quirks():
+    # bad duration dropped; empty setIf strings dropped; numeric
+    # Level becomes (4, "4"); missing timestamp skips the record;
+    # timeStamp fallback used when time absent
+    body = json.dumps({"records": [
+        {"time": "2023-10-26T14:22:43.3416357Z", "Level": 4,
+         "operationName": "op", "category": "c",
+         "durationMs": "invalid", "resultType": "",
+         "resourceId": "/R"},
+        {"operationName": "no-ts", "category": "c",
+         "resourceId": "/R"},
+        {"timeStamp": "2023-10-26T14:22:43Z", "operationName": "o2",
+         "category": "c", "resourceId": "/R"},
+    ]})
+    rows = azure_log_records(body)
+    assert len(rows) == 2
+    assert rows[0]["severity_number"] == 4
+    assert rows[0]["severity_text"] == "4"
+    a = json.loads(rows[0]["attributes"])
+    assert "azure.duration" not in a
+    assert "azure.result.type" not in a   # setIf drops empty
+    assert rows[1]["severity_number"] == 0
+    assert rows[1]["severity_text"] == ""
+
+    with pytest.raises(ValueError):
+        azure_log_records("{not json")
 
 
-def test_time_custom_format_first():
-    assert parse_azure_time("14/11/2023 22:13:20",
-                            ("%d/%m/%Y %H:%M:%S",)) == \
-        1700000000 * 10**9
+def test_trace_records():
+    rec = {"time": "2024-01-01T00:00:00Z",
+           "resourceId": "/RES",
+           "AppRoleName": "frontend", "AppRoleInstance": "i-1",
+           "Type": "AppRequests",
+           "OperationId": "4bf92f3577b34da6a3ce929d0e0e4736",
+           "Id": "00f067aa0ba902b7", "ParentId": "ab",
+           "Name": "GET /", "Url": "https://ex.com/p?q=1",
+           "ClientIP": "1.2.3.4", "ResultCode": "200",
+           "DurationMs": 1.5,
+           "Properties": {"HTTP Method": "GET", "k": "v"}}
+    rows = azure_trace_records(json.dumps({"records": [rec]}),
+                               version="9")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["trace_id"] == "4bf92f3577b34da6a3ce929d0e0e4736"
+    assert r["span_id"] == "00f067aa0ba902b7"
+    # short hex "ab" right-pads with zeros into the 8-byte array
+    assert r["parent_span_id"] == "ab00000000000000"
+    assert r["span_kind"] == 2
+    assert r["end_time_unix_nano"] - r["start_time_unix_nano"] \
+        == 1_500_000
+    a = json.loads(r["attributes"])
+    assert a["http.host"] == "ex.com" and a["http.path"] == "/p"
+    assert a["http.scheme"] == "https"
+    assert a["http.method"] == "GET"
+    assert a["k"] == "v" and "HTTP Method" not in a
+    res = json.loads(r["resource_attributes"])
+    assert res["service.name"] == "frontend"
+    assert res["azure.resource.id"] == "/RES"
+    assert res["telemetry.sdk.version"] == "9"
+    assert res["telemetry.sdk.language"] == "go"
+
+    # invalid hex id STOPS the payload keeping prior spans (the
+    # reference returns the nil decode error there)
+    bad = dict(rec, OperationId="zz")
+    rows = azure_trace_records(
+        json.dumps({"records": [rec, bad, rec]}))
+    assert len(rows) == 1
 
 
-# ---------------------------------------------------------------------------
-# FrontDoorAccessLog structured handler
-
-
-BASE_PROPS = {"requestBytes": "10", "responseBytes": "20",
-              "clientPort": "1", "httpStatusCode": "200",
-              "timeToFirstByte": "0.154", "timeTaken": "1.5"}
-
-
-def test_frontdoor_numbers_and_times():
-    attrs = front_door_access_log_attrs(dict(BASE_PROPS))
-    assert attrs["http.request.size"] == 10
-    assert attrs["azure.time_to_first_byte"] == 154   # 0.154×1e3 trunc
-    assert attrs["duration"] == 1500
-
-
-def test_frontdoor_bad_number_is_handler_error():
-    props = {**BASE_PROPS, "requestBytes": "xx"}
-    assert isinstance(front_door_access_log_attrs(props), str)
-
-
-def test_frontdoor_uri_decomposition():
-    props = {**BASE_PROPS,
-             "requestUri": "https://h:8080/a/b?q=1#frag"}
-    attrs = front_door_access_log_attrs(props)
-    assert attrs["url.original"].startswith("https://")
-    assert attrs["url.port"] == 8080
-    assert attrs["url.scheme"] == "https"
-    assert attrs["url.path"] == "/a/b"
-    assert attrs["url.query"] == "q=1"
-    assert attrs["url.fragment"] == "frag"
-
-
-def test_frontdoor_security_protocol():
-    attrs = front_door_access_log_attrs(
-        {**BASE_PROPS, "securityProtocol": "TLS 1.3"})
-    assert attrs["tls.protocol.name"] == "TLS"
-    assert attrs["tls.protocol.version"] == "1.3"
-    assert isinstance(front_door_access_log_attrs(
-        {**BASE_PROPS, "securityProtocol": "TLSonly"}), str)
-    assert isinstance(front_door_access_log_attrs(
-        {**BASE_PROPS, "securityProtocol": "TLS 1.3 extra"}), str)
-
-
-def test_frontdoor_destination_rules():
-    # endpoint only
-    a = front_door_access_log_attrs({**BASE_PROPS, "endpoint": "e:443"})
-    assert a["destination.address"] == "e" and a["destination.port"] == 443
-    # backend + different endpoint → endpoint goes to network.peer
-    a = front_door_access_log_attrs(
-        {**BASE_PROPS, "backendHostname": "be:80", "endpoint": "ep"})
-    assert a["destination.address"] == "be"
-    assert a["destination.port"] == 80
-    assert a["network.peer.address"] == "ep"
-    # no port → whole value is the address
-    a = front_door_access_log_attrs(
-        {**BASE_PROPS, "endpoint": "hostonly"})
-    assert a["destination.address"] == "hostonly"
-    assert "destination.port" not in a
-
-
-def test_frontdoor_error_info_rules():
-    a = front_door_access_log_attrs(
-        {**BASE_PROPS, "errorInfo": "NoError"})
-    assert "exception.type" not in a
-    a = front_door_access_log_attrs(
-        {**BASE_PROPS, "ErrorInfo": "OriginTimeout"})
-    assert a["exception.type"] == "OriginTimeout"
-    assert isinstance(front_door_access_log_attrs(
-        {**BASE_PROPS, "errorInfo": "A", "ErrorInfo": "B"}), str)
-
-
-def test_frontdoor_na_ignored():
-    a = front_door_access_log_attrs(
-        {**BASE_PROPS, "userAgent": "N/A", "pop": "LAX",
-         "originIP": "10.0.0.1:9000"})
-    assert "user_agent.original" not in a
-    assert a["azure.pop"] == "LAX"
-    assert a["server.address"] == "10.0.0.1"
-    assert a["server.port"] == 9000
-
-
-# ---------------------------------------------------------------------------
-# raw-body path
-
-
-def test_raw_attributes_default_handler():
-    body = extract_raw_attributes({
-        "category": "X", "operationName": "op",
-        "durationMs": 42.0, "resultType": "OK", "location": "eu",
-        "callerIpAddress": "1.1.1.1", "tenantId": "t",
-        "properties": {"a": 1.0, "b": "s"}})
-    assert body["duration"] == 42
-    assert body["properties"] == {"a": 1.0, "b": "s"}
-    assert body["cloud.region"] == "eu"
-    assert body["network.peer.address"] == "1.1.1.1"
-
-
-def test_raw_attributes_fractional_duration_dropped():
-    body = extract_raw_attributes({"category": "X",
-                                   "operationName": "",
-                                   "durationMs": 42.5})
-    assert "duration" not in body
-
-
-def test_raw_attributes_http_logs_handler():
-    body = extract_raw_attributes({
-        "category": "AppServiceHTTPLogs", "operationName": "",
-        "properties": {"CsMethod": "GET", "ScStatus": "200",
-                       "TimeTaken": 250.0, "Protocol": "HTTP/1.1",
-                       "Other": "x"}})
-    assert body["http.request.method"] == "GET"
-    assert body["http.response.status_code"] == 200
-    assert body["http.server.request.duration"] == 0.25
-    assert body["network.protocol.name"] == "http"
-    assert body["network.protocol.version"] == "1.1"
-    assert body["properties"] == {"Other": "x"}
-
-
-def test_raw_attributes_non_object_properties():
-    body = extract_raw_attributes({"category": "X",
-                                   "operationName": "",
-                                   "properties": "plain text"})
-    assert body["properties"] == "plain text"
-
-
-# ---------------------------------------------------------------------------
-# record + stage
-
-
-def test_record_skipped_on_bad_time():
-    assert azure_record_to_row({"time": "junk", "category": "X"}) is None
-    assert azure_record_to_row({"category": "X"}) is None
-
-
-def test_handler_error_keeps_record_without_attrs():
-    row = azure_record_to_row({
-        "time": "2023-11-14T22:13:20Z",
-        "category": "FrontDoorAccessLog",
-        "properties": {"requestBytes": "bad"}})
-    assert row is not None
-    assert json.loads(row["attributes"]) == {}
-    assert row["body"] is None
-
-
-def test_stage(ray_session):
-    import ray
-
-    doc = json.dumps({"records": [
-        {"time": "2023-11-14T22:13:20Z", "resourceId": "/r/1",
-         "category": "C", "operationName": "op"},
-        {"time": "junk", "category": "C"}]})
-    ds = ray.data.from_arrow(pa.table({
-        "export_json": pa.array([doc, "not json"], pa.string()),
-        "idx": pa.array([0, 1], pa.int64())}))
-    out = parse_azure_logs(ds, "export_json").to_pandas()
-    assert list(out["idx"]) == [0]
-    assert out.iloc[0]["resource_id"] == "/r/1"
+def test_metric_records():
+    body = json.dumps({"records": [
+        {"time": "2024-01-01T00:01:00Z", "resourceId": "/R",
+         "metricName": "Incoming Requests", "timeGrain": "PT1M",
+         "total": 10.0, "count": 2.0, "minimum": 1.0,
+         "maximum": 9.0, "average": 5.0},
+        {"time": "2024-01-01T00:01:00Z", "resourceId": "/R",
+         "metricName": "X", "timeGrain": "PT5M", "total": 1.0},
+    ]})
+    rows = azure_metric_records(body, version="2")
+    # PT5M skipped; five gauges for the PT1M record
+    assert [r["name"] for r in rows] == [
+        "incoming_requests_total", "incoming_requests_count",
+        "incoming_requests_minimum", "incoming_requests_maximum",
+        "incoming_requests_average"]
+    assert [r["value_double"] for r in rows] == [10, 2, 1, 9, 5]
+    assert all(r["time_unix_nano"] - r["start_time_unix_nano"]
+               == 60_000_000_000 for r in rows)
+    res = json.loads(rows[0]["resource_attributes"])
+    assert res["azure.resource.id"] == "/R"
+    assert "azureeventhubreceiver" in res["telemetry.sdk.name"]
