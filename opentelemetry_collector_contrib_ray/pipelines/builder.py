@@ -1043,6 +1043,30 @@ def _parse_azure_metrics(ds, **opts):
     return parse_azure_metrics(ds, **opts)
 
 
+@register_stage("to_tinybird_logs")
+def _to_tinybird_logs(ds, **opts):
+    """tinybirdexporter log NDJSON lines (round 5)."""
+    from ..stages.tinybird import logs_to_tinybird
+
+    return logs_to_tinybird(ds, **opts)
+
+
+@register_stage("to_tinybird_traces")
+def _to_tinybird_traces(ds, **opts):
+    """tinybirdexporter trace NDJSON lines (round 5)."""
+    from ..stages.tinybird import spans_to_tinybird
+
+    return spans_to_tinybird(ds, **opts)
+
+
+@register_stage("to_tinybird_metrics")
+def _to_tinybird_metrics(ds, **opts):
+    """tinybirdexporter per-type metric NDJSON lines (round 5)."""
+    from ..stages.tinybird import metrics_to_tinybird
+
+    return metrics_to_tinybird(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

@@ -8001,6 +8001,252 @@ def q_azure_metrics_parse(sf_dir: str):
          "scope_name", "scope_version"])
 
 
+def q_tinybird_logs(sf_dir: str):
+    """tinybirdexporter logs: logSignal NDJSON in Go struct order,
+    AsString maps, RFC3339Nano timestamps (internal/logs.go)."""
+    import json as _json
+
+    from ..stages.tinybird import logs_to_tinybird
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "observed_time_unix_nano", "trace_id",
+            "span_id", "flags", "severity_text", "severity_number",
+            "body", "resource_schema_url", "resource_attributes",
+            "scope_schema_url", "scope_name", "scope_version",
+            "scope_attributes", "attributes")}
+        for e, u in zip(eid, uid):
+            m = e % 3
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            if m == 0:
+                vals = (ts, ts + 1_000_000_000, f"{e + 1:032x}",
+                        f"{e + 2:016x}", 1, "INFO", 9, f"log {e}",
+                        "ru",
+                        _json.dumps({"env": f"p{u % 5}",
+                                     "service.name": f"s{u % 2}"}),
+                        "su", "SN", "SV",
+                        _json.dumps({"sk": e % 3}),
+                        _json.dumps({"k": f"v{u % 7}"}))
+            elif m == 1:
+                vals = (0, 0, "0" * 32, "", 0, "", 0, None, "",
+                        "{}", "", "", "", "{}", "{}")
+            else:
+                vals = (0, ts, f"{e + 3:032x}", f"{e + 4:016x}", 2,
+                        "ERROR", 17, f"err {e}", "",
+                        _json.dumps({"env": f"p{u % 5}",
+                                     "n": e % 5}),
+                        "", "SN", "", "{}",
+                        _json.dumps({"b": e % 2 == 0,
+                                     "f": (e % 4) + 0.5}))
+            for k, v in zip(rows, vals):
+                rows[k].append(v)
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "observed_time_unix_nano",
+                     "flags"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_tinybird(flat).select_columns(
+        ["event_id", "tb_line"])
+
+
+def q_tinybird_traces(sf_dir: str):
+    """tinybirdexporter traces: traceSignal NDJSON with the
+    zero-duration omitempty quirk, pdata short enum names, parallel
+    event/link arrays (internal/traces.go)."""
+    import json as _json
+
+    from ..stages.tinybird import spans_to_tinybird
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "status_code", "status_message",
+            "span_kind", "flags", "start_time_unix_nano",
+            "end_time_unix_nano", "attributes",
+            "resource_schema_url", "resource_attributes",
+            "scope_schema_url", "scope_name", "scope_version",
+            "scope_attributes", "events", "links")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            end = start if e % 7 == 0 else \
+                start + 1_500_000_000 + (e % 3) * 1_000_000
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["trace_state"].append("w=1" if m == 0 else "")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_code"].append(e % 3)
+            rows["status_message"].append(
+                "boom" if e % 3 == 2 else "")
+            rows["span_kind"].append(e % 6)
+            rows["flags"].append(e % 4)
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(end)
+            rows["attributes"].append(_json.dumps(
+                {"k": f"v{u % 7}", "n": e % 5} if m == 0 else {}))
+            rows["resource_schema_url"].append("ru")
+            rows["resource_attributes"].append(_json.dumps(
+                {"env": f"p{u % 5}", "service.name": f"s{u % 2}"}))
+            rows["scope_schema_url"].append("su")
+            rows["scope_name"].append("SN" if m == 0 else "")
+            rows["scope_version"].append("SV" if m == 0 else "")
+            rows["scope_attributes"].append("{}")
+            rows["events"].append(_json.dumps([
+                {"name": "ev", "timeUnixNano": start + 1,
+                 "attributes": {"a": e % 3}}]) if m == 0 else "[]")
+            rows["links"].append(_json.dumps([
+                {"traceId": f"{e + 9:032x}", "spanId": "0" * 16,
+                 "traceState": "w=1", "attributes": {"lk": "lv"}}])
+                if m == 1 else "[]")
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("start_time_unix_nano", "end_time_unix_nano",
+                     "flags"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k in ("status_code", "span_kind"):
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return spans_to_tinybird(flat).select_columns(
+        ["event_id", "tb_line"])
+
+
+def q_tinybird_metrics(sf_dir: str):
+    """tinybirdexporter metrics: per-type NDJSON with the embedded
+    base head, HasMin/HasMax-gated min/max, hex-or-empty exemplar
+    ids, summary silently skipped (internal/metrics.go)."""
+    import json as _json
+
+    from ..stages.tinybird import metrics_to_tinybird
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        n = len(eid)
+        mtypes = [("gauge", "sum", "histogram",
+                   "exponential_histogram", "summary")[e % 5]
+                  for e in eid]
+        ts = [(1_700_000_000 + e % 50) * 1_000_000_000
+              + (e % 4) * 250_000_000 for e in eid]
+        cols = {
+            "event_id": t.column("event_id"),
+            "mtype": pa.array(mtypes, pa.string()),
+            "name": pa.array([f"m{e % 3}" for e in eid],
+                             pa.string()),
+            "description": pa.array(
+                ["d" if e % 2 == 0 else "" for e in eid],
+                pa.string()),
+            "unit": pa.array(["1"] * n, pa.string()),
+            "resource_schema_url": pa.array(["ru"] * n, pa.string()),
+            "scope_schema_url": pa.array(["su"] * n, pa.string()),
+            "scope_name": pa.array(["sn"] * n, pa.string()),
+            "scope_version": pa.array(["sv"] * n, pa.string()),
+            "scope_attributes": pa.array(
+                [_json.dumps({"sa": 1})] * n, pa.string()),
+            "attributes": pa.array(
+                [_json.dumps({"k": f"v{u % 7}"}) for u in uid],
+                pa.string()),
+            "resource_attributes": pa.array(
+                [_json.dumps({"env": f"p{u % 5}",
+                              "service.name": f"s{u % 2}"})
+                 for u in uid], pa.string()),
+            "start_time_unix_nano": pa.array(
+                [x - 1_000_000_000 for x in ts], pa.int64()),
+            "time_unix_nano": pa.array(ts, pa.int64()),
+            "flags": pa.array(
+                [(e % 4, 1, 2, 3, 0)[e % 5] for e in eid],
+                pa.int64()),
+            "value_int": pa.array(
+                [e if e % 5 == 0 else None for e in eid],
+                pa.int64()),
+            "value_double": pa.array(
+                [e % 100 + 0.25 if e % 5 == 1 else None
+                 for e in eid], pa.float64()),
+            "exemplars": pa.array(
+                [_json.dumps([{
+                    "filteredAttributes": {"fa": f"x{e % 3}"},
+                    "timeUnixNano": x + 131_000_000,
+                    "asInt": e % 7,
+                    "spanId": f"{e + 5:016x}"}])
+                 if e % 5 == 0 else "[]"
+                 for e, x in zip(eid, ts)], pa.string()),
+            "aggregation_temporality": pa.array(
+                [(None, e % 3, 2, 1, None)[e % 5] for e in eid],
+                pa.int64()),
+            "is_monotonic": pa.array(
+                [e % 2 == 0 if e % 5 == 1 else None for e in eid],
+                pa.bool_()),
+            "count": pa.array(
+                [(None, None, 7, 4, e % 6)[e % 5] for e in eid],
+                pa.int64()),
+            "hsum": pa.array(
+                [e % 10 + 0.5 if e % 5 in (2, 3) else None
+                 for e in eid], pa.float64()),
+            "bucket_counts": pa.array(
+                [[e % 3, 2, 1] if e % 5 == 2 else None
+                 for e in eid], pa.list_(pa.int64())),
+            "explicit_bounds": pa.array(
+                [[1.0, 2.5] if e % 5 == 2 else None for e in eid],
+                pa.list_(pa.float64())),
+            "hmin": pa.array(
+                [0.25 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "hmax": pa.array(
+                [e % 2 + 1.5 if e % 5 == 3 else None for e in eid],
+                pa.float64()),
+            "scale": pa.array(
+                [e % 7 - 2 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "zero_count": pa.array(
+                [e % 3 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_offset": pa.array(
+                [1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "pos_bucket_counts": pa.array(
+                [[1, e % 2] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+            "neg_offset": pa.array(
+                [-1 if e % 5 == 3 else None for e in eid],
+                pa.int64()),
+            "neg_bucket_counts": pa.array(
+                [[e % 3] if e % 5 == 3 else None for e in eid],
+                pa.list_(pa.int64())),
+        }
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return metrics_to_tinybird(flat).select_columns(
+        ["event_id", "tb_signal", "tb_line"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8224,6 +8470,9 @@ QUERIES = {
     "azure_logs_parse": q_azure_logs_parse,
     "azure_traces_parse": q_azure_traces_parse,
     "azure_metrics_parse": q_azure_metrics_parse,
+    "tinybird_logs": q_tinybird_logs,
+    "tinybird_traces": q_tinybird_traces,
+    "tinybird_metrics": q_tinybird_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -13557,4 +13806,242 @@ ORACLE_SQL["azure_metrics_parse"] = """
       '' AS scope_name, '' AS scope_version
     FROM b CROSS JOIN s
     ORDER BY event_id, idx
+"""
+
+# tinybirdexporter logs: logSignal NDJSON in Go struct order with
+# AsString maps and RFC3339Nano timestamps
+ORACLE_SQL["tinybird_logs"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 3 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts
+      FROM b)
+    SELECT e AS event_id,
+      CASE m
+      WHEN 0 THEN '{"resource_schema_url":"ru",'
+        || '"resource_attributes":{"env":"p' || u5
+        || '","service.name":"s' || u2 || '"},"service_name":"s'
+        || u2 || '","scope_schema_url":"su","scope_attributes":'
+        || '{"sk":"' || CAST(e % 3 AS VARCHAR)
+        || '"},"scope_name":"SN","scope_version":"SV",'
+        || '"timestamp":"' || ts || '","trace_id":"'
+        || lpad(printf('%x', e + 1), 32, '0') || '","span_id":"'
+        || lpad(printf('%x', e + 2), 16, '0')
+        || '","flags":1,"severity_text":"INFO",'
+        || '"severity_number":9,"log_attributes":{"k":"v' || u7
+        || '"},"body":"log ' || CAST(e AS VARCHAR) || '"}'
+      WHEN 1 THEN '{"resource_schema_url":"",'
+        || '"resource_attributes":{},"service_name":"",'
+        || '"scope_schema_url":"","scope_attributes":{},'
+        || '"scope_name":"","scope_version":"","timestamp":'
+        || '"1970-01-01T00:00:00Z","trace_id":"","span_id":"",'
+        || '"flags":0,"severity_text":"","severity_number":0,'
+        || '"log_attributes":{},"body":""}'
+      ELSE '{"resource_schema_url":"",'
+        || '"resource_attributes":{"env":"p' || u5 || '","n":"'
+        || CAST(e % 5 AS VARCHAR)
+        || '"},"service_name":"","scope_schema_url":"",'
+        || '"scope_attributes":{},"scope_name":"SN",'
+        || '"scope_version":"","timestamp":"' || ts
+        || '","trace_id":"' || lpad(printf('%x', e + 3), 32, '0')
+        || '","span_id":"' || lpad(printf('%x', e + 4), 16, '0')
+        || '","flags":2,"severity_text":"ERROR",'
+        || '"severity_number":17,"log_attributes":{"b":"'
+        || CASE e % 2 WHEN 0 THEN 'true' ELSE 'false' END
+        || '","f":"' || CAST(e % 4 AS VARCHAR)
+        || '.5"},"body":"err ' || CAST(e AS VARCHAR) || '"}'
+      END AS tb_line
+    FROM r ORDER BY event_id
+"""
+
+# tinybirdexporter traces: zero-duration omitempty, pdata short
+# names, parallel event/link arrays
+ORACLE_SQL["tinybird_traces"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2,
+             (event_id % 4) * 250 + 500 + event_id % 3 AS endms
+      FROM events),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts,
+        CASE WHEN e % 7 = 0 THEN
+          strftime(make_timestamp(sec * 1000000),
+                   '%Y-%m-%dT%H:%M:%S')
+            || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+               WHEN 2 THEN '.5' ELSE '.75' END || 'Z'
+        ELSE
+          strftime(make_timestamp(
+            (sec + 1 + CASE WHEN q >= 2 THEN 1 ELSE 0 END)
+            * 1000000), '%Y-%m-%dT%H:%M:%S')
+          || CASE WHEN endms % 1000 = 0 THEN ''
+             ELSE '.' || rtrim(lpad(
+               CAST(endms % 1000 AS VARCHAR), 3, '0'), '0') END
+          || 'Z'
+        END AS ts_end,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || '.' || CASE q WHEN 0 THEN '000000001'
+             WHEN 1 THEN '250000001' WHEN 2 THEN '500000001'
+             ELSE '750000001' END || 'Z' AS ts_ev
+      FROM b)
+    SELECT e AS event_id,
+      '{"resource_schema_url":"ru","resource_attributes":{"env":"p'
+      || u5 || '","service.name":"s' || u2
+      || '"},"service_name":"s' || u2
+      || '","scope_schema_url":"su","scope_name":"'
+      || CASE m WHEN 0 THEN 'SN' ELSE '' END
+      || '","scope_version":"'
+      || CASE m WHEN 0 THEN 'SV' ELSE '' END
+      || '","scope_attributes":{},"trace_id":"'
+      || lpad(printf('%x', e + 1), 32, '0') || '","span_id":"'
+      || lpad(printf('%x', e + 2), 16, '0')
+      || '","parent_span_id":"'
+      || CASE m WHEN 0 THEN lpad(printf('%x', e + 3), 16, '0')
+         ELSE '' END
+      || '","trace_state":"'
+      || CASE m WHEN 0 THEN 'w=1' ELSE '' END
+      || '","trace_flags":' || CAST(e % 4 AS VARCHAR)
+      || ',"span_name":"op' || CAST(e % 4 AS VARCHAR)
+      || '","span_kind":"'
+      || CASE e % 6 WHEN 0 THEN 'Unspecified'
+         WHEN 1 THEN 'Internal' WHEN 2 THEN 'Server'
+         WHEN 3 THEN 'Client' WHEN 4 THEN 'Producer'
+         ELSE 'Consumer' END
+      || '","span_attributes":'
+      || CASE m WHEN 0 THEN '{"k":"v' || u7 || '","n":"'
+           || CAST(e % 5 AS VARCHAR) || '"}' ELSE '{}' END
+      || ',"start_time":"' || ts || '","end_time":"' || ts_end
+      || '"'
+      || CASE WHEN e % 7 = 0 THEN '' ELSE ',"duration":'
+         || CAST(1500000000 + (e % 3) * 1000000 AS VARCHAR) END
+      || ',"status_code":"'
+      || CASE e % 3 WHEN 0 THEN 'Unset' WHEN 1 THEN 'Ok'
+         ELSE 'Error' END
+      || '","status_message":"'
+      || CASE e % 3 WHEN 2 THEN 'boom' ELSE '' END
+      || '","events_timestamp":'
+      || CASE m WHEN 0 THEN '["' || ts_ev || '"]' ELSE '[]' END
+      || ',"events_name":'
+      || CASE m WHEN 0 THEN '["ev"]' ELSE '[]' END
+      || ',"events_attributes":'
+      || CASE m WHEN 0 THEN '[{"a":"' || CAST(e % 3 AS VARCHAR)
+           || '"}]' ELSE '[]' END
+      || ',"links_trace_id":'
+      || CASE m WHEN 1 THEN '["'
+           || lpad(printf('%x', e + 9), 32, '0') || '"]'
+           ELSE '[]' END
+      || ',"links_span_id":'
+      || CASE m WHEN 1 THEN '[""]' ELSE '[]' END
+      || ',"links_trace_state":'
+      || CASE m WHEN 1 THEN '["w=1"]' ELSE '[]' END
+      || ',"links_attributes":'
+      || CASE m WHEN 1 THEN '[{"lk":"lv"}]' ELSE '[]' END
+      || '}' AS tb_line
+    FROM r ORDER BY event_id
+"""
+
+# tinybirdexporter metrics: embedded base head, HasMin/HasMax-gated
+# min/max, hex-or-empty exemplar ids, summary skipped
+ORACLE_SQL["tinybird_metrics"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 5 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,
+             event_id % 4 AS q,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5,
+             CAST(user_id % 2 AS VARCHAR) AS u2
+      FROM events WHERE event_id % 5 != 4),
+    r AS (
+      SELECT *,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts,
+        strftime(make_timestamp((sec - 1) * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '' WHEN 1 THEN '.25'
+             WHEN 2 THEN '.5' ELSE '.75' END || 'Z' AS ts0,
+        strftime(make_timestamp(sec * 1000000),
+                 '%Y-%m-%dT%H:%M:%S')
+          || CASE q WHEN 0 THEN '.131' WHEN 1 THEN '.381'
+             WHEN 2 THEN '.631' ELSE '.881' END || 'Z' AS tse
+      FROM b),
+    h AS (
+      SELECT *,
+        '{"resource_schema_url":"ru","resource_attributes":'
+        || '{"env":"p' || u5 || '","service.name":"s' || u2
+        || '"},"service_name":"s' || u2
+        || '","scope_name":"sn","scope_version":"sv",'
+        || '"scope_schema_url":"su","scope_attributes":{"sa":"1"},'
+        || '"metric_name":"m' || CAST(e % 3 AS VARCHAR)
+        || '","metric_description":"'
+        || CASE e % 2 WHEN 0 THEN 'd' ELSE '' END
+        || '","metric_unit":"1","metric_attributes":{"k":"v' || u7
+        || '"},"start_timestamp":"' || ts0 || '","timestamp":"'
+        || ts || '","flags":' AS head
+      FROM r)
+    SELECT e AS event_id, 'gauge' AS tb_signal,
+      head || CAST(e % 4 AS VARCHAR)
+      || ',"exemplars_filtered_attributes":[{"fa":"x'
+      || CAST(e % 3 AS VARCHAR) || '"}],"exemplars_timestamp":["'
+      || tse || '"],"exemplars_value":['
+      || CAST(e % 7 AS VARCHAR) || '],"exemplars_span_id":["'
+      || lpad(printf('%x', e + 5), 16, '0')
+      || '"],"exemplars_trace_id":[""],"value":'
+      || CAST(e AS VARCHAR) || '}' AS tb_line
+    FROM h WHERE m = 0
+    UNION ALL
+    SELECT e, 'sum',
+      head || '1,"exemplars_filtered_attributes":[],'
+      || '"exemplars_timestamp":[],"exemplars_value":[],'
+      || '"exemplars_span_id":[],"exemplars_trace_id":[],'
+      || '"value":' || CAST(e % 100 AS VARCHAR)
+      || '.25,"aggregation_temporality":'
+      || CAST(e % 3 AS VARCHAR) || ',"is_monotonic":'
+      || CASE e % 2 WHEN 0 THEN 'true' ELSE 'false' END || '}'
+    FROM h WHERE m = 1
+    UNION ALL
+    SELECT e, 'histogram',
+      head || '2,"exemplars_filtered_attributes":[],'
+      || '"exemplars_timestamp":[],"exemplars_value":[],'
+      || '"exemplars_span_id":[],"exemplars_trace_id":[],'
+      || '"count":7,"sum":' || CAST(e % 10 AS VARCHAR)
+      || '.5,"bucket_counts":[' || CAST(e % 3 AS VARCHAR)
+      || ',2,1],"explicit_bounds":[1,2.5],'
+      || '"aggregation_temporality":2}'
+    FROM h WHERE m = 2
+    UNION ALL
+    SELECT e, 'exponential_histogram',
+      head || '3,"exemplars_filtered_attributes":[],'
+      || '"exemplars_timestamp":[],"exemplars_value":[],'
+      || '"exemplars_span_id":[],"exemplars_trace_id":[],'
+      || '"count":4,"sum":' || CAST(e % 10 AS VARCHAR)
+      || '.5,"scale":' || CAST(e % 7 - 2 AS VARCHAR)
+      || ',"zero_count":' || CAST(e % 3 AS VARCHAR)
+      || ',"positive_offset":1,"positive_bucket_counts":[1,'
+      || CAST(e % 2 AS VARCHAR)
+      || '],"negative_offset":-1,"negative_bucket_counts":['
+      || CAST(e % 3 AS VARCHAR) || '],"min":0.25,"max":'
+      || CAST(e % 2 + 1 AS VARCHAR)
+      || '.5,"aggregation_temporality":1}'
+    FROM h WHERE m = 3
+    ORDER BY event_id
 """
