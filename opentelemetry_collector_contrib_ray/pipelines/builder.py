@@ -1067,6 +1067,22 @@ def _to_tinybird_metrics(ds, **opts):
     return metrics_to_tinybird(ds, **opts)
 
 
+@register_stage("to_cassandra_logs")
+def _to_cassandra_logs(ds, **opts):
+    """cassandraexporter log INSERT rows (round 5)."""
+    from ..stages.cassandra import logs_to_cassandra
+
+    return logs_to_cassandra(ds, **opts)
+
+
+@register_stage("to_cassandra_spans")
+def _to_cassandra_spans(ds, **opts):
+    """cassandraexporter span INSERT rows (round 5)."""
+    from ..stages.cassandra import spans_to_cassandra
+
+    return spans_to_cassandra(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

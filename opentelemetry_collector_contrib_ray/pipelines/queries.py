@@ -8247,6 +8247,112 @@ def q_tinybird_metrics(sf_dir: str):
         ["event_id", "tb_signal", "tb_line"])
 
 
+def q_cassandra_logs(sf_dir: str):
+    """cassandraexporter logs: 9-column insert rows with
+    json.Marshal'd body and map values (exporter_logs.go:109-150)."""
+    import json as _json
+
+    from ..stages.cassandra import _LOG_COLS, logs_to_cassandra
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "time_unix_nano", "trace_id", "span_id", "flags",
+            "severity_text", "severity_number", "body",
+            "resource_attributes", "attributes")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            rows["time_unix_nano"].append(ts if m == 0 else 0)
+            rows["trace_id"].append(
+                f"{e + 1:032x}" if m == 0 else "0" * 32)
+            rows["span_id"].append(
+                f"{e + 2:016x}" if m == 0 else "")
+            rows["flags"].append(e % 4)
+            rows["severity_text"].append("INFO" if m == 0 else "")
+            rows["severity_number"].append(9 if m == 0 else 0)
+            rows["body"].append(f"log {e}" if m == 0 else None)
+            rows["resource_attributes"].append(_json.dumps(
+                {"env": f"p{u % 5}", "n": e % 5} if m == 0 else {}))
+            rows["attributes"].append(_json.dumps(
+                {"b": e % 2 == 0, "f": (e % 4) + 0.5}
+                if m == 0 else {}))
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("time_unix_nano", "flags"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k == "severity_number":
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return logs_to_cassandra(flat).select_columns(
+        ["event_id", *_LOG_COLS])
+
+
+def q_cassandra_spans(sf_dir: str):
+    """cassandraexporter traces: 12-column insert rows — the INSERT
+    omits the Events/Links table columns, ns duration, long enum
+    names (exporter_traces.go:109-140, constants.go:16)."""
+    import json as _json
+
+    from ..stages.cassandra import _SPAN_COLS, spans_to_cassandra
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        uid = t.column("user_id").to_pylist()
+        rows = {k: [] for k in (
+            "trace_id", "span_id", "parent_span_id", "trace_state",
+            "span_name", "status_code", "status_message",
+            "span_kind", "start_time_unix_nano",
+            "end_time_unix_nano", "attributes",
+            "resource_attributes")}
+        for e, u in zip(eid, uid):
+            m = e % 2
+            start = (1_700_000_000 + e % 50) * 1_000_000_000 \
+                + (e % 4) * 250_000_000
+            rows["trace_id"].append(f"{e + 1:032x}")
+            rows["span_id"].append(f"{e + 2:016x}")
+            rows["parent_span_id"].append(
+                f"{e + 3:016x}" if m == 0 else "")
+            rows["trace_state"].append("w=1" if m == 0 else "")
+            rows["span_name"].append(f"op{e % 4}")
+            rows["status_code"].append(e % 3)
+            rows["status_message"].append(
+                "boom" if e % 3 == 2 else "")
+            rows["span_kind"].append(e % 6)
+            rows["start_time_unix_nano"].append(start)
+            rows["end_time_unix_nano"].append(
+                start + 1_500_000_000 + e % 3)
+            rows["attributes"].append(_json.dumps(
+                {"k": f"v{u % 7}", "n": e % 5} if m == 0 else {}))
+            rows["resource_attributes"].append(_json.dumps(
+                {"env": f"p{u % 5}"}))
+        cols = {"event_id": t.column("event_id")}
+        for k, v in rows.items():
+            if k in ("start_time_unix_nano", "end_time_unix_nano"):
+                cols[k] = pa.array(v, pa.int64())
+            elif k in ("status_code", "span_kind"):
+                cols[k] = pa.array(v, pa.int32())
+            else:
+                cols[k] = pa.array(v, pa.string())
+        return pa.table(cols)
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return spans_to_cassandra(flat).select_columns(
+        ["event_id", *_SPAN_COLS])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8473,6 +8579,8 @@ QUERIES = {
     "tinybird_logs": q_tinybird_logs,
     "tinybird_traces": q_tinybird_traces,
     "tinybird_metrics": q_tinybird_metrics,
+    "cassandra_logs": q_cassandra_logs,
+    "cassandra_spans": q_cassandra_spans,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14044,4 +14152,74 @@ ORACLE_SQL["tinybird_metrics"] = """
       || '.5,"aggregation_temporality":1}'
     FROM h WHERE m = 3
     ORDER BY event_id
+"""
+
+# cassandraexporter logs: json.Marshal'd body (strings keep quotes)
+# and map<text,text> values that are JSON literals
+ORACLE_SQL["cassandra_logs"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000
+               + (event_id % 4) * 250000000 AS ts,
+             CAST(user_id % 5 AS VARCHAR) AS u5
+      FROM events)
+    SELECT e AS event_id,
+      CAST(CASE m WHEN 0 THEN ts ELSE 0 END AS BIGINT)
+        AS "timestamp",
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 1), 32, '0')
+           ELSE '' END AS traceid,
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 2), 16, '0')
+           ELSE '' END AS spanid,
+      CAST(e % 4 AS BIGINT) AS traceflags,
+      CASE m WHEN 0 THEN 'INFO' ELSE '' END AS severitytext,
+      CAST(CASE m WHEN 0 THEN 9 ELSE 0 END AS INTEGER)
+        AS severitynumber,
+      CASE m WHEN 0 THEN '"log ' || CAST(e AS VARCHAR) || '"'
+           ELSE 'null' END AS body,
+      CASE m WHEN 0 THEN '{"env":"\\"p' || u5 || '\\"","n":"'
+                || CAST(e % 5 AS VARCHAR) || '"}'
+           ELSE '{}' END AS resourceattributes,
+      CASE m WHEN 0 THEN '{"b":"' || CASE e % 2 WHEN 0 THEN 'true'
+                ELSE 'false' END || '","f":"'
+                || CAST(e % 4 AS VARCHAR) || '.5"}'
+           ELSE '{}' END AS logattributes
+    FROM b ORDER BY event_id
+"""
+
+# cassandraexporter traces: 12-column insert, events/links omitted,
+# ns duration, long enum names
+ORACLE_SQL["cassandra_spans"] = """
+    WITH b AS (
+      SELECT event_id e, event_id % 2 AS m,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000
+               + (event_id % 4) * 250000000 AS ts,
+             CAST(user_id % 7 AS VARCHAR) AS u7,
+             CAST(user_id % 5 AS VARCHAR) AS u5
+      FROM events)
+    SELECT e AS event_id,
+      ts AS "timestamp",
+      lpad(printf('%x', e + 1), 32, '0') AS traceid,
+      lpad(printf('%x', e + 2), 16, '0') AS spanid,
+      CASE m WHEN 0 THEN lpad(printf('%x', e + 3), 16, '0')
+           ELSE '' END AS parentspanid,
+      CASE m WHEN 0 THEN 'w=1' ELSE '' END AS tracestate,
+      'op' || CAST(e % 4 AS VARCHAR) AS spanname,
+      CASE e % 6 WHEN 0 THEN 'SPAN_KIND_UNSPECIFIED'
+           WHEN 1 THEN 'SPAN_KIND_INTERNAL'
+           WHEN 2 THEN 'SPAN_KIND_SERVER'
+           WHEN 3 THEN 'SPAN_KIND_CLIENT'
+           WHEN 4 THEN 'SPAN_KIND_PRODUCER'
+           ELSE 'SPAN_KIND_CONSUMER' END AS spankind,
+      '{"env":"\\"p' || u5 || '\\""}' AS resourceattributes,
+      CASE m WHEN 0 THEN '{"k":"\\"v' || u7 || '\\"","n":"'
+           || CAST(e % 5 AS VARCHAR) || '"}'
+           ELSE '{}' END AS spanattributes,
+      CAST(1500000000 + e % 3 AS BIGINT) AS duration,
+      CASE e % 3 WHEN 0 THEN 'STATUS_CODE_UNSET'
+           WHEN 1 THEN 'STATUS_CODE_OK'
+           ELSE 'STATUS_CODE_ERROR' END AS statuscode,
+      CASE e % 3 WHEN 2 THEN 'boom' ELSE '' END AS statusmessage
+    FROM b ORDER BY event_id
 """
