@@ -1083,6 +1083,14 @@ def _to_cassandra_spans(ds, **opts):
     return spans_to_cassandra(ds, **opts)
 
 
+@register_stage("to_bmchelix")
+def _to_bmchelix(ds, **opts):
+    """bmchelixexporter Helix OM metric fan-out (round 5)."""
+    from ..stages.bmchelix import metrics_to_bmchelix
+
+    return metrics_to_bmchelix(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):
