@@ -1091,6 +1091,14 @@ def _to_bmchelix(ds, **opts):
     return metrics_to_bmchelix(ds, **opts)
 
 
+@register_stage("parse_netflow")
+def _parse_netflow(ds, **opts):
+    """netflowreceiver flow-message → log decode (round 5)."""
+    from ..stages.netflow import parse_netflow
+
+    return parse_netflow(ds, **opts)
+
+
 @register_stage("parse_cwmetrics")
 def _parse_cwmetrics(ds, record_col: str = "record",
                      on_error: str = "drop"):

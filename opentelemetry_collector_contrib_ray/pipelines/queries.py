@@ -8412,6 +8412,57 @@ def q_bmchelix_metrics(sf_dir: str):
         ["event_id", "labels", "samples"])
 
 
+def q_netflow_parse(sf_dir: str):
+    """netflowreceiver: flow messages → log rows with IANA enum
+    tables, invalid-slice "invalid IP" quirk, flow.* attrs
+    (parser.go addMessageAttributes)."""
+    import json as _json
+
+    from ..stages.netflow import parse_netflow
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_pylist()
+        bodies = []
+        for e in eid:
+            ts = (1_700_000_000 + e % 50) * 1_000_000_000
+            flow1 = {
+                "srcAddr": f"0a00{e % 5:02x}{e % 9:02x}",
+                "srcPort": 1000 + e % 100,
+                "dstAddr": f"c0a801{e % 7:02x}", "dstPort": 443,
+                "proto": 6, "etype": 0x800,
+                "bytes": e % 1000, "packets": e % 10, "type": 3,
+                "sequenceNum": e,
+                "timeReceivedNs": ts + 500_000_000,
+                "timeFlowStartNs": ts,
+                "timeFlowEndNs": ts + 1_000_000_000,
+                "samplingRate": e % 4,
+                "samplerAddress": "7f000001",
+                "tcpFlags": e % 32,
+            }
+            flow2 = {
+                "srcAddr": "ff", "srcPort": 0, "dstAddr": "",
+                "dstPort": 0, "proto": 999, "etype": 1,
+                "bytes": 0, "packets": 0, "type": 9,
+                "sequenceNum": 0, "timeReceivedNs": ts,
+                "timeFlowStartNs": ts, "timeFlowEndNs": ts,
+                "samplingRate": 0,
+                "samplerAddress":
+                    "20010db8000000000000000000000001",
+                "tcpFlags": 0,
+            }
+            bodies.append(_json.dumps([flow1, flow2]))
+        return pa.table({"event_id": t.column("event_id"),
+                         "flows": pa.array(bodies, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return parse_netflow(flat).select_columns(
+        ["event_id", "time_unix_nano", "observed_time_unix_nano",
+         "scope_name", "attributes"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8641,6 +8692,7 @@ QUERIES = {
     "cassandra_logs": q_cassandra_logs,
     "cassandra_spans": q_cassandra_spans,
     "bmchelix_metrics": q_bmchelix_metrics,
+    "netflow_parse": q_netflow_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14360,4 +14412,52 @@ ORACLE_SQL["bmchelix_metrics"] = """
       || ',"timestamp":' || CAST(ms2 AS VARCHAR) || '}]'
     FROM a WHERE e % 5 = 0
     ORDER BY event_id, labels, samples
+"""
+
+# netflowreceiver: flow -> log attrs with IANA enum names and the
+# invalid-slice "invalid IP" quirk
+ORACLE_SQL["netflow_parse"] = """
+    WITH b AS (
+      SELECT event_id e,
+             CAST(1700000000 + event_id % 50 AS BIGINT)
+               * 1000000000 AS ts
+      FROM events)
+    SELECT e AS event_id,
+      ts AS time_unix_nano,
+      ts + 500000000 AS observed_time_unix_nano,
+      'github.com/open-telemetry/opentelemetry-collector-contrib/receiver/netflowreceiver'
+        AS scope_name,
+      '{"destination.address":"192.168.1.' || CAST(e % 7 AS VARCHAR)
+      || '","destination.port":443,"flow.end":'
+      || CAST(ts + 1000000000 AS VARCHAR) || ',"flow.io.bytes":'
+      || CAST(e % 1000 AS VARCHAR) || ',"flow.io.packets":'
+      || CAST(e % 10 AS VARCHAR)
+      || ',"flow.sampler_address":"127.0.0.1","flow.sampling_rate":'
+      || CAST(e % 4 AS VARCHAR) || ',"flow.sequence_num":'
+      || CAST(e AS VARCHAR) || ',"flow.start":'
+      || CAST(ts AS VARCHAR) || ',"flow.tcp_flags":'
+      || CAST(e % 32 AS VARCHAR) || ',"flow.time_received":'
+      || CAST(ts + 500000000 AS VARCHAR)
+      || ',"flow.type":"netflow_v9","network.transport":"tcp",'
+      || '"network.type":"ipv4","source.address":"10.0.'
+      || CAST(e % 5 AS VARCHAR) || '.' || CAST(e % 9 AS VARCHAR)
+      || '","source.port":' || CAST(1000 + e % 100 AS VARCHAR)
+      || '}' AS attributes
+    FROM b
+    UNION ALL
+    SELECT e, ts, ts,
+      'github.com/open-telemetry/opentelemetry-collector-contrib/receiver/netflowreceiver',
+      '{"destination.address":"invalid IP","destination.port":0,'
+      || '"flow.end":' || CAST(ts AS VARCHAR)
+      || ',"flow.io.bytes":0,"flow.io.packets":0,'
+      || '"flow.sampler_address":"2001:db8::1",'
+      || '"flow.sampling_rate":0,"flow.sequence_num":0,'
+      || '"flow.start":' || CAST(ts AS VARCHAR)
+      || ',"flow.tcp_flags":0,"flow.time_received":'
+      || CAST(ts AS VARCHAR)
+      || ',"flow.type":"unknown","network.transport":"unknown",'
+      || '"network.type":"unknown","source.address":"invalid IP",'
+      || '"source.port":0}'
+    FROM b
+    ORDER BY event_id, attributes
 """
