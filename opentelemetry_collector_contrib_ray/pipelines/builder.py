@@ -1019,26 +1019,26 @@ def _to_doris_metrics(ds, **opts):
     return metrics_to_doris(ds, **opts)
 
 
-@register_stage("parse_azure_logs")
-def _parse_azure_logs(ds, **opts):
+@register_stage("parse_azure_eventhub_logs")
+def _parse_azure_eventhub_logs(ds, **opts):
     """pkg/translator/azure resource-log decode (round 5)."""
-    from ..stages.azure import parse_azure_logs
+    from ..stages.azureeventhub import parse_azure_logs
 
     return parse_azure_logs(ds, **opts)
 
 
-@register_stage("parse_azure_traces")
-def _parse_azure_traces(ds, **opts):
+@register_stage("parse_azure_eventhub_traces")
+def _parse_azure_eventhub_traces(ds, **opts):
     """pkg/translator/azure AppTraces decode (round 5)."""
-    from ..stages.azure import parse_azure_traces
+    from ..stages.azureeventhub import parse_azure_traces
 
     return parse_azure_traces(ds, **opts)
 
 
-@register_stage("parse_azure_metrics")
-def _parse_azure_metrics(ds, **opts):
+@register_stage("parse_azure_eventhub_metrics")
+def _parse_azure_eventhub_metrics(ds, **opts):
     """azureeventhubreceiver resource-metric decode (round 5)."""
-    from ..stages.azure import parse_azure_metrics
+    from ..stages.azureeventhub import parse_azure_metrics
 
     return parse_azure_metrics(ds, **opts)
 

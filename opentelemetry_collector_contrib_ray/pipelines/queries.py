@@ -7857,13 +7857,13 @@ def _azure_ts_parts(e: int) -> tuple[int, str]:
     return ns, f"{base}{frac}Z"
 
 
-def q_azure_logs_parse(sf_dir: str):
+def q_azure_eventhub_logs(sf_dir: str):
     """pkg/translator/azure resource-log decode: severity token
     table, ParseInt-gated azure.duration, setIf empty drops,
     missing-timestamp record skips (resourcelogs_to_logs.go)."""
     import json as _json
 
-    from ..stages.azure import parse_azure_logs
+    from ..stages.azureeventhub import parse_azure_logs
 
     ds = read_table(sf_dir, "events", columns=["event_id"])
 
@@ -7917,7 +7917,7 @@ def q_azure_traces_parse(sf_dir: str):
     HTTP Method property exclusion (resources_to_traces.go)."""
     import json as _json
 
-    from ..stages.azure import parse_azure_traces
+    from ..stages.azureeventhub import parse_azure_traces
 
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
 
@@ -7971,7 +7971,7 @@ def q_azure_metrics_parse(sf_dir: str):
     (azureresourcemetrics_unmarshaler.go)."""
     import json as _json
 
-    from ..stages.azure import parse_azure_metrics
+    from ..stages.azureeventhub import parse_azure_metrics
 
     ds = read_table(sf_dir, "events", columns=["event_id"])
 
@@ -8683,7 +8683,7 @@ QUERIES = {
     "doris_logs": q_doris_logs,
     "doris_traces": q_doris_traces,
     "doris_metrics": q_doris_metrics,
-    "azure_logs_parse": q_azure_logs_parse,
+    "azure_eventhub_logs": q_azure_eventhub_logs,
     "azure_traces_parse": q_azure_traces_parse,
     "azure_metrics_parse": q_azure_metrics_parse,
     "tinybird_logs": q_tinybird_logs,
@@ -13894,7 +13894,7 @@ ORACLE_SQL["doris_metrics"] = """
 
 # pkg/translator/azure resource logs: severity token table, ParseInt
 # duration gate, setIf drops, skipped no-timestamp record
-ORACLE_SQL["azure_logs_parse"] = """
+ORACLE_SQL["azure_eventhub_logs"] = """
     WITH b AS (
       SELECT event_id e,
              CAST(1700000000 + event_id % 50 AS BIGINT) AS sec,

@@ -5,7 +5,7 @@ import json
 
 import pytest
 
-from opentelemetry_collector_contrib_ray.stages.azure import (
+from opentelemetry_collector_contrib_ray.stages.azureeventhub import (
     azure_log_records, azure_metric_records, azure_timestamp,
     azure_trace_records)
 

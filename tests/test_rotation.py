@@ -88,7 +88,15 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "logservice_spans", "logservice_metrics",
                    "honeycomb_markers", "expvar_parse",
                    "mongodb_atlas_logs", "solace_parse",
-                   "adx_logs", "adx_traces", "adx_metrics"}
+                   "adx_logs", "adx_traces", "adx_metrics",
+                   "clickhouse_logs", "clickhouse_traces",
+                   "clickhouse_metrics", "doris_logs",
+                   "doris_traces", "doris_metrics",
+                   "azure_eventhub_logs", "azure_traces_parse",
+                   "azure_metrics_parse", "tinybird_logs",
+                   "tinybird_traces", "tinybird_metrics",
+                   "cassandra_logs", "cassandra_spans",
+                   "bmchelix_metrics", "netflow_parse"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
