@@ -8463,6 +8463,72 @@ def q_netflow_parse(sf_dir: str):
          "scope_name", "attributes"])
 
 
+def q_resource_to_telemetry(sf_dir: str):
+    """pkg/resourcetotelemetry (resource_to_telemetry.go:49-112): when
+    ``resource_to_telemetry_conversion`` is enabled an exporter wrapper
+    copies every RESOURCE attribute into each datapoint's attribute map
+    with pcommon ``PutEmpty`` semantics — an existing datapoint key keeps
+    its position but takes the resource value, new keys append in
+    resource order. Fixture: datapoint attrs {et, uid}, resource attrs
+    {uid (collides), host (new)}; the projection reads back the merged
+    entries and the final key order."""
+    from ..functions.expr import compile_value
+    from ..functions.maps import map_from_columns
+    from ..stages.enrich import resource_to_telemetry
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        host = pa.array(uid % 5).cast(pa.string())
+        t2 = t.append_column("res_host", host)
+        attrs = map_from_columns(t2, {"et": "event_type", "uid": "user_id"})
+        res = map_from_columns(t2, {"uid": "event_type", "host": "res_host"})
+        return pa.table({"event_id": t.column("event_id"),
+                         "attributes": attrs, "resource": res})
+
+    merged = resource_to_telemetry(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        attr_col="attributes", resource_col="resource")
+
+    v_et = compile_value('attributes["et"]')
+    v_uid = compile_value('attributes["uid"]')
+    v_host = compile_value('attributes["host"]')
+
+    def project(t: pa.Table) -> pa.Table:
+        m = t.column("attributes")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        keys_list = pa.ListArray.from_arrays(m.offsets, m.keys)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "keys_concat": pc.binary_join(keys_list, ","),
+            "et_val": v_et(t), "uid_val": v_uid(t), "host_val": v_host(t),
+        })
+
+    return merged.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_batch_per_signal(sf_dir: str):
+    """pkg/batchpersignal (batchpersignal.go:14-155): split a batch into
+    one payload per (resource, scope, trace) triple, batches created in
+    FIRST-SEEN scan order. Flat form: dense first-seen rank of the key
+    tuple under the event_id row order (stages/batchper.py — per-block
+    distinct partials, size-gated broadcast / sorted-carry finish). The
+    corpus has one resource, so (event_type, user_id) stands in for the
+    (scope, trace) pair."""
+    from ..stages.batchper import batch_per_signal_index
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+    out = batch_per_signal_index(ds, keys=("event_type", "user_id"),
+                                 order_col="event_id")
+    return out.select_columns(["event_id", "batch_idx"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8693,6 +8759,8 @@ QUERIES = {
     "cassandra_spans": q_cassandra_spans,
     "bmchelix_metrics": q_bmchelix_metrics,
     "netflow_parse": q_netflow_parse,
+    "resource_to_telemetry": q_resource_to_telemetry,
+    "batch_per_signal": q_batch_per_signal,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14460,4 +14528,27 @@ ORACLE_SQL["netflow_parse"] = """
       || '"source.port":0}'
     FROM b
     ORDER BY event_id, attributes
+"""
+
+ORACLE_SQL["resource_to_telemetry"] = """
+    SELECT event_id,
+           'et,uid,host' AS keys_concat,
+           event_type AS et_val,
+           event_type AS uid_val,
+           CAST(user_id % 5 AS VARCHAR) AS host_val
+    FROM events
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["batch_per_signal"] = """
+    WITH b AS (
+        SELECT event_id,
+               min(event_id) OVER (PARTITION BY event_type, user_id)
+                   AS fs
+        FROM events)
+    SELECT event_id,
+           CAST(dense_rank() OVER (ORDER BY fs) - 1 AS BIGINT)
+               AS batch_idx
+    FROM b
+    ORDER BY event_id
 """

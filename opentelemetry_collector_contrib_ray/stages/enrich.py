@@ -98,3 +98,23 @@ def enrich_dataset(
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+def resource_to_telemetry(ds, attr_col: str, resource_col: str):
+    """pkg/resourcetotelemetry (resource_to_telemetry.go:49-112): copy
+    every RESOURCE attribute into each datapoint's attribute map —
+    ``PutEmpty`` overwrite semantics (an existing datapoint key keeps its
+    position but takes the resource value; new resource keys append in
+    resource-entry order). Applies uniformly to all five metric types —
+    the Go switch fans out only because pdata has five datapoint slices.
+    Block-local single vectorized pass (functions/maps.map_merge), zero
+    shuffle."""
+    from ..functions.maps import map_merge
+
+    def apply(t: pa.Table) -> pa.Table:
+        merged = map_merge(t.column(attr_col), t.column(resource_col))
+        i = t.schema.get_field_index(attr_col)
+        return t.set_column(i, attr_col, merged)
+
+    return ds.map_batches(apply, batch_format="pyarrow",
+                          zero_copy_batch=True)

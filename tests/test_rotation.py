@@ -96,7 +96,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "azure_metrics_parse", "tinybird_logs",
                    "tinybird_traces", "tinybird_metrics",
                    "cassandra_logs", "cassandra_spans",
-                   "bmchelix_metrics", "netflow_parse"}
+                   "bmchelix_metrics", "netflow_parse",
+                   "resource_to_telemetry", "batch_per_signal"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
