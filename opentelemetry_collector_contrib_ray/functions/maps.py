@@ -260,3 +260,79 @@ def map_merge(to_col, from_col) -> pa.MapArray:
                     out_keys.take(pa.array(order)),
                     out_items.take(pa.array(order)),
                     out_nulls, to_col.type)
+
+
+def map_diff(old_col, new_col):
+    """Per-row map delta with the pkg/experimentalmetricmetadata
+    ``MetadataDelta`` semantics (metadata.go:38-48): returns
+    ``(added, removed, updated)`` map arrays where *added* holds keys
+    present only in ``new`` (new-entry order), *removed* keys present
+    only in ``old`` with their OLD values (old-entry order), and
+    *updated* keys present in both whose value changed, carrying the NEW
+    value. Same vectorized shape as :func:`map_merge` (shared
+    dictionary-encode, (row, code) packing, searchsorted matches); null
+    rows are treated as empty maps and come back empty.
+    """
+    old_col, o_lens, o_keys, o_items, _ = _map_parts(old_col)
+    new_col, n_lens, n_keys, n_items, _ = _map_parts(new_col)
+    n = len(o_lens)
+    if len(n_lens) != n:
+        raise ValueError("map_diff: column length mismatch")
+    o_items_c = o_items.cast(n_items.type)
+    tot_o, tot_n = int(o_lens.sum()), int(n_lens.sum())
+    both = pa.concat_arrays(
+        [o_keys.cast(pa.string()), n_keys.cast(pa.string())]
+    ).dictionary_encode()
+    codes = both.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = max(len(both.dictionary), 1)
+    o_row = np.repeat(np.arange(n, dtype=np.int64), o_lens)
+    n_row = np.repeat(np.arange(n, dtype=np.int64), n_lens)
+    o_ids = o_row * k + codes[:tot_o]
+    n_ids = n_row * k + codes[tot_o:]
+    o_order = np.argsort(o_ids, kind="stable")
+    o_sorted = o_ids[o_order]
+    # match each new entry to the old entry with the same (row, key)
+    if tot_o == 0:
+        in_old = np.zeros(tot_n, dtype=bool)
+        match_old = np.zeros(tot_n, dtype=np.int64)
+    else:
+        pos_c = np.minimum(np.searchsorted(o_sorted, n_ids),
+                           len(o_sorted) - 1)
+        in_old = o_sorted[pos_c] == n_ids
+        match_old = o_order[pos_c]
+    # old entries present in new
+    if tot_n == 0:
+        in_new = np.zeros(tot_o, dtype=bool)
+    else:
+        n_sorted = np.sort(n_ids)
+        ins_c = np.minimum(np.searchsorted(n_sorted, o_ids),
+                           len(n_sorted) - 1)
+        in_new = n_sorted[ins_c] == o_ids
+
+    added = in_old == False  # noqa: E712 — numpy elementwise
+    removed = in_new == False  # noqa: E712
+    # updated: in both, value differs (string compare on the item child)
+    if tot_o == 0 or tot_n == 0:
+        updated = np.zeros(tot_n, dtype=bool)
+    else:
+        old_vals = o_items_c.take(pa.array(np.where(in_old, match_old, 0)))
+        same = pc.fill_null(pc.equal(n_items, old_vals), False).to_numpy(
+            zero_copy_only=False)
+        updated = in_old & ~same
+
+    def build(mask, row, keys, items, item_type):
+        lens = np.bincount(row[mask], minlength=n).astype(np.int64)
+        m = pa.array(mask)
+        return _rebuild(lens, np.ones(int(mask.sum()), dtype=bool),
+                        keys.filter(m), items.filter(m),
+                        np.zeros(n, dtype=bool),
+                        pa.map_(pa.string(), item_type))
+
+    return (
+        build(added, n_row, n_keys.cast(pa.string()), n_items,
+              n_items.type),
+        build(removed, o_row, o_keys.cast(pa.string()), o_items,
+              o_items.type),
+        build(updated, n_row, n_keys.cast(pa.string()), n_items,
+              n_items.type),
+    )

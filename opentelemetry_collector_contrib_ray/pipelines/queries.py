@@ -8529,6 +8529,119 @@ def q_batch_per_signal(sf_dir: str):
     return out.select_columns(["event_id", "batch_idx"])
 
 
+def _map_join(m, child: str = "keys"):
+    """Comma-join a map column's keys (or items) per row — read-back
+    projection helper for the map-typed fixtures."""
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    vals = m.keys if child == "keys" else m.items
+    lst = pa.ListArray.from_arrays(m.offsets, pc.cast(vals, pa.string()))
+    return pc.binary_join(lst, ",")
+
+
+def q_entity_events(sf_dir: str):
+    """pkg/experimentalmetricmetadata entity events → log rows
+    (entity_events.go:14-212): otel.entity.event.type
+    entity_state/entity_delete, id/type on both, attributes map and
+    int-milliseconds interval on STATE only (delete details expose just
+    id + type), the scope event_as_log marker. Fixture: even event_ids
+    are state events, odd are deletes."""
+    from ..stages.entities import entity_events_to_logs
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        from ..functions.maps import map_from_columns
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        t2 = t.append_column("uid_s",
+                             pc.cast(t.column("user_id"), pa.string()))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "time_unix_nano": pa.array(eid * 1_000_000_000),
+            "event": pa.array(np.where(eid % 2 == 0, "state", "delete")),
+            "entity_type": pa.array(["k8s.pod"] * t.num_rows),
+            "entity_id": map_from_columns(t2, {"k8s.pod.uid": "uid_s"}),
+            "entity_attrs": map_from_columns(t2, {"phase": "event_type"}),
+            "interval_ms": pa.array(
+                np.full(t.num_rows, 60_000, dtype=np.int64)),
+        })
+
+    logs = entity_events_to_logs(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "evt": t.column("otel.entity.event.type"),
+            "entity_type": t.column("otel.entity.type"),
+            "interval_ms": t.column("otel.entity.interval"),
+            "uid_val": _map_join(t.column("otel.entity.id"), "items"),
+            "phase_val": _map_join(t.column("otel.entity.attributes"),
+                                   "items"),
+            "time_unix_nano": t.column("time_unix_nano"),
+        })
+
+    return logs.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def q_metadata_delta(sf_dir: str):
+    """pkg/experimentalmetricmetadata MetadataDelta (metadata.go:38-48):
+    per-resource add/remove/update key sets between two metadata
+    revisions — removed entries keep the OLD value, updated the NEW one
+    (the package's labels example, pinned in tests/test_batchper.py's
+    sibling map_diff test). Fixture: old has {env, team, extra}, new has
+    {env, team', user}; team changes only for even user_ids."""
+    from ..stages.entities import metadata_delta
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "user_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        from ..functions.maps import map_from_columns
+        n = t.num_rows
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        team_new = pc.if_else(
+            pa.array(uid % 2 == 0),
+            pc.binary_join_element_wise(et, pa.array(["x"] * n), "-"),
+            et)
+        t2 = pa.table({
+            "event_id": t.column("event_id"),
+            "env": pa.array(["test"] * n),
+            "team_old": et, "team_new": team_new,
+            "extra": pc.cast(t.column("user_id"), pa.string()),
+            "user": pc.cast(t.column("user_id"), pa.string()),
+        })
+        old = map_from_columns(t2, {"env": "env", "team": "team_old",
+                                    "extra": "extra"})
+        new = map_from_columns(t2, {"env": "env", "team": "team_new",
+                                    "user": "user"})
+        return pa.table({"event_id": t2.column("event_id"),
+                         "meta_old": old, "meta_new": new})
+
+    out = metadata_delta(
+        ds.map_batches(fixture, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        old_col="meta_old", new_col="meta_new")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "add_keys": _map_join(t.column("metadata_to_add")),
+            "add_vals": _map_join(t.column("metadata_to_add"), "items"),
+            "rm_keys": _map_join(t.column("metadata_to_remove")),
+            "rm_vals": _map_join(t.column("metadata_to_remove"), "items"),
+            "up_keys": _map_join(t.column("metadata_to_update")),
+            "up_vals": _map_join(t.column("metadata_to_update"), "items"),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8761,6 +8874,8 @@ QUERIES = {
     "netflow_parse": q_netflow_parse,
     "resource_to_telemetry": q_resource_to_telemetry,
     "batch_per_signal": q_batch_per_signal,
+    "entity_events": q_entity_events,
+    "metadata_delta": q_metadata_delta,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14550,5 +14665,33 @@ ORACLE_SQL["batch_per_signal"] = """
            CAST(dense_rank() OVER (ORDER BY fs) - 1 AS BIGINT)
                AS batch_idx
     FROM b
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["entity_events"] = """
+    SELECT event_id,
+           CASE WHEN event_id % 2 = 0 THEN 'entity_state'
+                ELSE 'entity_delete' END AS evt,
+           'k8s.pod' AS entity_type,
+           CASE WHEN event_id % 2 = 0 THEN CAST(60000 AS BIGINT)
+                ELSE NULL END AS interval_ms,
+           CAST(user_id AS VARCHAR) AS uid_val,
+           CASE WHEN event_id % 2 = 0 THEN event_type
+                ELSE '' END AS phase_val,
+           event_id * 1000000000 AS time_unix_nano
+    FROM events
+    ORDER BY event_id
+"""
+
+ORACLE_SQL["metadata_delta"] = """
+    SELECT event_id,
+           'user' AS add_keys,
+           CAST(user_id AS VARCHAR) AS add_vals,
+           'extra' AS rm_keys,
+           CAST(user_id AS VARCHAR) AS rm_vals,
+           CASE WHEN user_id % 2 = 0 THEN 'team' ELSE '' END AS up_keys,
+           CASE WHEN user_id % 2 = 0 THEN event_type || '-x'
+                ELSE '' END AS up_vals
+    FROM events
     ORDER BY event_id
 """

@@ -101,3 +101,62 @@ def test_batch_per_signal_paths_agree():
     db = dict(zip(b.column("event_id").to_pylist(),
                   b.column("batch_idx").to_pylist()))
     assert da == db
+
+
+def test_map_diff_reference_example():
+    """metadata.go:23-34 — the documented labels example."""
+    from opentelemetry_collector_contrib_ray.functions.maps import map_diff
+    old = _m([[("env", "test"), ("team", "otell"), ("usser", "bob")],
+              [], None])
+    new = _m([[("env", "test"), ("team", "otel"), ("user", "bob")],
+              [("a", "1")], [("b", "2")]])
+    added, removed, updated = map_diff(old, new)
+    assert added.to_pylist() == [[("user", "bob")], [("a", "1")],
+                                 [("b", "2")]]
+    # removed keeps the OLD value
+    assert removed.to_pylist() == [[("usser", "bob")], [], []]
+    # updated carries the NEW value
+    assert updated.to_pylist() == [[("team", "otel")], [], []]
+
+
+def test_map_diff_empty_sides():
+    from opentelemetry_collector_contrib_ray.functions.maps import map_diff
+    old = _m([[], []])
+    new = _m([[("k", "v")], []])
+    a, r, u = map_diff(old, new)
+    assert a.to_pylist() == [[("k", "v")], []]
+    assert r.to_pylist() == [[], []]
+    assert u.to_pylist() == [[], []]
+
+
+def test_entity_events_delete_drops_state_details():
+    """entity_events.go: delete details expose only id + type — the
+    encoder must blank attributes and null the interval on deletes."""
+    import ray
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.functions.maps import (
+        map_from_columns,
+    )
+    from opentelemetry_collector_contrib_ray.stages.entities import (
+        entity_events_to_logs,
+    )
+
+    t = pa.table({"uid": ["u1", "u2"], "ph": ["Running", "Failed"]})
+    src = pa.table({
+        "time_unix_nano": pa.array([1, 2], pa.int64()),
+        "event": ["state", "delete"],
+        "entity_type": ["k8s.pod", "k8s.pod"],
+        "entity_id": map_from_columns(t, {"k8s.pod.uid": "uid"}),
+        "entity_attrs": map_from_columns(t, {"phase": "ph"}),
+        "interval_ms": pa.array([60000, 60000], pa.int64()),
+    })
+    out = pa.concat_tables(ray.get(
+        entity_events_to_logs(rd.from_arrow(src)).to_arrow_refs()))
+    got = {r["otel.entity.event.type"]: r for r in out.to_pylist()}
+    st, de = got["entity_state"], got["entity_delete"]
+    assert st["otel.entity.attributes"] == [("phase", "Running")]
+    assert st["otel.entity.interval"] == 60000
+    assert de["otel.entity.attributes"] == []
+    assert de["otel.entity.interval"] is None
+    assert de["otel.entity.id"] == [("k8s.pod.uid", "u2")]
+    assert st["scope_entity_event_as_log"] is True

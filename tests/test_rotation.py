@@ -97,7 +97,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "tinybird_traces", "tinybird_metrics",
                    "cassandra_logs", "cassandra_spans",
                    "bmchelix_metrics", "netflow_parse",
-                   "resource_to_telemetry", "batch_per_signal"}
+                   "resource_to_telemetry", "batch_per_signal",
+                   "entity_events", "metadata_delta"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
