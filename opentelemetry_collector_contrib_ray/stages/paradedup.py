@@ -69,13 +69,21 @@ def segment_dedup(ds, id_col: str, text_col: str, sep: str = "\n\n",
     as int64; hash string ids to int first — functions.hashing.md5_u64).
     """
     from .aggregate import best_per_group
-    from .blocks import nonempty_blocks, rightsize_blocks
 
     exploded = ds.map_batches(ExplodeSegments(id_col, text_col, sep),
                               batch_format="pyarrow", zero_copy_batch=True)
     winners = best_per_group(
         exploded, keys=["seg"],
         order_by=[(id_col, "ascending"), ("pos", "ascending")])
+    return _reassemble(winners, id_col, out_col, sep)
+
+
+def _reassemble(kept, id_col: str, out_col: str, sep: str):
+    """(id, pos, seg) rows -> (id, out_col, n_kept) docs: distributed
+    sort by (doc, pos), per-block run-join, O(blocks) driver boundary
+    carry (module docstring stage 3). Shared by segment_dedup and
+    boilerplate_filter."""
+    from .blocks import nonempty_blocks, rightsize_blocks
 
     out_schema = pa.schema([
         pa.field(id_col, pa.int64()),
@@ -84,7 +92,7 @@ def segment_dedup(ds, id_col: str, text_col: str, sep: str = "\n\n",
     ])
 
     sorted_ds = nonempty_blocks(
-        rightsize_blocks(winners).sort([id_col, "pos"]))
+        rightsize_blocks(kept).sort([id_col, "pos"]))
     if sorted_ds.count() == 0:
         return rd.from_arrow(out_schema.empty_table())
     refs = sorted_ds.to_arrow_refs()
@@ -146,3 +154,114 @@ def segment_dedup(ds, id_col: str, text_col: str, sep: str = "\n\n",
     })
     interior_ds = rd.from_arrow_refs([t for t, _ in pairs])
     return interior_ds.union(rd.from_arrow(boundary))
+
+
+class _DistinctDocCounts:
+    """map_batches callable: exploded (doc, seg) rows -> per-block
+    partial (seg-hash, ndocs). Distinct (doc, seg) pairs collapse via
+    one lexsort + run mask (zero-loop; the decontaminate pair-dedup
+    pattern); hashing the segment to md5_u64 bounds partial bytes at 16
+    per distinct pair regardless of line length. Safe because a doc's
+    exploded rows share its input block — cross-block double counting of
+    a (doc, seg) pair is impossible for per-row fan-out."""
+
+    def __init__(self, id_col: str):
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64_col
+
+        if t.num_rows == 0:  # 0-row blocks break the run mask (r2 hazard)
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = md5_u64_col(t.column("seg"))
+        d = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, d))
+        dh, hh = d[order], h[order]
+        first = np.concatenate(
+            ([True], (dh[1:] != dh[:-1]) | (hh[1:] != hh[:-1])))
+        uniq, counts = np.unique(hh[first], return_counts=True)
+        return pa.table({"h": pa.array(uniq.astype(np.int64)),
+                         "n": pa.array(counts.astype(np.int64))})
+
+
+class _DropBoilerplate:
+    """Filter exploded rows whose seg-hash is in the broadcast
+    boilerplate set (sorted uint64 ndarray; lazy plasma get — the
+    cheap-state task-map rule)."""
+
+    def __init__(self, bp_ref):
+        self.bp_ref = bp_ref
+        self._bp = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64_col
+
+        if self._bp is None:
+            self._bp = (ray.get(self.bp_ref)
+                        if isinstance(self.bp_ref, ray.ObjectRef)
+                        else self.bp_ref)
+        h = md5_u64_col(t.column("seg"))
+        if len(self._bp) == 0:
+            return t
+        pos = np.searchsorted(self._bp, h)
+        pos_c = np.minimum(pos, len(self._bp) - 1)
+        keep = self._bp[pos_c] != h
+        return t.filter(pa.array(keep))
+
+
+def boilerplate_filter(ds, id_col: str, text_col: str, sep: str = "\n",
+                       min_docs: int = 5, out_col: str = "text_clean",
+                       gate: int = 5_000_000):
+    """CCNet-style boilerplate removal (beyond the reference — the
+    line-frequency filter of a training-data pipeline): drop every
+    segment that appears in ``min_docs`` or more DISTINCT documents
+    (navigation bars, cookie banners, footers), keep everything else in
+    original order, reassemble the cleaned documents. Docs consisting
+    entirely of boilerplate vanish (same survivor semantics as
+    segment_dedup).
+
+    Scale shape: per-block distinct-(doc, seg) partials hashed to 8-byte
+    keys (bytes bounded regardless of line length). Below ``gate``
+    partial rows the (hash, n) table merges on the driver and the
+    boilerplate SET broadcasts via ray.put (frequent lines are few by
+    nature); above it, one lean hash groupby-sum over (h, n) finds the
+    frequent hashes and the verdict set still broadcasts — its size is
+    bounded by corpus_distinct_lines / min_docs. md5_u64 collisions can
+    only DROP extra rows at ~2^-64 per pair (same 8-byte-key basis the
+    exact-dedup shuffle already accepts)."""
+    exploded = ds.map_batches(ExplodeSegments(id_col, text_col, sep),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    parts = exploded.map_batches(_DistinctDocCounts(id_col),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+    # materialized => metadata-only count (r4 gate rule)
+    if parts.count() <= gate:
+        merged = pa.concat_tables(
+            [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows])
+        h = merged.column("h").to_numpy(zero_copy_only=False)
+        n = merged.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs, ns = h[order], n[order]
+        starts = np.concatenate(([True], hs[1:] != hs[:-1]))
+        totals = np.add.reduceat(ns, np.nonzero(starts)[0])
+        bp = hs[starts][totals >= min_docs].astype(np.uint64)
+    else:
+        freq = parts.groupby("h").sum("n")
+
+        def hot_only(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t.column("sum(n)"),
+                                             min_docs))
+
+        hot = freq.map_batches(hot_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        tbl = pa.concat_tables(
+            [t for t in ray.get(hot.materialize().to_arrow_refs())
+             if t.num_rows])
+        bp = np.sort(tbl.column("h").to_numpy(
+            zero_copy_only=False).astype(np.uint64))
+    kept = exploded.map_batches(_DropBoilerplate(ray.put(np.sort(bp))),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return _reassemble(kept, id_col, out_col, sep)

@@ -160,3 +160,45 @@ def test_entity_events_delete_drops_state_details():
     assert de["otel.entity.interval"] is None
     assert de["otel.entity.id"] == [("k8s.pod.uid", "u2")]
     assert st["scope_entity_event_as_log"] is True
+
+
+def test_boilerplate_filter_paths_agree():
+    """boilerplate_filter's driver-merge and shuffle-groupby paths
+    produce identical cleaned docs (gate=0 forces the scale path)."""
+    import ray
+    import ray.data as rd
+    from opentelemetry_collector_contrib_ray.stages.paradedup import (
+        boilerplate_filter,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": [
+            "cookie banner|real content one|footer",
+            "cookie banner|unique text two|footer",
+            "cookie banner|another thing|footer",
+            "fresh article body|cookie banner",
+            "totally unique document",
+            "cookie banner|footer",          # fully boilerplate -> vanishes
+            "footer|one of a kind line",
+            "rare solo",
+        ],
+    })
+    ds = rd.from_arrow(docs).repartition(3)
+
+    def run(**kw):
+        out = boilerplate_filter(ds, "doc_id", "text", sep="|",
+                                 min_docs=3, **kw)
+        t = pa.concat_tables(
+            [b.select(["doc_id", "text_clean", "n_kept"])
+             for b in ray.get(out.to_arrow_refs()) if b.num_rows])
+        return sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+
+    a, b = run(), run(gate=0)
+    assert a == b
+    got = {r["doc_id"]: r["text_clean"] for r in a}
+    # 'cookie banner' (5 docs) and 'footer' (5 docs) are boilerplate
+    assert got[0] == "real content one"
+    assert got[4] == "totally unique document"
+    assert 5 not in got  # fully-boilerplate doc vanishes
+    assert got[6] == "one of a kind line"
