@@ -8655,6 +8655,25 @@ def q_boilerplate_filter(sf_dir: str):
                               sep=" ", min_docs=380)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR importance-resampling selection (stages/dsir.py — Xie et al.
+    2023, beyond the reference): hashed uni+bigram bucket distributions,
+    int64-quantized log-ratio LUT, top-k docs whose grams look most like
+    the target corpus. Target here = the corpus's English docs (the
+    small, driver-resident reference set by construction — a quality
+    corpus, not the raw data)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.dsir import dsir_select
+
+    tgt = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["text", "lang"])
+    target = tgt.filter(pc.equal(tgt.column("lang"), "en")) \
+        .column("text").combine_chunks()
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dsir_select(ds, target, k=100)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8890,6 +8909,7 @@ QUERIES = {
     "entity_events": q_entity_events,
     "metadata_delta": q_metadata_delta,
     "boilerplate_filter": q_boilerplate_filter,
+    "dsir_select": q_dsir_select,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -8906,6 +8926,11 @@ NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
              # determinism/ordering/band membership pinned in
              # tests/test_perplexity.py
              "perplexity_filter",
+             # DSIR log-ratio LUT is a float ln fit (libm last-ulp, the
+             # perplexity precedent); numpy-reference parity, partition
+             # invariance and selection-quality pinned in
+             # tests/test_dsir.py
+             "dsir_select",
              # sketch-recall-bounded candidate set; decision invariants
              # pinned in tests/test_text_dedup_reps.py
              "text_dedup_reps",
