@@ -187,6 +187,11 @@ OPERATOR_QUERIES = [
     "opensearch_logs",
     "logservice_metrics",
     "mongodb_atlas_logs",
+    # round-5 final session: the new training-data scale ops (broadcast
+    # -verdict shapes) and the batchpersignal first-seen rank exchange
+    "boilerplate_filter",
+    "dsir_select",
+    "batch_per_signal",
 ]
 
 
