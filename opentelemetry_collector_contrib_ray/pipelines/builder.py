@@ -931,6 +931,14 @@ def _parse_expvar(ds, **opts):
     return parse_expvar(ds, **opts)
 
 
+@register_stage("parse_haproxy")
+def _parse_haproxy(ds, **opts):
+    """haproxyreceiver `show stat` CSV decode (round 5)."""
+    from ..stages.haproxy import parse_haproxy
+
+    return parse_haproxy(ds, **opts)
+
+
 @register_stage("parse_mongodb_atlas")
 def _parse_mongodb_atlas(ds, **opts):
     """mongodbatlasreceiver log decode (round 5)."""

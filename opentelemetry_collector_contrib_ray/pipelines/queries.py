@@ -8674,6 +8674,59 @@ def q_dsir_select(sf_dir: str):
     return dsir_select(ds, target, k=100)
 
 
+def q_haproxy_parse(sf_dir: str):
+    """haproxyreceiver: `show stat` CSV stats pages → haproxy.* metric
+    rows — header-keyed records, per-field presence gates, int/double
+    gauge vs cumulative-sum typing, the hrsp_* status_code fan-in, the
+    derived responses.errors = eresp + srv_abrt (both-present gate),
+    default-disabled metrics dropped unless enabled
+    (receiver/haproxyreceiver/scraper.go:40-281, metadata.yaml).
+    Golden-pinned on the reference's stats.txt/expected.yaml in
+    tests/test_haproxy.py."""
+    from ..stages.haproxy import parse_haproxy
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    fields = ("scur", "conn_rate", "conn_tot", "lbtot", "bin", "bout",
+              "dreq", "dresp", "econ", "ereq", "eresp", "srv_abrt",
+              "hrsp_1xx", "hrsp_2xx", "hrsp_3xx", "hrsp_4xx",
+              "hrsp_5xx", "hrsp_other", "wretr", "stot", "qcur",
+              "req_rate", "ttime", "rate", "wredis")
+    doubles = {21, 22, 23}
+    header = "# pxname,svname," + ",".join(fields)
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            lines = [header]
+            for r in (0, 1):
+                vals = []
+                for i in range(len(fields)):
+                    if (e + i + r) % 11 == 0:
+                        vals.append("")
+                    else:
+                        v = (e * 7 + i * 13 + r * 37) % 1000
+                        vals.append(f"{v}.5" if i in doubles
+                                    else str(v))
+                sv = "FRONTEND" if r == 0 else f"srv{e % 3}"
+                lines.append(f"px{e % 5},{sv}," + ",".join(vals))
+            docs.append("\n".join(lines) + "\n")
+        return pa.table({"event_id": t.column("event_id"),
+                         "stats_csv": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_haproxy(
+        flat, endpoint="unix:///var/run/haproxy.sock",
+        enabled_metrics=("haproxy.sessions.total",),
+        now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "pxname", "svname", "haproxy_addr", "name",
+         "mtype", "is_monotonic", "aggregation_temporality",
+         "value_int", "value_double", "status_code",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8910,6 +8963,7 @@ QUERIES = {
     "metadata_delta": q_metadata_delta,
     "boilerplate_filter": q_boilerplate_filter,
     "dsir_select": q_dsir_select,
+    "haproxy_stats": q_haproxy_parse,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14752,4 +14806,66 @@ ORACLE_SQL["boilerplate_filter"] = """
     FROM p JOIN freq USING (seg)
     WHERE freq.nd < 380
     GROUP BY p.doc_id
+"""
+
+ORACLE_SQL["haproxy_stats"] = """
+    WITH r(r) AS (VALUES (0), (1)),
+    f(i, name, mtype, mono, dbl, status_code) AS (VALUES
+      (0, 'haproxy.sessions.count', 'gauge', FALSE, FALSE,
+       CAST(NULL AS VARCHAR)),
+      (1, 'haproxy.connections.rate', 'gauge', FALSE, FALSE, NULL),
+      (3, 'haproxy.server_selected.total', 'sum', TRUE, FALSE, NULL),
+      (4, 'haproxy.bytes.input', 'sum', TRUE, FALSE, NULL),
+      (5, 'haproxy.bytes.output', 'sum', TRUE, FALSE, NULL),
+      (6, 'haproxy.requests.denied', 'sum', TRUE, FALSE, NULL),
+      (7, 'haproxy.responses.denied', 'sum', TRUE, FALSE, NULL),
+      (8, 'haproxy.connections.errors', 'sum', TRUE, FALSE, NULL),
+      (9, 'haproxy.requests.errors', 'sum', TRUE, FALSE, NULL),
+      (12, 'haproxy.requests.total', 'sum', TRUE, FALSE, '1xx'),
+      (13, 'haproxy.requests.total', 'sum', TRUE, FALSE, '2xx'),
+      (14, 'haproxy.requests.total', 'sum', TRUE, FALSE, '3xx'),
+      (15, 'haproxy.requests.total', 'sum', TRUE, FALSE, '4xx'),
+      (16, 'haproxy.requests.total', 'sum', TRUE, FALSE, '5xx'),
+      (17, 'haproxy.requests.total', 'sum', TRUE, FALSE, 'other'),
+      (18, 'haproxy.connections.retries', 'sum', TRUE, FALSE, NULL),
+      (19, 'haproxy.sessions.total', 'sum', TRUE, FALSE, NULL),
+      (20, 'haproxy.requests.queued', 'sum', TRUE, FALSE, NULL),
+      (21, 'haproxy.requests.rate', 'gauge', FALSE, TRUE, NULL),
+      (22, 'haproxy.sessions.average', 'gauge', FALSE, TRUE, NULL),
+      (23, 'haproxy.sessions.rate', 'gauge', FALSE, TRUE, NULL),
+      (24, 'haproxy.requests.redispatched', 'sum', TRUE, FALSE, NULL))
+    SELECT e.event_id,
+      'px' || CAST(e.event_id % 5 AS VARCHAR) AS pxname,
+      CASE r.r WHEN 0 THEN 'FRONTEND'
+           ELSE 'srv' || CAST(e.event_id % 3 AS VARCHAR) END AS svname,
+      'unix:///var/run/haproxy.sock' AS haproxy_addr,
+      f.name, f.mtype, f.mono AS is_monotonic,
+      CAST(CASE f.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER)
+          AS aggregation_temporality,
+      CASE WHEN f.dbl THEN NULL
+           ELSE CAST((e.event_id * 7 + f.i * 13 + r.r * 37) % 1000
+                     AS BIGINT) END AS value_int,
+      CASE WHEN f.dbl
+           THEN CAST((e.event_id * 7 + f.i * 13 + r.r * 37) % 1000
+                     AS DOUBLE) + 0.5
+           ELSE NULL END AS value_double,
+      f.status_code,
+      1690000000000000000 AS time_unix_nano
+    FROM events e CROSS JOIN r CROSS JOIN f
+    WHERE (e.event_id + f.i + r.r) % 11 <> 0
+    UNION ALL
+    SELECT e.event_id,
+      'px' || CAST(e.event_id % 5 AS VARCHAR),
+      CASE r.r WHEN 0 THEN 'FRONTEND'
+           ELSE 'srv' || CAST(e.event_id % 3 AS VARCHAR) END,
+      'unix:///var/run/haproxy.sock',
+      'haproxy.responses.errors', 'sum', TRUE, CAST(2 AS INTEGER),
+      CAST((e.event_id * 7 + 130 + r.r * 37) % 1000
+           + (e.event_id * 7 + 143 + r.r * 37) % 1000 AS BIGINT),
+      CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+      1690000000000000000
+    FROM events e CROSS JOIN r
+    WHERE (e.event_id + 10 + r.r) % 11 <> 0
+      AND (e.event_id + 11 + r.r) % 11 <> 0
+    ORDER BY event_id, name, status_code
 """

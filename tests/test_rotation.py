@@ -99,7 +99,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "bmchelix_metrics", "netflow_parse",
                    "resource_to_telemetry", "batch_per_signal",
                    "entity_events", "metadata_delta",
-                   "boilerplate_filter", "dsir_select"}
+                   "boilerplate_filter", "dsir_select",
+                   "haproxy_stats"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
