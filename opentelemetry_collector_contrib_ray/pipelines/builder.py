@@ -939,6 +939,14 @@ def _parse_haproxy(ds, **opts):
     return parse_haproxy(ds, **opts)
 
 
+@register_stage("parse_apache")
+def _parse_apache(ds, **opts):
+    """apachereceiver mod_status decode (round 5)."""
+    from ..stages.apache import parse_apache
+
+    return parse_apache(ds, **opts)
+
+
 @register_stage("parse_mongodb_atlas")
 def _parse_mongodb_atlas(ds, **opts):
     """mongodbatlasreceiver log decode (round 5)."""

@@ -8727,6 +8727,68 @@ def q_haproxy_parse(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_apache_status(sf_dir: str):
+    """apachereceiver: mod_status ``?auto`` pages → apache.* metric
+    rows — first-``": "`` key split with headerless-line skips, the
+    16-key switch (int/double sum/gauge typing, kBytes×1024 traffic,
+    cpu.time level/mode fan-out), the scoreboard char counts with
+    zero-initialized known states and hit-only unknown, strconv
+    datapoint drops (receiver/apachereceiver/scraper.go:60-225,
+    metadata.yaml).  Golden-pinned on the reference's mock-server
+    body vs scraper/expected.yaml in tests/test_apache.py."""
+    from ..stages.apache import parse_apache
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            def v(j):
+                return (e * 3 + j * 17) % 1000
+
+            def d(j):
+                return (e + j) % 50
+
+            lines = [
+                "localhost",
+                "CurrentTime: Thursday, 17-Jun-2021 14:06:32 UTC",
+                f"ServerUptimeSeconds: {v(0)}",
+                "ConnsTotal: " + ("abc" if e % 13 == 0
+                                  else str(v(1))),
+                f"BusyWorkers: {v(2)}",
+                f"IdleWorkers: {v(3)}",
+            ]
+            if e % 7 != 0:
+                lines.append(f"Total Accesses: {v(4)}")
+            lines += [
+                f"Total kBytes: {v(5)}",
+                f"Total Duration: {v(6)}",
+                f"CPUChildrenSystem: {d(7)}.25",
+                f"CPUChildrenUser: {d(8)}.25",
+                f"CPUSystem: {d(9)}.25",
+                f"CPUUser: {d(10)}.25",
+                f"CPULoad: {d(11)}.25",
+                f"Load1: {d(12)}.25",
+                f"Load5: {d(13)}.25",
+                f"Load15: {d(14)}.25",
+                "Scoreboard: " + "".join(
+                    sym * ((e + j) % 4)
+                    for j, sym in enumerate("_SRWKDCLGI.x")),
+            ]
+            docs.append("\n".join(lines) + "\n")
+        return pa.table({"event_id": t.column("event_id"),
+                         "status_page": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_apache(flat, server_name="localhost", port="8080",
+                       now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "server_name", "server_port", "name", "mtype",
+         "is_monotonic", "aggregation_temporality", "value_int",
+         "value_double", "state", "level", "mode", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -8964,6 +9026,7 @@ QUERIES = {
     "boilerplate_filter": q_boilerplate_filter,
     "dsir_select": q_dsir_select,
     "haproxy_stats": q_haproxy_parse,
+    "apache_status": q_apache_status,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14868,4 +14931,68 @@ ORACLE_SQL["haproxy_stats"] = """
     WHERE (e.event_id + 10 + r.r) % 11 <> 0
       AND (e.event_id + 11 + r.r) % 11 <> 0
     ORDER BY event_id, name, status_code
+"""
+
+ORACLE_SQL["apache_status"] = """
+    WITH ints(j, name, mono, state, gate) AS (VALUES
+      (0, 'apache.uptime', TRUE, CAST(NULL AS VARCHAR), 0),
+      (1, 'apache.current_connections', FALSE, NULL, 2),
+      (2, 'apache.workers', FALSE, 'busy', 0),
+      (3, 'apache.workers', FALSE, 'idle', 0),
+      (4, 'apache.requests', TRUE, NULL, 1),
+      (5, 'apache.traffic', TRUE, NULL, 0),
+      (6, 'apache.request.time', TRUE, NULL, 0)),
+    dbls(j, name, mtype, mono, level, mode) AS (VALUES
+      (7, 'apache.cpu.time', 'sum', TRUE, 'children', 'system'),
+      (8, 'apache.cpu.time', 'sum', TRUE, 'children', 'user'),
+      (9, 'apache.cpu.time', 'sum', TRUE, 'self', 'system'),
+      (10, 'apache.cpu.time', 'sum', TRUE, 'self', 'user'),
+      (11, 'apache.cpu.load', 'gauge', FALSE,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      (12, 'apache.load.1', 'gauge', FALSE, NULL, NULL),
+      (13, 'apache.load.5', 'gauge', FALSE, NULL, NULL),
+      (14, 'apache.load.15', 'gauge', FALSE, NULL, NULL)),
+    sb(j, state) AS (VALUES
+      (0, 'waiting'), (1, 'starting'), (2, 'reading'),
+      (3, 'sending'), (4, 'keepalive'), (5, 'dnslookup'),
+      (6, 'closing'), (7, 'logging'), (8, 'finishing'),
+      (9, 'idle_cleanup'), (10, 'open'))
+    SELECT e.event_id, 'localhost' AS server_name,
+      '8080' AS server_port, i.name, 'sum' AS mtype,
+      i.mono AS is_monotonic,
+      CAST(2 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE WHEN i.j = 5 THEN 1024 ELSE 1 END
+           * ((e.event_id * 3 + i.j * 17) % 1000) AS BIGINT)
+          AS value_int,
+      CAST(NULL AS DOUBLE) AS value_double,
+      i.state, CAST(NULL AS VARCHAR) AS level,
+      CAST(NULL AS VARCHAR) AS mode,
+      1690000000000000000 AS time_unix_nano
+    FROM events e CROSS JOIN ints i
+    WHERE i.gate = 0 OR (i.gate = 1 AND e.event_id % 7 <> 0)
+       OR (i.gate = 2 AND e.event_id % 13 <> 0)
+    UNION ALL
+    SELECT e.event_id, 'localhost', '8080', d.name, d.mtype,
+      d.mono, CAST(CASE d.mtype WHEN 'sum' THEN 2 ELSE 0 END
+                   AS INTEGER),
+      CAST(NULL AS BIGINT),
+      CAST((e.event_id + d.j) % 50 AS DOUBLE) + 0.25,
+      CAST(NULL AS VARCHAR), d.level, d.mode, 1690000000000000000
+    FROM events e CROSS JOIN dbls d
+    UNION ALL
+    SELECT e.event_id, 'localhost', '8080', 'apache.scoreboard',
+      'sum', FALSE, CAST(2 AS INTEGER),
+      CAST((e.event_id + sb.j) % 4 AS BIGINT),
+      CAST(NULL AS DOUBLE), sb.state, CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), 1690000000000000000
+    FROM events e CROSS JOIN sb
+    UNION ALL
+    SELECT e.event_id, 'localhost', '8080', 'apache.scoreboard',
+      'sum', FALSE, CAST(2 AS INTEGER),
+      CAST((e.event_id + 11) % 4 AS BIGINT),
+      CAST(NULL AS DOUBLE), 'unknown', CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), 1690000000000000000
+    FROM events e
+    WHERE (e.event_id + 11) % 4 <> 0
+    ORDER BY event_id, name, state, level, mode
 """
