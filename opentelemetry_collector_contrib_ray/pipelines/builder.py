@@ -947,6 +947,14 @@ def _parse_apache(ds, **opts):
     return parse_apache(ds, **opts)
 
 
+@register_stage("parse_nginx")
+def _parse_nginx(ds, **opts):
+    """nginxreceiver stub_status decode (round 5)."""
+    from ..stages.nginx import parse_nginx
+
+    return parse_nginx(ds, **opts)
+
+
 @register_stage("parse_mongodb_atlas")
 def _parse_mongodb_atlas(ds, **opts):
     """mongodbatlasreceiver log decode (round 5)."""

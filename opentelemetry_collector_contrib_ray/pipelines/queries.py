@@ -8789,6 +8789,43 @@ def q_apache_status(sf_dir: str):
          "value_double", "state", "level", "mode", "time_unix_nano"])
 
 
+def q_nginx_status(sf_dir: str):
+    """nginxreceiver: stub_status pages → the 7 nginx.* metric rows —
+    Sscanf-template parse, monotonic requests/accepted/handled Sums,
+    the NON-monotonic connections_current Sum with its four states,
+    whole-scrape failure on a non-matching page
+    (receiver/nginxreceiver/scraper.go:49-67, metadata.yaml).
+    Golden-pinned on the reference mock body in
+    tests/test_nginx.py."""
+    from ..stages.nginx import parse_nginx
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            if e % 17 == 0:
+                docs.append("<html>502 Bad Gateway</html>")
+                continue
+            docs.append(
+                f"Active connections: {e % 300}\n"
+                "server accepts handled requests\n"
+                f" {e * 3 % 100000 + e % 5} {e * 3 % 100000}"
+                f" {e * 7 % 100000}\n"
+                f"Reading: {e % 10} Writing: {(e + 3) % 10} "
+                f"Waiting: {(e + 6) % 10}\n")
+        return pa.table({"event_id": t.column("event_id"),
+                         "stub_status": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_nginx(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "state",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9027,6 +9064,7 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "haproxy_stats": q_haproxy_parse,
     "apache_status": q_apache_status,
+    "nginx_status": q_nginx_status,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -14995,4 +15033,30 @@ ORACLE_SQL["apache_status"] = """
     FROM events e
     WHERE (e.event_id + 11) % 4 <> 0
     ORDER BY event_id, name, state, level, mode
+"""
+
+ORACLE_SQL["nginx_status"] = """
+    WITH l AS (SELECT event_id e FROM events WHERE event_id % 17 <> 0),
+    f(name, mono, state, kind) AS (VALUES
+      ('nginx.requests', TRUE, CAST(NULL AS VARCHAR), 0),
+      ('nginx.connections_accepted', TRUE, NULL, 1),
+      ('nginx.connections_handled', TRUE, NULL, 2),
+      ('nginx.connections_current', FALSE, 'active', 3),
+      ('nginx.connections_current', FALSE, 'reading', 4),
+      ('nginx.connections_current', FALSE, 'writing', 5),
+      ('nginx.connections_current', FALSE, 'waiting', 6))
+    SELECT l.e AS event_id, f.name, 'sum' AS mtype,
+      f.mono AS is_monotonic,
+      CAST(2 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE f.kind
+        WHEN 0 THEN (l.e * 7) % 100000
+        WHEN 1 THEN (l.e * 3) % 100000 + l.e % 5
+        WHEN 2 THEN (l.e * 3) % 100000
+        WHEN 3 THEN l.e % 300
+        WHEN 4 THEN l.e % 10
+        WHEN 5 THEN (l.e + 3) % 10
+        ELSE (l.e + 6) % 10 END AS BIGINT) AS value_int,
+      f.state, 1690000000000000000 AS time_unix_nano
+    FROM l CROSS JOIN f
+    ORDER BY event_id, name, state
 """

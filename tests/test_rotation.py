@@ -100,7 +100,8 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "resource_to_telemetry", "batch_per_signal",
                    "entity_events", "metadata_delta",
                    "boilerplate_filter", "dsir_select",
-                   "haproxy_stats", "apache_status"}
+                   "haproxy_stats", "apache_status",
+                   "nginx_status"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
