@@ -8826,6 +8826,82 @@ def q_nginx_status(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_docker_stats(sf_dir: str):
+    """dockerstatsreceiver: container stats+inspect JSON → the 14
+    default-enabled container.* metrics — docker-cli CPU-percent math
+    with the onlineCPUs fallback and zero-delta gate, memUsageNoCache
+    cgroup v1/v2 subtraction, memory percent with the limit-0 gate,
+    presence-gated stats-map metrics, blkio per-entry and network
+    per-interface fan-outs (receiver/dockerstatsreceiver/
+    receiver.go:131-318, metric_helper.go:29-79, metadata.yaml).
+    Golden-pinned on all five reference mock fixtures in
+    tests/test_dockerstats.py."""
+    import json as _json
+
+    from ..stages.dockerstats import parse_docker_stats
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        stats_docs, cont_docs = [], []
+        for e in t.column("event_id").to_pylist():
+            usage = e * 11 % 100000 + 1000
+            mem_stats = ({"total_inactive_file": e % 800,
+                          "inactive_file": e % 500,
+                          "total_cache": e * 7 % 9999}
+                         if e % 2 == 0 else
+                         {"inactive_file": e % 500,
+                          "file": e * 13 % 8888})
+            stats_docs.append(_json.dumps({
+                "cpu_stats": {
+                    "cpu_usage": {
+                        "total_usage": e * 37 % 1000000 + 500,
+                        "usage_in_kernelmode": e * 3 % 500000,
+                        "usage_in_usermode": e * 5 % 500000},
+                    "system_cpu_usage": 2000000,
+                    "online_cpus": e % 9},
+                "precpu_stats": {
+                    "cpu_usage": {"total_usage": e * 31 % 1000000},
+                    "system_cpu_usage": 1000000},
+                "memory_stats": {
+                    "usage": usage,
+                    "limit": (0 if e % 11 == 0
+                              else e * 17 % 10000000 + 100000),
+                    "stats": mem_stats},
+                "blkio_stats": {"io_service_bytes_recursive": [
+                    {"major": 8, "minor": e % 16, "op": "Read",
+                     "value": e * 2 % 1000000},
+                    {"major": 8, "minor": e % 16, "op": "Write",
+                     "value": e * 3 % 1000000}]},
+                "networks": {"eth0": {
+                    "rx_bytes": e % 1000000,
+                    "tx_bytes": e * 2 % 1000000,
+                    "rx_dropped": e % 10,
+                    "tx_dropped": (e + 1) % 10}},
+                "pids_stats": {"current": 0},
+            }))
+            cont_docs.append(_json.dumps({
+                "Id": f"c{e % 50:02d}",
+                "Name": f"/svc{e % 50:02d}",
+                "Config": {"Hostname": f"h{e % 50:02d}",
+                           "Image": "ubuntu", "Cmd": ["/bin/sh"]},
+                "State": {}, "HostConfig": {}, "RestartCount": 0,
+            }))
+        return pa.table({"event_id": t.column("event_id"),
+                         "stats_json": pa.array(stats_docs, pa.string()),
+                         "container_json": pa.array(cont_docs,
+                                                    pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_docker_stats(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "device_major", "device_minor", "operation", "interface",
+         "container_id", "container_name", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9065,6 +9141,7 @@ QUERIES = {
     "haproxy_stats": q_haproxy_parse,
     "apache_status": q_apache_status,
     "nginx_status": q_nginx_status,
+    "docker_stats": q_docker_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -15059,4 +15136,99 @@ ORACLE_SQL["nginx_status"] = """
       f.state, 1690000000000000000 AS time_unix_nano
     FROM l CROSS JOIN f
     ORDER BY event_id, name, state
+"""
+
+ORACLE_SQL["docker_stats"] = """
+    WITH e AS (SELECT event_id, event_id % 50 AS c,
+        event_id * 11 % 100000 + 1000 AS mem_usage,
+        CASE WHEN event_id % 11 = 0 THEN 0
+             ELSE event_id * 17 % 10000000 + 100000 END AS mem_limit,
+        event_id * 11 % 100000 + 1000
+          - (CASE WHEN event_id % 2 = 0 THEN event_id % 800
+                  ELSE event_id % 500 END) AS mem_total,
+        (event_id * 37 % 1000000 + 500)
+          - (event_id * 31 % 1000000) AS cpu_delta
+      FROM events),
+    ints(kind, name, mono, gate) AS (VALUES
+      (0, 'container.cpu.usage.total', TRUE, 0),
+      (1, 'container.cpu.usage.kernelmode', TRUE, 0),
+      (2, 'container.cpu.usage.usermode', TRUE, 0),
+      (3, 'container.memory.usage.limit', FALSE, 0),
+      (4, 'container.memory.usage.total', FALSE, 0),
+      (5, 'container.memory.total_cache', FALSE, 1),
+      (6, 'container.memory.file', FALSE, 2)),
+    net(kind, name) AS (VALUES
+      (0, 'container.network.io.usage.rx_bytes'),
+      (1, 'container.network.io.usage.tx_bytes'),
+      (2, 'container.network.io.usage.rx_dropped'),
+      (3, 'container.network.io.usage.tx_dropped')),
+    dbl(kind, name) AS (VALUES
+      (0, 'container.cpu.utilization'),
+      (1, 'container.memory.percent'))
+    SELECT e.event_id, i.name, 'sum' AS mtype,
+      i.mono AS is_monotonic,
+      CAST(2 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE i.kind
+        WHEN 0 THEN e.event_id * 37 % 1000000 + 500
+        WHEN 1 THEN e.event_id * 3 % 500000
+        WHEN 2 THEN e.event_id * 5 % 500000
+        WHEN 3 THEN e.mem_limit
+        WHEN 4 THEN e.mem_total
+        WHEN 5 THEN e.event_id * 7 % 9999
+        ELSE e.event_id * 13 % 8888 END AS BIGINT) AS value_int,
+      CAST(NULL AS DOUBLE) AS value_double,
+      CAST(NULL AS VARCHAR) AS device_major,
+      CAST(NULL AS VARCHAR) AS device_minor,
+      CAST(NULL AS VARCHAR) AS operation,
+      CAST(NULL AS VARCHAR) AS interface,
+      printf('c%02d', e.c) AS container_id,
+      printf('svc%02d', e.c) AS container_name,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN ints i
+    WHERE i.gate = 0 OR (i.gate = 1 AND e.event_id % 2 = 0)
+       OR (i.gate = 2 AND e.event_id % 2 <> 0)
+    UNION ALL
+    SELECT e.event_id,
+      'container.blockio.io_service_bytes_recursive', 'sum', TRUE,
+      CAST(2 AS INTEGER),
+      CAST(CASE o.op WHEN 'read' THEN e.event_id * 2 % 1000000
+           ELSE e.event_id * 3 % 1000000 END AS BIGINT),
+      CAST(NULL AS DOUBLE), '8',
+      CAST(e.event_id % 16 AS VARCHAR), o.op,
+      CAST(NULL AS VARCHAR),
+      printf('c%02d', e.c), printf('svc%02d', e.c),
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES ('read'), ('write')) o(op)
+    UNION ALL
+    SELECT e.event_id, n.name, 'sum', TRUE, CAST(2 AS INTEGER),
+      CAST(CASE n.kind
+        WHEN 0 THEN e.event_id % 1000000
+        WHEN 1 THEN e.event_id * 2 % 1000000
+        WHEN 2 THEN e.event_id % 10
+        ELSE (e.event_id + 1) % 10 END AS BIGINT),
+      CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 'eth0',
+      printf('c%02d', e.c), printf('svc%02d', e.c),
+      1690000000000000000
+    FROM e CROSS JOIN net n
+    UNION ALL
+    SELECT e.event_id, d.name, 'gauge',
+      CAST(NULL AS BOOLEAN), CAST(0 AS INTEGER),
+      CAST(NULL AS BIGINT),
+      CASE WHEN d.kind = 0 THEN
+        CASE WHEN e.cpu_delta > 0 THEN
+          (CAST(e.cpu_delta AS DOUBLE) / 1000000.0)
+            * CAST(e.event_id % 9 AS DOUBLE) * 100.0
+        ELSE 0.0 END
+      ELSE
+        CASE WHEN e.mem_limit = 0 THEN 0.0
+        ELSE CAST(e.mem_total AS DOUBLE)
+          / CAST(e.mem_limit AS DOUBLE) * 100.0 END
+      END,
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      printf('c%02d', e.c), printf('svc%02d', e.c),
+      1690000000000000000
+    FROM e CROSS JOIN dbl d
+    ORDER BY event_id, name, operation, interface
 """
