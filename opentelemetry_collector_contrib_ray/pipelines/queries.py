@@ -8902,6 +8902,62 @@ def q_docker_stats(sf_dir: str):
          "container_id", "container_name", "time_unix_nano"])
 
 
+def q_memcached_stats(sf_dir: str):
+    """memcachedreceiver: ``stats`` text-protocol pages → the 11
+    memcached.* metrics — the 20-key switch with per-datapoint strconv
+    drops, commands/network/operations attr fan-ins, and the derived
+    hit ratios with the SWAPPED-parameter Go quirk (the emitted value
+    is misses/(hits+misses)*100) plus the both-keys-present and
+    zero-denominator gates (receiver/memcachedreceiver/
+    scraper.go:38-182, metadata.yaml).  Golden-pinned on the reference
+    fake_stats.json vs scraper/expected.yaml in
+    tests/test_memcached.py."""
+    from ..stages.memcached import parse_memcached
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            kv = [
+                ("bytes", "abc" if e % 13 == 0 else str(e * 3 % 100000)),
+                ("curr_connections", str(e % 500)),
+                ("total_connections", str(e * 7 % 100000)),
+                ("cmd_get", str(e % 1000)),
+                ("cmd_set", str((e + 1) % 1000)),
+                ("cmd_flush", str((e + 2) % 1000)),
+                ("cmd_touch", str((e + 3) % 1000)),
+                ("curr_items", str(e * 11 % 10000)),
+                ("threads", str(e % 64 + 1)),
+                ("evictions", str(e * 13 % 100000)),
+                ("bytes_read", str(e * 17 % 1000000)),
+                ("bytes_written", str(e * 19 % 1000000)),
+                ("get_hits", str(e % 50)),
+                ("get_misses", str(e * 3 % 50)),
+                ("incr_hits", str(e % 25)),
+                ("incr_misses", str(e * 7 % 25)),
+                ("rusage_system", f"{e % 100}.25"),
+                ("rusage_user", f"{e % 100}.5"),
+                ("unknown_key", "99"),
+            ]
+            if e % 5 != 0:  # both-present ratio gate
+                kv += [("decr_hits", str(e % 30)),
+                       ("decr_misses", str(e * 11 % 30))]
+            docs.append("".join(f"STAT {k} {v}\r\n" for k, v in kv)
+                        + "END\r\n")
+        return pa.table({"event_id": t.column("event_id"),
+                         "stats_page": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_memcached(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "command", "direction", "op_type", "operation", "state",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9142,6 +9198,7 @@ QUERIES = {
     "apache_status": q_apache_status,
     "nginx_status": q_nginx_status,
     "docker_stats": q_docker_stats,
+    "memcached_stats": q_memcached_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -15231,4 +15288,109 @@ ORACLE_SQL["docker_stats"] = """
       1690000000000000000
     FROM e CROSS JOIN dbl d
     ORDER BY event_id, name, operation, interface
+"""
+
+ORACLE_SQL["memcached_stats"] = """
+    WITH ints(kind, name, mtype, mono, command, direction, op_type,
+              operation, gate) AS (VALUES
+      (0, 'memcached.bytes', 'gauge', CAST(NULL AS BOOLEAN),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), 1),
+      (1, 'memcached.connections.current', 'sum', FALSE,
+       NULL, NULL, NULL, NULL, 0),
+      (2, 'memcached.connections.total', 'sum', TRUE,
+       NULL, NULL, NULL, NULL, 0),
+      (3, 'memcached.commands', 'sum', TRUE, 'get',
+       NULL, NULL, NULL, 0),
+      (4, 'memcached.commands', 'sum', TRUE, 'set',
+       NULL, NULL, NULL, 0),
+      (5, 'memcached.commands', 'sum', TRUE, 'flush',
+       NULL, NULL, NULL, 0),
+      (6, 'memcached.commands', 'sum', TRUE, 'touch',
+       NULL, NULL, NULL, 0),
+      (7, 'memcached.current_items', 'sum', FALSE,
+       NULL, NULL, NULL, NULL, 0),
+      (8, 'memcached.threads', 'sum', FALSE,
+       NULL, NULL, NULL, NULL, 0),
+      (9, 'memcached.evictions', 'sum', TRUE,
+       NULL, NULL, NULL, NULL, 0),
+      (10, 'memcached.network', 'sum', TRUE,
+       NULL, 'received', NULL, NULL, 0),
+      (11, 'memcached.network', 'sum', TRUE,
+       NULL, 'sent', NULL, NULL, 0),
+      (12, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'hit', 'get', 0),
+      (13, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'miss', 'get', 0),
+      (14, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'hit', 'increment', 0),
+      (15, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'miss', 'increment', 0),
+      (16, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'hit', 'decrement', 2),
+      (17, 'memcached.operations', 'sum', TRUE,
+       NULL, NULL, 'miss', 'decrement', 2)),
+    cpu(kind, state) AS (VALUES (0, 'system'), (1, 'user')),
+    ratio(op, gate) AS (VALUES
+      ('get', 0), ('increment', 0), ('decrement', 2))
+    SELECT e.event_id, i.name, i.mtype, i.mono AS is_monotonic,
+      CAST(CASE i.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER)
+        AS aggregation_temporality,
+      CAST(CASE i.kind
+        WHEN 0 THEN e.event_id * 3 % 100000
+        WHEN 1 THEN e.event_id % 500
+        WHEN 2 THEN e.event_id * 7 % 100000
+        WHEN 3 THEN e.event_id % 1000
+        WHEN 4 THEN (e.event_id + 1) % 1000
+        WHEN 5 THEN (e.event_id + 2) % 1000
+        WHEN 6 THEN (e.event_id + 3) % 1000
+        WHEN 7 THEN e.event_id * 11 % 10000
+        WHEN 8 THEN e.event_id % 64 + 1
+        WHEN 9 THEN e.event_id * 13 % 100000
+        WHEN 10 THEN e.event_id * 17 % 1000000
+        WHEN 11 THEN e.event_id * 19 % 1000000
+        WHEN 12 THEN e.event_id % 50
+        WHEN 13 THEN e.event_id * 3 % 50
+        WHEN 14 THEN e.event_id % 25
+        WHEN 15 THEN e.event_id * 7 % 25
+        WHEN 16 THEN e.event_id % 30
+        ELSE e.event_id * 11 % 30 END AS BIGINT) AS value_int,
+      CAST(NULL AS DOUBLE) AS value_double,
+      i.command, i.direction, i.op_type, i.operation,
+      CAST(NULL AS VARCHAR) AS state,
+      1690000000000000000 AS time_unix_nano
+    FROM events e CROSS JOIN ints i
+    WHERE (i.gate = 0)
+       OR (i.gate = 1 AND e.event_id % 13 <> 0)
+       OR (i.gate = 2 AND e.event_id % 5 <> 0)
+    UNION ALL
+    SELECT e.event_id, 'memcached.cpu.usage', 'sum', TRUE,
+      CAST(2 AS INTEGER), CAST(NULL AS BIGINT),
+      CAST(e.event_id % 100 AS DOUBLE)
+        + CASE c.kind WHEN 0 THEN 0.25 ELSE 0.5 END,
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), c.state,
+      1690000000000000000
+    FROM events e CROSS JOIN cpu c
+    UNION ALL
+    SELECT e.event_id, 'memcached.operation_hit_ratio', 'gauge',
+      CAST(NULL AS BOOLEAN), CAST(0 AS INTEGER),
+      CAST(NULL AS BIGINT),
+      CASE WHEN h.h + h.m = 0 THEN 0.0
+           ELSE CAST(h.m AS DOUBLE)
+             / (CAST(h.m AS DOUBLE) + CAST(h.h AS DOUBLE)) * 100.0 END,
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), r.op, CAST(NULL AS VARCHAR),
+      1690000000000000000
+    FROM events e CROSS JOIN ratio r
+    CROSS JOIN LATERAL (SELECT
+      CASE r.op WHEN 'get' THEN e.event_id % 50
+                WHEN 'increment' THEN e.event_id % 25
+                ELSE e.event_id % 30 END AS h,
+      CASE r.op WHEN 'get' THEN e.event_id * 3 % 50
+                WHEN 'increment' THEN e.event_id * 7 % 25
+                ELSE e.event_id * 11 % 30 END AS m) h
+    WHERE r.gate = 0 OR e.event_id % 5 <> 0
+    ORDER BY event_id, name, command, direction, op_type, operation,
+             state
 """

@@ -16,7 +16,13 @@ sys.path.insert(0, ".")
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: set[str] = set()
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1:])
+        args = args[:i]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
 
     import logging
 
@@ -42,7 +48,12 @@ def main() -> int:
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     failures: list[str] = []
-    for name in sorted(QUERIES):
+    names = sorted(only & set(QUERIES)) if only else sorted(QUERIES)
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"unknown --only names: {sorted(unknown)}")
+        return 1
+    for name in names:
         try:
             result = QUERIES[name](sf_dir)
             if name in NO_ORACLE:
@@ -57,7 +68,7 @@ def main() -> int:
             msg = str(e).split("\n")[0][:160]
             print(f"  {name:28s} FAIL       {msg}")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} green at {sf_dir}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} green at {sf_dir}")
     ray.shutdown()
     return 1 if failures else 0
 
