@@ -9009,6 +9009,46 @@ def q_couchdb_stats(sf_dir: str):
          "node_name", "time_unix_nano"])
 
 
+def q_httpcheck_status(sf_dir: str):
+    """httpcheckreceiver: check results → the default httpcheck.*
+    set — the always-five status-class fan-out with the matched-class
+    value-1/status-code rule and the zero-value status_code removal
+    pass, the error row on request failure, the duration gauge
+    (receiver/httpcheckreceiver/scraper.go:252-373, metadata.yaml).
+    Golden-pinned on metrics_golden/invalid_endpoint in
+    tests/test_httpcheck.py."""
+    import json as _json
+
+    from ..stages.httpcheck import parse_httpcheck
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    codes = (101, 200, 204, 301, 404, 503)
+    methods = ("GET", "POST", "PUT")
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            res = {"endpoint": f"http://svc{e % 20}.local",
+                   "method": methods[e % 3],
+                   "duration_ms": e % 5000}
+            if e % 9 == 0:
+                res["error"] = f"dial tcp: err{e % 7}"
+            else:
+                res["status_code"] = codes[e % 6]
+            docs.append(_json.dumps(res))
+        return pa.table({"event_id": t.column("event_id"),
+                         "check_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_httpcheck(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "http_url",
+         "http_status_code", "http_method", "http_status_class",
+         "error_message", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9251,6 +9291,7 @@ QUERIES = {
     "docker_stats": q_docker_stats,
     "memcached_stats": q_memcached_stats,
     "couchdb_stats": q_couchdb_stats,
+    "httpcheck_status": q_httpcheck_status,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -15513,4 +15554,45 @@ ORACLE_SQL["couchdb_stats"] = """
     FROM events e CROSS JOIN views v
     ORDER BY event_id, name, http_method, http_status_code, view,
              operation
+"""
+
+ORACLE_SQL["httpcheck_status"] = """
+    WITH e AS (SELECT event_id,
+        'http://svc' || CAST(event_id % 20 AS VARCHAR) || '.local'
+          AS url,
+        CASE event_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST'
+          ELSE 'PUT' END AS method,
+        CASE WHEN event_id % 9 = 0 THEN 0
+          ELSE (CASE event_id % 6 WHEN 0 THEN 101 WHEN 1 THEN 200
+                WHEN 2 THEN 204 WHEN 3 THEN 301 WHEN 4 THEN 404
+                ELSE 503 END) END AS sc
+      FROM events),
+    cls(c, n) AS (VALUES ('1xx', 1), ('2xx', 2), ('3xx', 3),
+                         ('4xx', 4), ('5xx', 5))
+    SELECT e.event_id, 'httpcheck.duration' AS name,
+      'gauge' AS mtype, CAST(NULL AS BOOLEAN) AS is_monotonic,
+      CAST(0 AS INTEGER) AS aggregation_temporality,
+      CAST(e.event_id % 5000 AS BIGINT) AS value_int,
+      e.url AS http_url, CAST(NULL AS BIGINT) AS http_status_code,
+      CAST(NULL AS VARCHAR) AS http_method,
+      CAST(NULL AS VARCHAR) AS http_status_class,
+      CAST(NULL AS VARCHAR) AS error_message,
+      1690000000000000000 AS time_unix_nano
+    FROM e
+    UNION ALL
+    SELECT e.event_id, 'httpcheck.error', 'sum', FALSE,
+      CAST(2 AS INTEGER), CAST(1 AS BIGINT), e.url,
+      CAST(NULL AS BIGINT), NULL, NULL,
+      'dial tcp: err' || CAST(e.event_id % 7 AS VARCHAR),
+      1690000000000000000
+    FROM e WHERE e.event_id % 9 = 0
+    UNION ALL
+    SELECT e.event_id, 'httpcheck.status', 'sum', FALSE,
+      CAST(2 AS INTEGER),
+      CAST(CASE WHEN e.sc // 100 = c.n THEN 1 ELSE 0 END AS BIGINT),
+      e.url,
+      CASE WHEN e.sc // 100 = c.n THEN CAST(e.sc AS BIGINT) END,
+      e.method, c.c, NULL, 1690000000000000000
+    FROM e CROSS JOIN cls c
+    ORDER BY event_id, name, http_status_class
 """
