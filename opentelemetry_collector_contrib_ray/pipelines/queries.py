@@ -9098,6 +9098,108 @@ def q_riak_stats(sf_dir: str):
          "operation", "node_name", "time_unix_nano"])
 
 
+def q_flink_metrics(sf_dir: str):
+    """flinkmetricsreceiver: metric instances → flink.* rows — the
+    jobmanager/taskmanager ID switches with their disjoint GC tables,
+    the job checkpoint switch, subtask exact-task vs Contains-operator
+    cases (a PerSecond id matches the bare suffix — quirk kept),
+    strconv drops, per-kind resource identities
+    (receiver/flinkmetricsreceiver/process.go:15-194, client.go,
+    metadata.yaml).  Golden-pinned on the mockresponses fixtures vs
+    metrics_golden.yaml in tests/test_flinkmetrics.py."""
+    import json as _json
+
+    from ..stages.flinkmetrics import parse_flink
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            k = e % 4
+            if k == 0:
+                inst = {"kind": "jobmanager", "host": f"host{e % 6}",
+                        "metrics": [
+                    {"id": "Status.JVM.CPU.Load",
+                     "value": f"{e % 100}.25"},
+                    {"id": "Status.JVM.Memory.Heap.Used",
+                     "value": ("x" if e % 13 == 0
+                               else str(e * 3 % 1000000))},
+                    {"id": "Status.JVM.GarbageCollector."
+                           "PS_Scavenge.Count", "value": str(e % 50)},
+                    {"id": "Status.JVM.GarbageCollector."
+                           "PS_MarkSweep.Time", "value": str(e % 700)},
+                    {"id": "Status.JVM.GarbageCollector."
+                           "G1_Old_Generation.Count",  # TM-only id
+                     "value": "5"},
+                    {"id": "some.unknown.metric", "value": "1"},
+                ]}
+            elif k == 1:
+                inst = {"kind": "taskmanager",
+                        "host": f"10.0.0.{e % 5}",
+                        "taskmanager_id": f"10.0.0.{e % 5}:4000-x",
+                        "metrics": [
+                    {"id": "Status.JVM.Threads.Count",
+                     "value": str(e % 256)},
+                    {"id": "Status.JVM.GarbageCollector."
+                           "G1_Young_Generation.Count",
+                     "value": str(e % 90)},
+                    {"id": "Status.JVM.CPU.Time",
+                     "value": str(e * 7 % 10000000)},
+                    {"id": "Status.JVM.GarbageCollector."
+                           "PS_Scavenge.Count",  # JM-only id
+                     "value": "5"},
+                ]}
+            elif k == 2:
+                inst = {"kind": "job", "host": f"host{e % 6}",
+                        "job_name": f"job{e % 3}", "metrics": [
+                    {"id": "numRestarts", "value": str(e % 20)},
+                    {"id": "numberOfCompletedCheckpoints",
+                     "value": str(e % 1000)},
+                    {"id": "numberOfFailedCheckpoints",
+                     "value": str(e % 7)},
+                    {"id": "numberOfInProgressCheckpoints",
+                     "value": str(e % 3)},
+                    {"id": "lastCheckpointSize",
+                     "value": str(e * 5 % 1000000)},
+                    {"id": "lastCheckpointDuration",
+                     "value": str(e % 10000)},
+                ]}
+            else:
+                inst = {"kind": "subtask", "host": f"10.0.0.{e % 5}",
+                        "taskmanager_id": f"10.0.0.{e % 5}:4000-x",
+                        "job_name": f"job{e % 3}",
+                        "task_name": f"task{e % 2}",
+                        "subtask_index": str(e % 8), "metrics": [
+                    {"id": "numRecordsIn", "value": str(e % 100000)},
+                    {"id": "numRecordsOut",
+                     "value": str(e * 2 % 100000)},
+                    {"id": "numLateRecordsDropped",
+                     "value": str(e % 100)},
+                    {"id": f"op{e % 3}.numRecordsIn",
+                     "value": str(e * 3 % 100000)},
+                    {"id": f"op{e % 3}.currentOutputWatermark",
+                     "value": str(e % 1000000)},
+                    # Contains quirk: PerSecond matches ".numRecordsIn"
+                    {"id": f"rate{e % 3}.numRecordsInPerSecond",
+                     "value": str(e % 500)},
+                ]}
+            docs.append(_json.dumps(inst))
+        return pa.table({"event_id": t.column("event_id"),
+                         "instance_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_flink(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "garbage_collector_name", "checkpoint", "record",
+         "operator_name", "host_name", "resource_type",
+         "taskmanager_id", "job_name", "task_name", "subtask_index",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9342,6 +9444,7 @@ QUERIES = {
     "couchdb_stats": q_couchdb_stats,
     "httpcheck_status": q_httpcheck_status,
     "riak_stats": q_riak_stats,
+    "flink_metrics": q_flink_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -15688,4 +15791,103 @@ ORACLE_SQL["riak_stats"] = """
       1690000000000000000 AS time_unix_nano
     FROM l CROSS JOIN f
     ORDER BY event_id, name, request, operation
+"""
+
+ORACLE_SQL["flink_metrics"] = """
+    WITH e AS (SELECT event_id, event_id % 4 AS k,
+        'host' || CAST(event_id % 6 AS VARCHAR) AS jhost,
+        '10.0.0.' || CAST(event_id % 5 AS VARCHAR) AS thost,
+        '10.0.0.' || CAST(event_id % 5 AS VARCHAR) || ':4000-x'
+          AS tmid,
+        'job' || CAST(event_id % 3 AS VARCHAR) AS jname,
+        'task' || CAST(event_id % 2 AS VARCHAR) AS tname,
+        CAST(event_id % 8 AS VARCHAR) AS sidx,
+        'op' || CAST(event_id % 3 AS VARCHAR) AS opn,
+        'rate' || CAST(event_id % 3 AS VARCHAR) AS raten
+      FROM events),
+    jm(kind, name, mtype, mono, gc, gate) AS (VALUES
+      (0, 'flink.jvm.cpu.load', 'gauge', CAST(NULL AS BOOLEAN),
+       CAST(NULL AS VARCHAR), 0),
+      (1, 'flink.jvm.memory.heap.used', 'sum', FALSE, NULL, 1),
+      (2, 'flink.jvm.gc.collections.count', 'sum', TRUE,
+       'PS_Scavenge', 0),
+      (3, 'flink.jvm.gc.collections.time', 'sum', TRUE,
+       'PS_MarkSweep', 0)),
+    tm(kind, name, mono, gc) AS (VALUES
+      (0, 'flink.jvm.threads.count', FALSE, CAST(NULL AS VARCHAR)),
+      (1, 'flink.jvm.gc.collections.count', TRUE,
+       'G1_Young_Generation'),
+      (2, 'flink.jvm.cpu.time', TRUE, NULL)),
+    jb(kind, name, mtype, mono, cp) AS (VALUES
+      (0, 'flink.job.restart.count', 'sum', TRUE,
+       CAST(NULL AS VARCHAR)),
+      (1, 'flink.job.checkpoint.count', 'sum', TRUE, 'completed'),
+      (2, 'flink.job.checkpoint.count', 'sum', TRUE, 'failed'),
+      (3, 'flink.job.checkpoint.in_progress', 'sum', FALSE, NULL),
+      (4, 'flink.job.last_checkpoint.size', 'sum', FALSE, NULL),
+      (5, 'flink.job.last_checkpoint.time', 'gauge',
+       CAST(NULL AS BOOLEAN), NULL)),
+    st(kind, name, mono, rec, op_is_rate) AS (VALUES
+      (0, 'flink.task.record.count', TRUE, 'in', CAST(NULL AS INT)),
+      (1, 'flink.task.record.count', TRUE, 'out', NULL),
+      (2, 'flink.task.record.count', TRUE, 'dropped', NULL),
+      (3, 'flink.operator.record.count', TRUE, 'in', 0),
+      (4, 'flink.operator.watermark.output', FALSE,
+       CAST(NULL AS VARCHAR), 0),
+      (5, 'flink.operator.record.count', TRUE, 'in', 1))
+    SELECT e.event_id, j.name, j.mtype, j.mono AS is_monotonic,
+      CAST(CASE j.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER)
+        AS aggregation_temporality,
+      CAST(CASE j.kind WHEN 1 THEN e.event_id * 3 % 1000000
+           WHEN 2 THEN e.event_id % 50
+           WHEN 3 THEN e.event_id % 700 END AS BIGINT) AS value_int,
+      CASE j.kind WHEN 0 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.25
+        END AS value_double,
+      j.gc AS garbage_collector_name,
+      CAST(NULL AS VARCHAR) AS checkpoint,
+      CAST(NULL AS VARCHAR) AS record,
+      CAST(NULL AS VARCHAR) AS operator_name,
+      e.jhost AS host_name, 'jobmanager' AS resource_type,
+      CAST(NULL AS VARCHAR) AS taskmanager_id,
+      CAST(NULL AS VARCHAR) AS job_name,
+      CAST(NULL AS VARCHAR) AS task_name,
+      CAST(NULL AS VARCHAR) AS subtask_index,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN jm j
+    WHERE e.k = 0 AND (j.gate = 0 OR e.event_id % 13 <> 0)
+    UNION ALL
+    SELECT e.event_id, t.name, 'sum', t.mono, CAST(2 AS INTEGER),
+      CAST(CASE t.kind WHEN 0 THEN e.event_id % 256
+           WHEN 1 THEN e.event_id % 90
+           ELSE e.event_id * 7 % 10000000 END AS BIGINT),
+      CAST(NULL AS DOUBLE), t.gc, NULL, NULL, NULL,
+      e.thost, 'taskmanager', e.tmid, NULL, NULL, NULL,
+      1690000000000000000
+    FROM e CROSS JOIN tm t WHERE e.k = 1
+    UNION ALL
+    SELECT e.event_id, b.name, b.mtype, b.mono,
+      CAST(CASE b.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER),
+      CAST(CASE b.kind WHEN 0 THEN e.event_id % 20
+           WHEN 1 THEN e.event_id % 1000 WHEN 2 THEN e.event_id % 7
+           WHEN 3 THEN e.event_id % 3
+           WHEN 4 THEN e.event_id * 5 % 1000000
+           ELSE e.event_id % 10000 END AS BIGINT),
+      CAST(NULL AS DOUBLE), NULL, b.cp, NULL, NULL,
+      e.jhost, NULL, NULL, e.jname, NULL, NULL, 1690000000000000000
+    FROM e CROSS JOIN jb b WHERE e.k = 2
+    UNION ALL
+    SELECT e.event_id, s.name, 'sum', s.mono, CAST(2 AS INTEGER),
+      CAST(CASE s.kind WHEN 0 THEN e.event_id % 100000
+           WHEN 1 THEN e.event_id * 2 % 100000
+           WHEN 2 THEN e.event_id % 100
+           WHEN 3 THEN e.event_id * 3 % 100000
+           WHEN 4 THEN e.event_id % 1000000
+           ELSE e.event_id % 500 END AS BIGINT),
+      CAST(NULL AS DOUBLE), NULL, NULL, s.rec,
+      CASE s.op_is_rate WHEN 0 THEN e.opn WHEN 1 THEN e.raten END,
+      e.thost, NULL, e.tmid, e.jname, e.tname, e.sidx,
+      1690000000000000000
+    FROM e CROSS JOIN st s WHERE e.k = 3
+    ORDER BY event_id, name, garbage_collector_name, checkpoint,
+             record, operator_name
 """
