@@ -9200,6 +9200,68 @@ def q_flink_metrics(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_nsxt_node_stats(sf_dir: str):
+    """nsxtreceiver: node status + interface stats → nsxt.node.* —
+    derived success packets (raw subtraction, may go negative),
+    available = total − used, utilization = used/max(total,1), the
+    transport status-body unwrap, and the node.type inconsistency
+    (interface rows carry resource_type, node rows carry the class)
+    (receiver/nsxtreceiver/scraper.go:56-240, metadata.yaml).
+    Golden-pinned on the full fixture tree in tests/test_nsxt.py."""
+    import json as _json
+
+    from ..stages.nsxt import parse_nsxt
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            cls = "transport" if e % 2 == 0 else "manager"
+            rtype = ("TransportNode" if e % 2 == 0
+                     else "ClusterNodeConfig")
+            used = e * 7 % 1000000
+            total = 0 if e % 11 == 0 else used + e % 1000000 + 1000
+            ss = {"cpu_usage": {
+                      "avg_cpu_core_usage_dpdk": e % 100 + 0.25,
+                      "avg_cpu_core_usage_non_dpdk": e % 100 + 0.5},
+                  "mem_used": e * 3 % 1000000,
+                  "mem_cache": e % 100000,
+                  "disk_space_used": used,
+                  "disk_space_total": total}
+            status = ({"node_status": {"system_status": ss}}
+                      if cls == "transport"
+                      else {"system_status": ss})
+            docs.append(_json.dumps({
+                "node": {"id": f"node{e % 40:02d}",
+                         "name": f"n{e % 40:02d}",
+                         "resource_type": rtype},
+                "class": cls, "status": status,
+                "interfaces": [{
+                    "interface_id": f"eth{e % 4}",
+                    "stats": {"rx_packets": e % 100000,
+                              "rx_dropped": e % 50,
+                              "rx_errors": e % 30,
+                              "tx_packets": e * 2 % 100000,
+                              "tx_dropped": (e + 1) % 50,
+                              "tx_errors": (e + 2) % 30,
+                              "rx_bytes": e * 13 % 10000000,
+                              "tx_bytes": e * 17 % 10000000}}],
+            }))
+        return pa.table({"event_id": t.column("event_id"),
+                         "node_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_nsxt(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "direction", "packet_type", "cpu_class", "disk_state",
+         "device_id", "node_name", "node_id", "node_type",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9445,6 +9507,7 @@ QUERIES = {
     "httpcheck_status": q_httpcheck_status,
     "riak_stats": q_riak_stats,
     "flink_metrics": q_flink_metrics,
+    "nsxt_node_stats": q_nsxt_node_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -15890,4 +15953,85 @@ ORACLE_SQL["flink_metrics"] = """
     FROM e CROSS JOIN st s WHERE e.k = 3
     ORDER BY event_id, name, garbage_collector_name, checkpoint,
              record, operator_name
+"""
+
+ORACLE_SQL["nsxt_node_stats"] = """
+    WITH e AS (SELECT event_id,
+        CASE WHEN event_id % 2 = 0 THEN 'transport'
+             ELSE 'manager' END AS cls,
+        CASE WHEN event_id % 2 = 0 THEN 'TransportNode'
+             ELSE 'ClusterNodeConfig' END AS rtype,
+        printf('node%02d', event_id % 40) AS nid,
+        printf('n%02d', event_id % 40) AS nname,
+        'eth' || CAST(event_id % 4 AS VARCHAR) AS dev,
+        event_id * 7 % 1000000 AS used,
+        CASE WHEN event_id % 11 = 0 THEN 0
+          ELSE event_id * 7 % 1000000 + event_id % 1000000 + 1000
+          END AS total
+      FROM events),
+    pkt(pre, direction, ptype, kind) AS (VALUES
+      ('rx', 'received', 'dropped', 0),
+      ('rx', 'received', 'errored', 1),
+      ('rx', 'received', 'success', 2),
+      ('tx', 'transmitted', 'dropped', 3),
+      ('tx', 'transmitted', 'errored', 4),
+      ('tx', 'transmitted', 'success', 5)),
+    nod(kind, name, mtype, mono, cls_attr, dstate) AS (VALUES
+      (0, 'nsxt.node.cpu.utilization', 'gauge',
+       CAST(NULL AS BOOLEAN), 'datapath', CAST(NULL AS VARCHAR)),
+      (1, 'nsxt.node.cpu.utilization', 'gauge', NULL, 'services',
+       NULL),
+      (2, 'nsxt.node.memory.usage', 'sum', FALSE, NULL, NULL),
+      (3, 'nsxt.node.memory.cache.usage', 'sum', FALSE, NULL, NULL),
+      (4, 'nsxt.node.filesystem.usage', 'sum', FALSE, NULL, 'used'),
+      (5, 'nsxt.node.filesystem.usage', 'sum', FALSE, NULL,
+       'available'),
+      (6, 'nsxt.node.filesystem.utilization', 'gauge', NULL, NULL,
+       NULL))
+    SELECT e.event_id, 'nsxt.node.network.packet.count' AS name,
+      'sum' AS mtype, TRUE AS is_monotonic,
+      CAST(2 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE p.kind
+        WHEN 0 THEN e.event_id % 50
+        WHEN 1 THEN e.event_id % 30
+        WHEN 2 THEN e.event_id % 100000 - e.event_id % 50
+                    - e.event_id % 30
+        WHEN 3 THEN (e.event_id + 1) % 50
+        WHEN 4 THEN (e.event_id + 2) % 30
+        ELSE e.event_id * 2 % 100000 - (e.event_id + 1) % 50
+             - (e.event_id + 2) % 30 END AS BIGINT) AS value_int,
+      CAST(NULL AS DOUBLE) AS value_double,
+      p.direction, p.ptype AS packet_type,
+      CAST(NULL AS VARCHAR) AS cpu_class,
+      CAST(NULL AS VARCHAR) AS disk_state,
+      e.dev AS device_id, e.nname AS node_name, e.nid AS node_id,
+      e.rtype AS node_type, 1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN pkt p
+    UNION ALL
+    SELECT e.event_id, 'nsxt.node.network.io', 'sum', TRUE,
+      CAST(2 AS INTEGER),
+      CAST(CASE d.dir WHEN 'received' THEN e.event_id * 13 % 10000000
+           ELSE e.event_id * 17 % 10000000 END AS BIGINT),
+      CAST(NULL AS DOUBLE), d.dir, NULL, NULL, NULL,
+      e.dev, e.nname, e.nid, e.rtype, 1690000000000000000
+    FROM e CROSS JOIN (VALUES ('received'), ('transmitted')) d(dir)
+    UNION ALL
+    SELECT e.event_id, n.name, n.mtype, n.mono,
+      CAST(CASE n.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER),
+      CAST(CASE n.kind WHEN 2 THEN e.event_id * 3 % 1000000
+           WHEN 3 THEN e.event_id % 100000
+           WHEN 4 THEN e.used
+           WHEN 5 THEN e.total - e.used END AS BIGINT),
+      CASE n.kind
+        WHEN 0 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.25
+        WHEN 1 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.5
+        WHEN 6 THEN CAST(e.used AS DOUBLE)
+          / (CASE WHEN e.total < 1 THEN 1.0
+             ELSE CAST(e.total AS DOUBLE) END) END,
+      CAST(NULL AS VARCHAR), NULL, n.cls_attr, n.dstate,
+      CAST(NULL AS VARCHAR), e.nname, e.nid, e.cls,
+      1690000000000000000
+    FROM e CROSS JOIN nod n
+    ORDER BY event_id, name, direction, packet_type, cpu_class,
+             disk_state
 """

@@ -104,7 +104,7 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "nginx_status", "docker_stats",
                    "memcached_stats", "couchdb_stats",
                    "httpcheck_status", "riak_stats",
-                   "flink_metrics"}
+                   "flink_metrics", "nsxt_node_stats"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
