@@ -9262,6 +9262,45 @@ def q_nsxt_node_stats(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_sqlquery_metrics(sf_dir: str):
+    """internal/sqlquery row→metric engine over the events table —
+    gauge/cumulative/delta configs with value typing, attribute and
+    static-attribute attachment, ts_column overrides, the delta
+    start = ts − interval stamp (metrics.go:16-124).  Engine-level
+    vectors in tests/test_sqlquery.py."""
+    from ..stages.sqlquery import rows_to_metrics
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type",
+                             "value"])
+    return rows_to_metrics(ds, [
+        {"metric_name": "events.value", "value_column": "value",
+         "value_type": "double", "data_type": "gauge",
+         "attribute_columns": ["event_type"],
+         "static_attributes": {"db": "events"}},
+        {"metric_name": "events.user", "value_column": "user_id",
+         "value_type": "int", "data_type": "sum", "monotonic": True,
+         "aggregation": "cumulative"},
+        {"metric_name": "events.id.delta", "value_column": "event_id",
+         "value_type": "int", "data_type": "sum",
+         "aggregation": "delta", "ts_column": "event_id"},
+    ], start_ts_ns=500, ts_ns=1_690_000_000_000_000_000,
+        collection_interval_ns=1000)
+
+
+def q_sqlquery_logs(sf_dir: str):
+    """sqlqueryreceiver logs path over the events table — body_column
+    + attribute_columns with missing-column skips
+    (logs_receiver.go:282-345)."""
+    from ..stages.sqlquery import rows_to_logs
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "props"])
+    return rows_to_logs(ds, [
+        {"body_column": "props", "attribute_columns": ["event_type"]},
+    ], observed_ns=1_690_000_000_000_000_000)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9508,6 +9547,8 @@ QUERIES = {
     "riak_stats": q_riak_stats,
     "flink_metrics": q_flink_metrics,
     "nsxt_node_stats": q_nsxt_node_stats,
+    "sqlquery_metrics": q_sqlquery_metrics,
+    "sqlquery_logs": q_sqlquery_logs,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16034,4 +16075,33 @@ ORACLE_SQL["nsxt_node_stats"] = """
     FROM e CROSS JOIN nod n
     ORDER BY event_id, name, direction, packet_type, cpu_class,
              disk_state
+"""
+
+ORACLE_SQL["sqlquery_metrics"] = """
+    SELECT 'events.value' AS name, '' AS unit, 'gauge' AS mtype,
+      CAST(NULL AS BOOLEAN) AS is_monotonic,
+      CAST(0 AS INTEGER) AS aggregation_temporality,
+      CAST(NULL AS BIGINT) AS value_int, value AS value_double,
+      '{"db":"events","event_type":"' || event_type || '"}' AS attrs,
+      CAST(0 AS BIGINT) AS start_time_unix_nano,
+      1690000000000000000 AS time_unix_nano
+    FROM events
+    UNION ALL
+    SELECT 'events.user', '', 'sum', TRUE, CAST(2 AS INTEGER),
+      user_id, CAST(NULL AS DOUBLE), '{}',
+      CAST(500 AS BIGINT), 1690000000000000000
+    FROM events
+    UNION ALL
+    SELECT 'events.id.delta', '', 'sum', FALSE, CAST(1 AS INTEGER),
+      event_id, CAST(NULL AS DOUBLE), '{}',
+      event_id - 1000, event_id
+    FROM events
+    ORDER BY name, value_int, value_double
+"""
+
+ORACLE_SQL["sqlquery_logs"] = """
+    SELECT props AS body,
+      '{"event_type":"' || event_type || '"}' AS attrs,
+      1690000000000000000 AS observed_time_unix_nano
+    FROM events
 """
