@@ -9301,6 +9301,49 @@ def q_sqlquery_logs(sf_dir: str):
     ], observed_ns=1_690_000_000_000_000_000)
 
 
+def q_kafka_consumer_lag(sf_dir: str):
+    """kafkametricsreceiver consumer scraper: offset blocks + hwm →
+    kafka.consumer_group.* — lag = hwm − offset with the −1
+    unmeasured default, offset_sum counting −1 offsets, lag_sum over
+    MEASURED lags only, the per-(group,topic) isConsumed gate, the
+    ^[^_].*$ internal-topic filter, members sums
+    (receiver/kafkametricsreceiver/consumer_scraper.go:53-166).
+    Gate/math vectors in tests/test_kafkametrics.py."""
+    from ..stages.kafkametrics import consumer_lag_metrics
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        e = t.column("event_id").to_numpy(zero_copy_only=False)
+        topics = ["_hidden" if x % 11 == 0 else f"t{x % 7}"
+                  for x in e]
+        offs = [(-1 if x % 9 == 0 else int(x) * 3 % 100000)
+                for x in e]
+        return pa.table({
+            "group": pa.array([f"g{x % 5}" for x in e], pa.string()),
+            "topic": pa.array(topics, pa.string()),
+            "partition": pa.array((e % 10).astype("int64"),
+                                  pa.int64()),
+            "offset": pa.array(offs, pa.int64()),
+        })
+
+    offsets = ds.map_batches(fixture, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    hwm = pa.table({
+        "topic": pa.array([f"t{ti}" for ti in range(7)
+                           for _p in range(9)], pa.string()),
+        "partition": pa.array([p for _ti in range(7)
+                               for p in range(9)], pa.int64()),
+        "offset": pa.array([50000 + ti * 1000 + p * 7
+                            for ti in range(7) for p in range(9)],
+                           pa.int64()),
+    })
+    members = {f"g{i}": i + 2 for i in range(5)}
+    return consumer_lag_metrics(offsets, hwm, members,
+                                cluster_alias="kc1",
+                                now_ns=1_690_000_000_000_000_000)
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9549,6 +9592,7 @@ QUERIES = {
     "nsxt_node_stats": q_nsxt_node_stats,
     "sqlquery_metrics": q_sqlquery_metrics,
     "sqlquery_logs": q_sqlquery_logs,
+    "kafka_consumer_lag": q_kafka_consumer_lag,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16104,4 +16148,57 @@ ORACLE_SQL["sqlquery_logs"] = """
       '{"event_type":"' || event_type || '"}' AS attrs,
       1690000000000000000 AS observed_time_unix_nano
     FROM events
+"""
+
+ORACLE_SQL["kafka_consumer_lag"] = """
+    WITH raw AS (SELECT event_id,
+        'g' || CAST(event_id % 5 AS VARCHAR) AS g,
+        CASE WHEN event_id % 11 = 0 THEN '_hidden'
+          ELSE 't' || CAST(event_id % 7 AS VARCHAR) END AS t,
+        event_id % 10 AS p,
+        CASE WHEN event_id % 9 = 0 THEN -1
+          ELSE event_id * 3 % 100000 END AS off
+      FROM events),
+    filt AS (SELECT * FROM raw WHERE substr(t, 1, 1) <> '_'),
+    lagd AS (SELECT *,
+        CASE WHEN p <= 8 AND off <> -1
+          THEN (50000 + (event_id % 7) * 1000 + p * 7) - off
+          ELSE -1 END AS lag,
+        CASE WHEN p <= 8 AND off <> -1 THEN 1 ELSE 0 END AS measured
+      FROM filt),
+    consumed AS (SELECT g, t FROM filt GROUP BY g, t
+      HAVING max(CASE WHEN off <> -1 THEN 1 ELSE 0 END) = 1)
+    SELECT 'kafka.consumer_group.offset' AS name, 'gauge' AS mtype,
+      CAST(NULL AS BOOLEAN) AS is_monotonic,
+      CAST(0 AS INTEGER) AS aggregation_temporality,
+      CAST(l.off AS BIGINT) AS value_int,
+      l.g AS "group", l.t AS topic, CAST(l.p AS BIGINT) AS partition,
+      'kc1' AS cluster_alias, 1690000000000000000 AS time_unix_nano
+    FROM lagd l JOIN consumed c ON l.g = c.g AND l.t = c.t
+    UNION ALL
+    SELECT 'kafka.consumer_group.lag', 'gauge', NULL,
+      CAST(0 AS INTEGER), CAST(l.lag AS BIGINT), l.g, l.t,
+      CAST(l.p AS BIGINT), 'kc1', 1690000000000000000
+    FROM lagd l JOIN consumed c ON l.g = c.g AND l.t = c.t
+    UNION ALL
+    SELECT 'kafka.consumer_group.offset_sum', 'gauge', NULL,
+      CAST(0 AS INTEGER), CAST(sum(l.off) AS BIGINT), l.g, l.t,
+      CAST(NULL AS BIGINT), 'kc1', 1690000000000000000
+    FROM lagd l JOIN consumed c ON l.g = c.g AND l.t = c.t
+    GROUP BY l.g, l.t
+    UNION ALL
+    SELECT 'kafka.consumer_group.lag_sum', 'gauge', NULL,
+      CAST(0 AS INTEGER),
+      CAST(sum(CASE WHEN l.measured = 1 THEN l.lag ELSE 0 END)
+           AS BIGINT), l.g, l.t,
+      CAST(NULL AS BIGINT), 'kc1', 1690000000000000000
+    FROM lagd l JOIN consumed c ON l.g = c.g AND l.t = c.t
+    GROUP BY l.g, l.t
+    UNION ALL
+    SELECT 'kafka.consumer_group.members', 'sum', FALSE,
+      CAST(2 AS INTEGER), CAST(m.j + 2 AS BIGINT),
+      'g' || CAST(m.j AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS BIGINT), 'kc1', 1690000000000000000
+    FROM (VALUES (0), (1), (2), (3), (4)) m(j)
+    ORDER BY name, "group", topic, partition, value_int
 """
