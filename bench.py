@@ -192,6 +192,13 @@ OPERATOR_QUERIES = [
     "boilerplate_filter",
     "dsir_select",
     "batch_per_signal",
+    # round-5 continuation session 2: the biggest new scraper decode
+    # (docker stats JSON), the row->telemetry mapping engine (fully
+    # vectorized fan-out), and the kafka lag math (broadcast hwm +
+    # partial/merge + gated second pass — one real exchange)
+    "docker_stats",
+    "sqlquery_metrics",
+    "kafka_consumer_lag",
 ]
 
 

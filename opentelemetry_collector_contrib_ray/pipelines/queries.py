@@ -9344,6 +9344,52 @@ def q_kafka_consumer_lag(sf_dir: str):
                                 now_ns=1_690_000_000_000_000_000)
 
 
+def q_podman_stats(sf_dir: str):
+    """podmanreceiver: libpod stats JSON → the 11 container.* metrics
+    — ns→s integer truncation, the rx←NetOutput/tx←NetInput swap,
+    percpu core fan-out, stats-vs-inspect resource split
+    (receiver/podmanreceiver/receiver.go:103-178, metadata.yaml).
+    Reference test vector pinned in tests/test_podman.py."""
+    import json as _json
+
+    from ..stages.podman import parse_podman
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs, images = [], []
+        for e in t.column("event_id").to_pylist():
+            docs.append(_json.dumps({
+                "ContainerID": f"c{e % 50:02d}",
+                "Name": f"pod{e % 50:02d}",
+                "PerCPU": [e * 10**9 % (7 * 10**9) + j * 10**9
+                           for j in range(e % 3)],
+                "CPU": e % 100 + 0.25,
+                "CPUNano": e * 997 % (10**13),
+                "CPUSystemNano": e * 499 % (10**13),
+                "MemUsage": e * 11 % 10**9,
+                "MemLimit": e * 13 % 10**9 + 1,
+                "MemPerc": e % 100 + 0.5,
+                "NetInput": e * 3 % 10**8,
+                "NetOutput": e * 7 % 10**8,
+                "BlockInput": e * 17 % 10**8,
+                "BlockOutput": e * 19 % 10**8,
+            }))
+            images.append(f"img{e % 10}")
+        return pa.table({"event_id": t.column("event_id"),
+                         "stats_json": pa.array(docs, pa.string()),
+                         "image": pa.array(images, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_podman(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "core", "container_id", "container_name",
+         "container_image_name", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9593,6 +9639,7 @@ QUERIES = {
     "sqlquery_metrics": q_sqlquery_metrics,
     "sqlquery_logs": q_sqlquery_logs,
     "kafka_consumer_lag": q_kafka_consumer_lag,
+    "podman_stats": q_podman_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16201,4 +16248,56 @@ ORACLE_SQL["kafka_consumer_lag"] = """
       CAST(NULL AS BIGINT), 'kc1', 1690000000000000000
     FROM (VALUES (0), (1), (2), (3), (4)) m(j)
     ORDER BY name, "group", topic, partition, value_int
+"""
+
+ORACLE_SQL["podman_stats"] = """
+    WITH e AS (SELECT event_id,
+        printf('c%02d', event_id % 50) AS cid,
+        printf('pod%02d', event_id % 50) AS cname,
+        'img' || CAST(event_id % 10 AS VARCHAR) AS img
+      FROM events),
+    f(kind, name, mtype, mono) AS (VALUES
+      (0, 'container.cpu.usage.system', 'sum', TRUE),
+      (1, 'container.cpu.usage.total', 'sum', TRUE),
+      (2, 'container.cpu.percent', 'gauge', CAST(NULL AS BOOLEAN)),
+      (3, 'container.network.io.usage.rx_bytes', 'sum', TRUE),
+      (4, 'container.network.io.usage.tx_bytes', 'sum', TRUE),
+      (5, 'container.memory.usage.total', 'sum', FALSE),
+      (6, 'container.memory.usage.limit', 'sum', FALSE),
+      (7, 'container.memory.percent', 'gauge', NULL),
+      (8, 'container.blockio.io_service_bytes_recursive.read', 'sum',
+       TRUE),
+      (9, 'container.blockio.io_service_bytes_recursive.write',
+       'sum', TRUE))
+    SELECT e.event_id, f.name, f.mtype, f.mono AS is_monotonic,
+      CAST(CASE f.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER)
+        AS aggregation_temporality,
+      CAST(CASE f.kind
+        WHEN 0 THEN (e.event_id * 499 % 10000000000000)
+                    // 1000000000
+        WHEN 1 THEN (e.event_id * 997 % 10000000000000)
+                    // 1000000000
+        WHEN 3 THEN e.event_id * 7 % 100000000
+        WHEN 4 THEN e.event_id * 3 % 100000000
+        WHEN 5 THEN e.event_id * 11 % 1000000000
+        WHEN 6 THEN e.event_id * 13 % 1000000000 + 1
+        WHEN 8 THEN e.event_id * 17 % 100000000
+        WHEN 9 THEN e.event_id * 19 % 100000000 END AS BIGINT)
+        AS value_int,
+      CASE f.kind WHEN 2 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.25
+        WHEN 7 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.5 END
+        AS value_double,
+      CAST(NULL AS VARCHAR) AS core, e.cid AS container_id,
+      e.cname AS container_name, e.img AS container_image_name,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN f
+    UNION ALL
+    SELECT e.event_id, 'container.cpu.usage.percpu', 'sum', TRUE,
+      CAST(2 AS INTEGER),
+      CAST(e.event_id % 7 + j.j AS BIGINT), CAST(NULL AS DOUBLE),
+      'cpu' || CAST(j.j AS VARCHAR), e.cid, e.cname, e.img,
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES (0), (1)) j(j)
+    WHERE j.j < e.event_id % 3
+    ORDER BY event_id, name, core
 """

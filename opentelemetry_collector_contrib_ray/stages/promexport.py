@@ -516,9 +516,23 @@ def render_prometheus_text(accumulated, *, namespace: str = "",
         batch_format="pyarrow", zero_copy_batch=True) \
         .materialize().to_arrow_refs()
     import ray
+
+    def _as_arrow(part):
+        # an EMPTY pandas block from the map_groups upstream can pass
+        # through map_batches unexecuted and reach to_arrow_refs
+        # unconverted (blocks.py empty-block hazard; seen once in the
+        # 32-cpu bench run) — coerce defensively
+        if isinstance(part, pa.Table):
+            return part
+        import pandas as _pd
+
+        if isinstance(part, _pd.DataFrame):
+            return pa.Table.from_pandas(part, preserve_index=False)
+        return pa.table({})
+
     fams: dict[str, tuple[int, str, str]] = {}
     for ref in fam_parts:
-        part = ray.get(ref)
+        part = _as_arrow(ray.get(ref))
         if part.num_rows == 0 or "fam" not in part.schema.names:
             continue  # 0-row blocks surface 0-column (blocks.py note)
         for fam, seq, tstr, help_ in zip(
@@ -536,7 +550,7 @@ def render_prometheus_text(accumulated, *, namespace: str = "",
             _target_info_partial, batch_format="pyarrow",
             zero_copy_batch=True).materialize().to_arrow_refs()
         for ref in ti_parts:
-            part = ray.get(ref)
+            part = _as_arrow(ray.get(ref))
             if part.num_rows == 0 or "sig" not in part.schema.names:
                 continue
             for sig, seq, res in zip(part.column("sig").to_pylist(),
@@ -616,7 +630,12 @@ def render_prometheus_text(accumulated, *, namespace: str = "",
                            for k, v in header.items()})
     if header_tab.num_rows:
         out = out.union(rd.from_arrow(header_tab))
-    return out
+    # scrub the 0-row blocks the render map can leak when the pandas
+    # map_groups upstream had empty blocks (they skip the fn and
+    # surface schemaless — breaks downstream concat/union consumers)
+    from .blocks import nonempty_blocks
+
+    return nonempty_blocks(out)
 
 
 def metrics_to_prometheus_text(ds, *, seq_col: str = "seq", **render_opts):
