@@ -252,8 +252,12 @@ def init_ray(num_cpus: int):
     import ray
 
     if not ray.is_initialized():
+        # log_to_driver=False: worker prints otherwise interleave with
+        # the ONE json line the driver parses from stdout (a stray
+        # _block_rows task log corrupted a bench capture this round)
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-                 logging_level="ERROR", ignore_reinit_error=True)
+                 logging_level="ERROR", ignore_reinit_error=True,
+                 log_to_driver=False)
         from ray.data import DataContext
 
         ctx = DataContext.get_current()
