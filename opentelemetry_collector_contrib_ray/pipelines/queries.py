@@ -9439,6 +9439,48 @@ def q_aerospike_stats(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_chrony_tracking(sf_dir: str):
+    """chronyreceiver: chronyd binary tracking replies → the 7 ntp.*
+    gauges — the 28-byte reply header with whole-scrape status/reply
+    gates, the packed 7-bit-exp/25-bit-coef chrony binaryFloat
+    decode, the LeapStatus+1 enum attr (skew/stratum carry no attr)
+    (receiver/chronyreceiver/scraper.go:31-68,
+    internal/chrony/types.go:47-181).  The client_test.go binary
+    fixture is decoded byte-for-byte in tests/test_chrony.py."""
+    import struct as _struct
+
+    from ..stages.chrony import METRICS, pack_chrony_float, parse_chrony
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            status = 1 if e % 19 == 0 else 0
+            head = _struct.pack(">BBBBHHHHHHIII", 6, 0, 0, 0, 0, 5,
+                                status, 0, 0, 0, e % 100, 0, 0)
+            f = [pack_chrony_float(c, -10) for c in
+                 (e % 1000, e * 3 % 1000, e * 7 % 1000, e * 11 % 1000,
+                  0, e * 13 % 1000, e * 17 % 1000, 0, 0)]
+            ip = bytes([10, 0, 0, e % 250]) + bytes(12)
+            content = _struct.pack(">I16sHHHHIII9i", e % 2**31, ip, 1,
+                                   0, e % 16, e % 4, 0, 1690000000, 0,
+                                   *f)
+            docs.append(head + content)
+        return pa.table({"event_id": t.column("event_id"),
+                         "reply": pa.array(docs, pa.binary())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_chrony(flat,
+                       enabled_metrics=[n for n, *_ in METRICS],
+                       now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "leap_status", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9690,6 +9732,7 @@ QUERIES = {
     "kafka_consumer_lag": q_kafka_consumer_lag,
     "podman_stats": q_podman_stats,
     "aerospike_stats": q_aerospike_stats,
+    "chrony_tracking": q_chrony_tracking,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16408,4 +16451,37 @@ ORACLE_SQL["aerospike_stats"] = """
     WHERE e.event_id % 2 = 1
     ORDER BY event_id, name, type, operation, component, index,
              result
+"""
+
+ORACLE_SQL["chrony_tracking"] = """
+    WITH l AS (SELECT event_id,
+        CASE event_id % 4 WHEN 0 THEN 'normal'
+          WHEN 1 THEN 'insert_second' WHEN 2 THEN 'delete_second'
+          ELSE 'unsynchronised' END AS leap
+      FROM events WHERE event_id % 19 <> 0),
+    f(kind, name, has_leap) AS (VALUES
+      (0, 'ntp.stratum', FALSE),
+      (1, 'ntp.time.correction', TRUE),
+      (2, 'ntp.time.last_offset', TRUE),
+      (3, 'ntp.time.rms_offset', TRUE),
+      (4, 'ntp.frequency.offset', TRUE),
+      (5, 'ntp.skew', FALSE),
+      (6, 'ntp.time.root_delay', TRUE))
+    SELECT l.event_id, f.name, 'gauge' AS mtype,
+      CAST(NULL AS BOOLEAN) AS is_monotonic,
+      CAST(0 AS INTEGER) AS aggregation_temporality,
+      CASE WHEN f.kind = 0 THEN CAST(l.event_id % 16 AS BIGINT) END
+        AS value_int,
+      CASE f.kind
+        WHEN 1 THEN CAST(l.event_id % 1000 AS DOUBLE) / 1024.0
+        WHEN 2 THEN CAST(l.event_id * 3 % 1000 AS DOUBLE) / 1024.0
+        WHEN 3 THEN CAST(l.event_id * 7 % 1000 AS DOUBLE) / 1024.0
+        WHEN 4 THEN CAST(l.event_id * 11 % 1000 AS DOUBLE) / 1024.0
+        WHEN 5 THEN CAST(l.event_id * 13 % 1000 AS DOUBLE) / 1024.0
+        WHEN 6 THEN CAST(l.event_id * 17 % 1000 AS DOUBLE) / 1024.0
+        END AS value_double,
+      CASE WHEN f.has_leap THEN l.leap END AS leap_status,
+      1690000000000000000 AS time_unix_nano
+    FROM l CROSS JOIN f
+    ORDER BY event_id, name
 """
