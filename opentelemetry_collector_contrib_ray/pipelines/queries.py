@@ -9481,6 +9481,101 @@ def q_chrony_tracking(sf_dir: str):
          "leap_status", "time_unix_nano"])
 
 
+def q_spark_app_stats(sf_dir: str):
+    """apachesparkreceiver: application snapshots → spark.* — the
+    presence-gated 40-entry cluster key table (int64 truncation of
+    gauge floats, histogram count+mean pairs), the stage status row
+    with four bool attrs and the unknown-status whole-stage skip, the
+    25 stage counters, executor rows with the derived free =
+    total − used storage pairs, job fan-outs
+    (receiver/apachesparkreceiver/scraper.go:46-350, metadata.yaml).
+    Golden-pinned on the full fixture tree in
+    tests/test_apachespark.py."""
+    import json as _json
+
+    from ..stages.apachespark import parse_apachespark
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    statuses = ("ACTIVE", "COMPLETE", "PENDING", "FAILED", "SKIPPED")
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            aid = f"app-{e % 20:02d}"
+            cluster = {
+                "gauges": {
+                    f"{aid}.driver.BlockManager.disk.diskSpaceUsed_MB":
+                        {"value": e % 1000 + 0.75},
+                    f"{aid}.driver.BlockManager.memory."
+                    f"onHeapMemUsed_MB": {"value": e * 3 % 1000000
+                                          + 0.25},
+                    f"{aid}.driver.DAGScheduler.stage.runningStages":
+                        {"value": float(e % 50)},
+                },
+                "counters": {},
+                "histograms": {
+                    f"{aid}.driver.CodeGenerator.compilationTime":
+                        {"count": e % 500, "mean": e % 100 + 0.5},
+                },
+                "timers": {
+                    f"{aid}.driver.LiveListenerBus.queue.appStatus."
+                    f"listenerProcessingTime":
+                        {"count": 1, "mean": e % 10 + 0.25},
+                },
+            }
+            if e % 7 != 0:
+                cluster["counters"][
+                    f"{aid}.driver.HiveExternalCatalog.fileCacheHits"
+                ] = {"count": e % 10000}
+            docs.append(_json.dumps({
+                "app_id": aid, "app_name": f"job{e % 6}",
+                "cluster": cluster,
+                "stages": [{
+                    "status": statuses[e % 5],
+                    "stageId": e % 30, "attemptId": e % 3,
+                    "numActiveTasks": e % 100,
+                    "numCompleteTasks": e * 3 % 1000,
+                    "inputBytes": e * 7 % 1000000,
+                    "shuffleWriteBytes": e * 11 % 1000000,
+                }],
+                "executors": [{
+                    "id": str(e % 4),
+                    "memoryUsed": e % 1000000,
+                    "maxTasks": e % 16,
+                    "usedOnHeapStorageMemory": e % 1000,
+                    "totalOnHeapStorageMemory": e % 1000 + e % 500,
+                    "usedOffHeapStorageMemory": e % 200,
+                    "totalOffHeapStorageMemory": e % 200 + 7,
+                }],
+                "jobs": [{
+                    "jobId": e % 40,
+                    "numActiveTasks": e % 50,
+                    "numCompletedTasks": e * 3 % 500,
+                    "numSkippedTasks": e % 20,
+                    "numFailedTasks": e % 10,
+                    "numActiveStages": e % 5,
+                    "numCompletedStages": e % 8,
+                    "numSkippedStages": e % 3,
+                    "numFailedStages": e % 2,
+                }],
+            }))
+        return pa.table({"event_id": t.column("event_id"),
+                         "app_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_apachespark(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "location", "state", "source", "direction",
+         "scheduler_status", "stage_task_result",
+         "executor_task_result", "job_result", "stage_active",
+         "stage_complete", "stage_pending", "stage_failed", "app_id",
+         "app_name", "stage_id", "attempt_id", "executor_id",
+         "job_id", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9733,6 +9828,7 @@ QUERIES = {
     "podman_stats": q_podman_stats,
     "aerospike_stats": q_aerospike_stats,
     "chrony_tracking": q_chrony_tracking,
+    "spark_app_stats": q_spark_app_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16484,4 +16580,179 @@ ORACLE_SQL["chrony_tracking"] = """
       1690000000000000000 AS time_unix_nano
     FROM l CROSS JOIN f
     ORDER BY event_id, name
+"""
+
+ORACLE_SQL["spark_app_stats"] = """
+    WITH e AS (SELECT event_id,
+        printf('app-%02d', event_id % 20) AS aid,
+        'job' || CAST(event_id % 6 AS VARCHAR) AS aname
+      FROM events),
+    cl(kind, name, mtype, mono, loc, st, sched, gate) AS (VALUES
+      (0, 'spark.driver.block_manager.disk.usage', 'sum', FALSE,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), 0),
+      (1, 'spark.driver.block_manager.memory.usage', 'sum', FALSE,
+       'on_heap', 'used', NULL, 0),
+      (2, 'spark.driver.dag_scheduler.stage.count', 'sum', FALSE,
+       NULL, NULL, 'running', 0),
+      (3, 'spark.driver.code_generator.compilation.count', 'sum',
+       TRUE, NULL, NULL, NULL, 0),
+      (4, 'spark.driver.code_generator.compilation.average_time',
+       'gauge', CAST(NULL AS BOOLEAN), NULL, NULL, NULL, 0),
+      (5, 'spark.driver.live_listener_bus.processing_time.average',
+       'gauge', NULL, NULL, NULL, NULL, 0),
+      (6, 'spark.driver.hive_external_catalog.file_cache_hits',
+       'sum', TRUE, NULL, NULL, NULL, 1)),
+    stg(kind, name, mono, res, dir, src) AS (VALUES
+      (0, 'spark.stage.task.active', FALSE, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      (1, 'spark.stage.task.result', TRUE, 'completed', NULL, NULL),
+      (2, 'spark.stage.task.result', TRUE, 'failed', NULL, NULL),
+      (3, 'spark.stage.task.result', TRUE, 'killed', NULL, NULL),
+      (4, 'spark.stage.executor.run_time', TRUE, NULL, NULL, NULL),
+      (5, 'spark.stage.executor.cpu_time', TRUE, NULL, NULL, NULL),
+      (6, 'spark.stage.task.result_size', TRUE, NULL, NULL, NULL),
+      (7, 'spark.stage.jvm_gc_time', TRUE, NULL, NULL, NULL),
+      (8, 'spark.stage.memory.spilled', TRUE, NULL, NULL, NULL),
+      (9, 'spark.stage.disk.spilled', TRUE, NULL, NULL, NULL),
+      (10, 'spark.stage.memory.peak', TRUE, NULL, NULL, NULL),
+      (11, 'spark.stage.io.size', TRUE, NULL, 'in', NULL),
+      (12, 'spark.stage.io.size', TRUE, NULL, 'out', NULL),
+      (13, 'spark.stage.io.records', TRUE, NULL, 'in', NULL),
+      (14, 'spark.stage.io.records', TRUE, NULL, 'out', NULL),
+      (15, 'spark.stage.shuffle.blocks_fetched', TRUE, NULL, NULL,
+       'remote'),
+      (16, 'spark.stage.shuffle.blocks_fetched', TRUE, NULL, NULL,
+       'local'),
+      (17, 'spark.stage.shuffle.fetch_wait_time', TRUE, NULL, NULL,
+       NULL),
+      (18, 'spark.stage.shuffle.io.disk', TRUE, NULL, NULL, NULL),
+      (19, 'spark.stage.shuffle.io.read.size', TRUE, NULL, NULL,
+       'local'),
+      (20, 'spark.stage.shuffle.io.read.size', TRUE, NULL, NULL,
+       'remote'),
+      (21, 'spark.stage.shuffle.io.write.size', TRUE, NULL, NULL,
+       NULL),
+      (22, 'spark.stage.shuffle.io.records', TRUE, NULL, 'in', NULL),
+      (23, 'spark.stage.shuffle.io.records', TRUE, NULL, 'out',
+       NULL),
+      (24, 'spark.stage.shuffle.write_time', TRUE, NULL, NULL, NULL)),
+    exe(kind, name, mono, res, dir, loc, st) AS (VALUES
+      (0, 'spark.executor.memory.usage', FALSE,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+      (1, 'spark.executor.disk.usage', FALSE, NULL, NULL, NULL,
+       NULL),
+      (2, 'spark.executor.task.limit', FALSE, NULL, NULL, NULL,
+       NULL),
+      (3, 'spark.executor.task.active', FALSE, NULL, NULL, NULL,
+       NULL),
+      (4, 'spark.executor.task.result', TRUE, 'failed', NULL, NULL,
+       NULL),
+      (5, 'spark.executor.task.result', TRUE, 'completed', NULL,
+       NULL, NULL),
+      (6, 'spark.executor.time', TRUE, NULL, NULL, NULL, NULL),
+      (7, 'spark.executor.gc_time', TRUE, NULL, NULL, NULL, NULL),
+      (8, 'spark.executor.input_size', TRUE, NULL, NULL, NULL, NULL),
+      (9, 'spark.executor.shuffle.io.size', TRUE, NULL, 'in', NULL,
+       NULL),
+      (10, 'spark.executor.shuffle.io.size', TRUE, NULL, 'out', NULL,
+       NULL),
+      (11, 'spark.executor.storage_memory.usage', FALSE, NULL, NULL,
+       'on_heap', 'used'),
+      (12, 'spark.executor.storage_memory.usage', FALSE, NULL, NULL,
+       'on_heap', 'free'),
+      (13, 'spark.executor.storage_memory.usage', FALSE, NULL, NULL,
+       'off_heap', 'used'),
+      (14, 'spark.executor.storage_memory.usage', FALSE, NULL, NULL,
+       'off_heap', 'free')),
+    jb(kind, name, mono, res) AS (VALUES
+      (0, 'spark.job.task.active', FALSE, CAST(NULL AS VARCHAR)),
+      (1, 'spark.job.task.result', TRUE, 'completed'),
+      (2, 'spark.job.task.result', TRUE, 'skipped'),
+      (3, 'spark.job.task.result', TRUE, 'failed'),
+      (4, 'spark.job.stage.active', FALSE, NULL),
+      (5, 'spark.job.stage.result', TRUE, 'completed'),
+      (6, 'spark.job.stage.result', TRUE, 'skipped'),
+      (7, 'spark.job.stage.result', TRUE, 'failed'))
+    SELECT e.event_id, c.name, c.mtype, c.mono AS is_monotonic,
+      CAST(CASE c.mtype WHEN 'sum' THEN 2 ELSE 0 END AS INTEGER)
+        AS aggregation_temporality,
+      CAST(CASE c.kind WHEN 0 THEN e.event_id % 1000
+        WHEN 1 THEN e.event_id * 3 % 1000000
+        WHEN 2 THEN e.event_id % 50 WHEN 3 THEN e.event_id % 500
+        WHEN 6 THEN e.event_id % 10000 END AS BIGINT) AS value_int,
+      CASE c.kind WHEN 4 THEN CAST(e.event_id % 100 AS DOUBLE) + 0.5
+        WHEN 5 THEN CAST(e.event_id % 10 AS DOUBLE) + 0.25 END
+        AS value_double,
+      c.loc AS location, c.st AS state,
+      CAST(NULL AS VARCHAR) AS source,
+      CAST(NULL AS VARCHAR) AS direction,
+      c.sched AS scheduler_status,
+      CAST(NULL AS VARCHAR) AS stage_task_result,
+      CAST(NULL AS VARCHAR) AS executor_task_result,
+      CAST(NULL AS VARCHAR) AS job_result,
+      CAST(NULL AS BOOLEAN) AS stage_active,
+      CAST(NULL AS BOOLEAN) AS stage_complete,
+      CAST(NULL AS BOOLEAN) AS stage_pending,
+      CAST(NULL AS BOOLEAN) AS stage_failed,
+      e.aid AS app_id, e.aname AS app_name,
+      CAST(NULL AS BIGINT) AS stage_id,
+      CAST(NULL AS BIGINT) AS attempt_id,
+      CAST(NULL AS VARCHAR) AS executor_id,
+      CAST(NULL AS BIGINT) AS job_id,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN cl c
+    WHERE c.gate = 0 OR e.event_id % 7 <> 0
+    UNION ALL
+    SELECT e.event_id, 'spark.stage.status', 'sum', FALSE,
+      CAST(2 AS INTEGER), CAST(0 AS BIGINT), CAST(NULL AS DOUBLE),
+      NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      e.event_id % 5 = 0, e.event_id % 5 = 1, e.event_id % 5 = 2,
+      e.event_id % 5 = 3,
+      e.aid, e.aname, CAST(e.event_id % 30 AS BIGINT),
+      CAST(e.event_id % 3 AS BIGINT), NULL, NULL,
+      1690000000000000000
+    FROM e WHERE e.event_id % 5 <> 4
+    UNION ALL
+    SELECT e.event_id, s.name, 'sum', s.mono, CAST(2 AS INTEGER),
+      CAST(CASE s.kind WHEN 0 THEN e.event_id % 100
+        WHEN 1 THEN e.event_id * 3 % 1000
+        WHEN 11 THEN e.event_id * 7 % 1000000
+        WHEN 21 THEN e.event_id * 11 % 1000000
+        ELSE 0 END AS BIGINT),
+      CAST(NULL AS DOUBLE), NULL, NULL, s.src, s.dir, NULL, s.res,
+      NULL, NULL, CAST(NULL AS BOOLEAN), NULL, NULL, NULL,
+      e.aid, e.aname, CAST(e.event_id % 30 AS BIGINT),
+      CAST(e.event_id % 3 AS BIGINT), NULL, NULL,
+      1690000000000000000
+    FROM e CROSS JOIN stg s WHERE e.event_id % 5 <> 4
+    UNION ALL
+    SELECT e.event_id, x.name, 'sum', x.mono, CAST(2 AS INTEGER),
+      CAST(CASE x.kind WHEN 0 THEN e.event_id % 1000000
+        WHEN 2 THEN e.event_id % 16
+        WHEN 11 THEN e.event_id % 1000
+        WHEN 12 THEN e.event_id % 500
+        WHEN 13 THEN e.event_id % 200
+        WHEN 14 THEN 7 ELSE 0 END AS BIGINT),
+      CAST(NULL AS DOUBLE), x.loc, x.st, NULL, x.dir, NULL, NULL,
+      x.res, NULL, CAST(NULL AS BOOLEAN), NULL, NULL, NULL,
+      e.aid, e.aname, NULL, NULL,
+      CAST(e.event_id % 4 AS VARCHAR), NULL, 1690000000000000000
+    FROM e CROSS JOIN exe x
+    UNION ALL
+    SELECT e.event_id, j.name, 'sum', j.mono, CAST(2 AS INTEGER),
+      CAST(CASE j.kind WHEN 0 THEN e.event_id % 50
+        WHEN 1 THEN e.event_id * 3 % 500
+        WHEN 2 THEN e.event_id % 20 WHEN 3 THEN e.event_id % 10
+        WHEN 4 THEN e.event_id % 5 WHEN 5 THEN e.event_id % 8
+        WHEN 6 THEN e.event_id % 3 ELSE e.event_id % 2 END
+        AS BIGINT),
+      CAST(NULL AS DOUBLE), NULL, NULL, NULL, NULL, NULL, NULL,
+      NULL, j.res, CAST(NULL AS BOOLEAN), NULL, NULL, NULL,
+      e.aid, e.aname, NULL, NULL, NULL,
+      CAST(e.event_id % 40 AS BIGINT), 1690000000000000000
+    FROM e CROSS JOIN jb j
+    ORDER BY event_id, name, location, state, source, direction,
+             stage_task_result, executor_task_result, job_result
 """
