@@ -9576,6 +9576,99 @@ def q_spark_app_stats(sf_dir: str):
          "job_id", "time_unix_nano"])
 
 
+def q_ecs_task_metrics(sf_dir: str):
+    """awsecscontainermetricsreceiver: task snapshots → container./
+    ecs.task. rows — the uint64 memory-utilized subtraction, vCPU
+    rate over read−preread, the container/task CPU-reserved divide
+    and ×1024 overrides, interface-summed network counters,
+    Read/Write-only storage sums, stopped-container duration rows,
+    ARN-derived resources (internal/awsecscontainermetrics).
+    Fixture- and vector-pinned in tests/test_ecsmetrics.py."""
+    import json as _json
+
+    from ..stages.ecsmetrics import parse_ecs_task_metrics
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            cm = {"Name": f"c{e % 50}", "DockerId": f"d{e % 50}",
+                  "DockerName": f"dn{e % 50}",
+                  "Image": f"repo/app:{e % 7}"}
+            limits = {}
+            if e % 4 != 0:
+                limits["CPU"] = (e % 4) * 0.25
+            if e % 3 != 0:
+                limits["Memory"] = e % 2048
+            if limits:
+                cm["Limits"] = limits
+            stats = {}
+            if e % 11 != 0:
+                prev = e * 7 % 100000000
+                stats[f"d{e % 50}"] = {
+                    "id": "x",
+                    "read": "2020-01-01T00:00:02Z",
+                    "preread": "2020-01-01T00:00:00Z",
+                    "memory_stats": {
+                        "usage": e * 11 % 1000000 + 2097152,
+                        "max_usage": e * 13 % 10000000,
+                        "limit": e % 1000000 + 1,
+                        "stats": {"cache": e % 1048576}},
+                    "cpu_stats": {
+                        "cpu_usage": {
+                            "total_usage": prev + e * 3 % 1000000000,
+                            "usage_in_kernelmode": e % 100000,
+                            "usage_in_usermode": e * 3 % 100000,
+                            "percpu_usage": [1, 2]},
+                        "online_cpus": 2,
+                        "system_cpu_usage": e * 13 % 10000000000},
+                    "precpu_stats": {
+                        "cpu_usage": {"total_usage": prev}},
+                    "networks": {"eth0": {
+                        "rx_bytes": e % 1000000,
+                        "tx_bytes": e * 2 % 1000000}},
+                    "blkio_stats": {"io_service_bytes_recursive": [
+                        {"op": "Read", "value": e * 5 % 1000000},
+                        {"op": "Write", "value": e * 3 % 1000000},
+                        {"op": "Total", "value": 999}]},
+                }
+            else:
+                secs = e % 500
+                cm["StartedAt"] = "2020-01-01T00:00:00Z"
+                cm["FinishedAt"] = (
+                    f"2020-01-01T{secs // 3600:02d}:"
+                    f"{secs % 3600 // 60:02d}:{secs % 60:02d}Z")
+            task_limits = {}
+            if e % 5 != 0:
+                task_limits["Memory"] = 2048
+            if e % 7 != 0:
+                task_limits["CPU"] = 1.5
+            docs.append(_json.dumps({"metadata": {
+                "TaskARN": "arn:aws:ecs:us-east-1:000011112222:task/"
+                           f"cl{e % 5}/task{e % 100:03d}",
+                "Cluster": "arn:aws:ecs:us-east-1:000011112222:"
+                           f"cluster/cl{e % 5}",
+                "Family": f"fam{e % 4}", "Revision": str(e % 9),
+                "LaunchType": "EC2" if e % 2 == 0 else "FARGATE",
+                "Containers": [cm], "Limits": task_limits,
+            }, "stats": stats}))
+        return pa.table({"event_id": t.column("event_id"),
+                         "task_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_ecs_task_metrics(flat,
+                                 now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "container_name", "container_id", "docker_name",
+         "image_name", "image_tag", "task_id", "cluster", "family",
+         "revision", "launch_type", "region", "account_id",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9829,6 +9922,7 @@ QUERIES = {
     "aerospike_stats": q_aerospike_stats,
     "chrony_tracking": q_chrony_tracking,
     "spark_app_stats": q_spark_app_stats,
+    "ecs_task_metrics": q_ecs_task_metrics,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16755,4 +16849,134 @@ ORACLE_SQL["spark_app_stats"] = """
     FROM e CROSS JOIN jb j
     ORDER BY event_id, name, location, state, source, direction,
              stage_task_result, executor_task_result, job_result
+"""
+
+ORACLE_SQL["ecs_task_metrics"] = """
+    WITH e AS (SELECT event_id,
+        CAST(event_id * 3 % 1000000000 AS DOUBLE) / 2000000000.0
+          AS vcpu,
+        CAST(event_id % 4 AS DOUBLE) * 0.25 AS cres,
+        (event_id * 11 % 1000000 + 2097152 - event_id % 1048576)
+          // 1048576 AS mem_util,
+        printf('task%03d', event_id % 100) AS tid,
+        'cl' || CAST(event_id % 5 AS VARCHAR) AS cl,
+        'fam' || CAST(event_id % 4 AS VARCHAR) AS fam,
+        CAST(event_id % 9 AS VARCHAR) AS rev,
+        CASE WHEN event_id % 2 = 0 THEN 'EC2' ELSE 'FARGATE' END
+          AS lt,
+        'c' || CAST(event_id % 50 AS VARCHAR) AS cname,
+        'd' || CAST(event_id % 50 AS VARCHAR) AS cid,
+        'dn' || CAST(event_id % 50 AS VARCHAR) AS dname,
+        CAST(event_id % 7 AS VARCHAR) AS itag
+      FROM events),
+    e2 AS (SELECT *,
+        CASE WHEN event_id % 4 = 0 THEN vcpu * 100
+             ELSE (vcpu * 100) / cres END AS cutil,
+        CASE WHEN event_id % 7 <> 0 THEN 1536.0
+             WHEN event_id % 11 = 0 THEN 0.0 ELSE cres END AS tres,
+        CASE WHEN event_id % 3 <> 0 THEN event_id % 2048
+             ELSE 0 END AS cmem_res
+      FROM e),
+    f(kind, suffix, vt) AS (VALUES
+      (0, 'memory.usage', 'ig'), (1, 'memory.usage.max', 'ig'),
+      (2, 'memory.usage.limit', 'ig'), (3, 'memory.utilized', 'ig'),
+      (4, 'memory.reserved', 'ig'), (5, 'cpu.usage.total', 'is'),
+      (6, 'cpu.usage.kernelmode', 'is'),
+      (7, 'cpu.usage.usermode', 'is'), (8, 'cpu.cores', 'ig'),
+      (9, 'cpu.onlines', 'ig'), (10, 'cpu.usage.system', 'is'),
+      (11, 'cpu.utilized', 'dg'), (12, 'cpu.reserved', 'dg'),
+      (13, 'cpu.usage.vcpu', 'dg'), (14, 'network.rate.rx', 'dg'),
+      (15, 'network.rate.tx', 'dg'),
+      (16, 'network.io.usage.rx_bytes', 'is'),
+      (17, 'network.io.usage.rx_packets', 'is'),
+      (18, 'network.io.usage.rx_errors', 'is'),
+      (19, 'network.io.usage.rx_dropped', 'is'),
+      (20, 'network.io.usage.tx_bytes', 'is'),
+      (21, 'network.io.usage.tx_packets', 'is'),
+      (22, 'network.io.usage.tx_errors', 'is'),
+      (23, 'network.io.usage.tx_dropped', 'is'),
+      (24, 'storage.read_bytes', 'is'),
+      (25, 'storage.write_bytes', 'is'))
+    SELECT e.event_id, 'container.' || f.suffix AS name,
+      CASE f.vt WHEN 'is' THEN 'sum' ELSE 'gauge' END AS mtype,
+      CASE f.vt WHEN 'is' THEN FALSE END AS is_monotonic,
+      CAST(CASE f.vt WHEN 'is' THEN 2 ELSE 0 END AS INTEGER)
+        AS aggregation_temporality,
+      CASE WHEN f.vt = 'dg' THEN CAST(NULL AS BIGINT)
+        ELSE CAST(CASE f.kind
+          WHEN 0 THEN e.event_id * 11 % 1000000 + 2097152
+          WHEN 1 THEN e.event_id * 13 % 10000000
+          WHEN 2 THEN e.event_id % 1000000 + 1
+          WHEN 3 THEN e.mem_util WHEN 4 THEN e.cmem_res
+          WHEN 5 THEN e.event_id * 7 % 100000000
+                      + e.event_id * 3 % 1000000000
+          WHEN 6 THEN e.event_id % 100000
+          WHEN 7 THEN e.event_id * 3 % 100000
+          WHEN 8 THEN 2 WHEN 9 THEN 2
+          WHEN 10 THEN e.event_id * 13 % 10000000000
+          WHEN 16 THEN e.event_id % 1000000
+          WHEN 20 THEN e.event_id * 2 % 1000000
+          WHEN 24 THEN e.event_id * 5 % 1000000
+          WHEN 25 THEN e.event_id * 3 % 1000000
+          ELSE 0 END AS BIGINT) END AS value_int,
+      CASE f.kind WHEN 11 THEN e.cutil
+        WHEN 12 THEN CASE WHEN e.event_id % 4 <> 0 THEN e.cres
+                          ELSE 0.0 END
+        WHEN 13 THEN e.vcpu WHEN 14 THEN 0.0 WHEN 15 THEN 0.0 END
+        AS value_double,
+      e.cname AS container_name, e.cid AS container_id,
+      e.dname AS docker_name, 'repo/app' AS image_name,
+      e.itag AS image_tag, e.tid AS task_id, e.cl AS cluster,
+      e.fam AS family, e.rev AS revision, e.lt AS launch_type,
+      'us-east-1' AS region, '000011112222' AS account_id,
+      1690000000000000000 AS time_unix_nano
+    FROM e2 e CROSS JOIN f WHERE e.event_id % 11 <> 0
+    UNION ALL
+    SELECT e.event_id, 'ecs.task.' || f.suffix,
+      CASE f.vt WHEN 'is' THEN 'sum' ELSE 'gauge' END,
+      CASE f.vt WHEN 'is' THEN FALSE END,
+      CAST(CASE f.vt WHEN 'is' THEN 2 ELSE 0 END AS INTEGER),
+      CASE WHEN f.vt = 'dg' THEN CAST(NULL AS BIGINT)
+        ELSE CAST(CASE
+          WHEN f.kind = 4 THEN
+            CASE WHEN e.event_id % 5 <> 0 THEN 2048
+                 WHEN e.event_id % 11 = 0 THEN 0 ELSE e.cmem_res END
+          WHEN e.event_id % 11 = 0 THEN 0
+          ELSE CASE f.kind
+            WHEN 0 THEN e.event_id * 11 % 1000000 + 2097152
+            WHEN 1 THEN e.event_id * 13 % 10000000
+            WHEN 2 THEN e.event_id % 1000000 + 1
+            WHEN 3 THEN e.mem_util
+            WHEN 5 THEN e.event_id * 7 % 100000000
+                        + e.event_id * 3 % 1000000000
+            WHEN 6 THEN e.event_id % 100000
+            WHEN 7 THEN e.event_id * 3 % 100000
+            WHEN 8 THEN 2 WHEN 9 THEN 2
+            WHEN 10 THEN e.event_id * 13 % 10000000000
+            WHEN 16 THEN e.event_id % 1000000
+            WHEN 20 THEN e.event_id * 2 % 1000000
+            WHEN 24 THEN e.event_id * 5 % 1000000
+            WHEN 25 THEN e.event_id * 3 % 1000000
+            ELSE 0 END END AS BIGINT) END,
+      CASE f.kind
+        WHEN 11 THEN CASE WHEN e.event_id % 11 = 0 THEN 0.0
+          WHEN e.tres > 0 THEN e.vcpu * 1024 ELSE e.cutil END
+        WHEN 12 THEN e.tres
+        WHEN 13 THEN CASE WHEN e.event_id % 11 = 0 THEN 0.0
+                          ELSE e.vcpu END
+        WHEN 14 THEN 0.0 WHEN 15 THEN 0.0 END,
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      CAST(NULL AS VARCHAR), e.tid, e.cl, e.fam, e.rev, e.lt,
+      'us-east-1', '000011112222', 1690000000000000000
+    FROM e2 e CROSS JOIN f
+    UNION ALL
+    SELECT e.event_id, 'container.duration', 'gauge',
+      CAST(NULL AS BOOLEAN), CAST(0 AS INTEGER),
+      CAST(NULL AS BIGINT), CAST(e.event_id % 500 AS DOUBLE),
+      e.cname, e.cid, e.dname, 'repo/app', e.itag, e.tid, e.cl,
+      e.fam, e.rev, e.lt, 'us-east-1', '000011112222',
+      1690000000000000000
+    FROM e2 e WHERE e.event_id % 11 = 0
+    ORDER BY event_id, name
 """
