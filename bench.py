@@ -199,6 +199,9 @@ OPERATOR_QUERIES = [
     "docker_stats",
     "sqlquery_metrics",
     "kafka_consumer_lag",
+    "spark_app_stats",
+    "ecs_task_metrics",
+    "aerospike_stats",
 ]
 
 
