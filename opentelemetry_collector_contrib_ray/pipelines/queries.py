@@ -9669,6 +9669,75 @@ def q_ecs_task_metrics(sf_dir: str):
          "time_unix_nano"])
 
 
+def q_bigip_stats(sf_dir: str):
+    """bigipreceiver: F5 stats entries → bigip.* — the
+    clientside-vs-serverside counter split, HasPrefix one-hot
+    availability/enabled gauges, the derived inactive member count,
+    nodeName:port member resources
+    (receiver/bigipreceiver/scraper.go:140-303, metadata.yaml).
+    Golden-pinned on the combined fixtures in tests/test_bigip.py."""
+    import json as _json
+
+    from ..stages.bigip import parse_bigip
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    kinds = ("virtual_server", "pool", "pool_member", "node")
+    avails = ("available", "offline (enabled)", "weird-state")
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            kind = kinds[e % 4]
+            side = ("clientside" if kind == "virtual_server"
+                    else "serverside")
+            entries = {
+                f"{side}.bitsIn": {"value": e * 3 % 10000000},
+                f"{side}.bitsOut": {"value": e * 5 % 10000000},
+                f"{side}.curConns": {"value": e % 1000},
+                f"{side}.pktsIn": {"value": e * 7 % 1000000},
+                f"{side}.pktsOut": {"value": e * 11 % 1000000},
+                "totRequests": {"value": e * 13 % 1000000},
+                "status.availabilityState":
+                    {"description": avails[e % 3]},
+                "status.enabledState":
+                    {"description": "enabled" if e % 2 == 0
+                     else "disabled-by-parent"},
+            }
+            if kind == "virtual_server":
+                entries["tmName"] = {"description": f"/C/vs{e % 9}"}
+                entries["destination"] = {
+                    "description": f"10.0.0.{e % 9}:80"}
+                entries["poolName"] = {"description": f"/C/p{e % 6}"}
+            elif kind == "pool":
+                entries["tmName"] = {"description": f"/C/p{e % 6}"}
+                entries["memberCnt"] = {"value": e % 20 + 5}
+                entries["activeMemberCnt"] = {"value": e % 5}
+            elif kind == "pool_member":
+                entries["nodeName"] = {"description": f"/C/n{e % 7}"}
+                entries["port"] = {"value": 8000 + e % 100}
+                entries["addr"] = {"description": f"10.1.0.{e % 7}"}
+                entries["poolName"] = {"description": f"/C/p{e % 6}"}
+                entries["curSessions"] = {"value": e % 500}
+            else:
+                entries["tmName"] = {"description": f"/C/n{e % 7}"}
+                entries["addr"] = {"description": f"10.1.0.{e % 7}"}
+                entries["curSessions"] = {"value": e % 500}
+            docs.append(_json.dumps({"kind": kind,
+                                     "entries": entries}))
+        return pa.table({"event_id": t.column("event_id"),
+                         "entity_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_bigip(flat, now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "direction",
+         "active_status", "availability_status", "enabled_status",
+         "kind", "entity_name", "destination", "pool_name",
+         "ip_address", "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9923,6 +9992,7 @@ QUERIES = {
     "chrony_tracking": q_chrony_tracking,
     "spark_app_stats": q_spark_app_stats,
     "ecs_task_metrics": q_ecs_task_metrics,
+    "bigip_stats": q_bigip_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -16979,4 +17049,93 @@ ORACLE_SQL["ecs_task_metrics"] = """
       1690000000000000000
     FROM e2 e WHERE e.event_id % 11 = 0
     ORDER BY event_id, name
+"""
+
+ORACLE_SQL["bigip_stats"] = """
+    WITH e AS (SELECT event_id,
+        CASE event_id % 4 WHEN 0 THEN 'virtual_server'
+          WHEN 1 THEN 'pool' WHEN 2 THEN 'pool_member'
+          ELSE 'node' END AS kind,
+        CASE event_id % 4
+          WHEN 0 THEN 'bigip.virtual_server.'
+          WHEN 1 THEN 'bigip.pool.' WHEN 2 THEN 'bigip.pool_member.'
+          ELSE 'bigip.node.' END AS pfx,
+        CASE event_id % 4
+          WHEN 0 THEN '/C/vs' || CAST(event_id % 9 AS VARCHAR)
+          WHEN 1 THEN '/C/p' || CAST(event_id % 6 AS VARCHAR)
+          WHEN 2 THEN '/C/n' || CAST(event_id % 7 AS VARCHAR)
+                      || ':' || CAST(8000 + event_id % 100 AS VARCHAR)
+          ELSE '/C/n' || CAST(event_id % 7 AS VARCHAR) END AS ename,
+        CASE WHEN event_id % 4 = 0
+          THEN '10.0.0.' || CAST(event_id % 9 AS VARCHAR) || ':80'
+          END AS dest,
+        CASE WHEN event_id % 4 IN (0, 2)
+          THEN '/C/p' || CAST(event_id % 6 AS VARCHAR)
+          WHEN event_id % 4 = 1
+          THEN '/C/p' || CAST(event_id % 6 AS VARCHAR) END AS pool,
+        CASE WHEN event_id % 4 IN (2, 3)
+          THEN '10.1.0.' || CAST(event_id % 7 AS VARCHAR) END AS ip
+      FROM events),
+    cnt(kind, suffix, mono, dir) AS (VALUES
+      (0, 'data.transmitted', TRUE, 'received'),
+      (1, 'data.transmitted', TRUE, 'sent'),
+      (2, 'connection.count', FALSE, CAST(NULL AS VARCHAR)),
+      (3, 'packet.count', TRUE, 'received'),
+      (4, 'packet.count', TRUE, 'sent'),
+      (5, 'request.count', TRUE, NULL)),
+    av(st, idx) AS (VALUES ('offline', 0), ('unknown', 1),
+                           ('available', 2)),
+    en(st, idx) AS (VALUES ('disabled', 0), ('enabled', 1))
+    SELECT e.event_id, e.pfx || c.suffix AS name, 'sum' AS mtype,
+      c.mono AS is_monotonic,
+      CAST(2 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE c.kind WHEN 0 THEN e.event_id * 3 % 10000000
+        WHEN 1 THEN e.event_id * 5 % 10000000
+        WHEN 2 THEN e.event_id % 1000
+        WHEN 3 THEN e.event_id * 7 % 1000000
+        WHEN 4 THEN e.event_id * 11 % 1000000
+        ELSE e.event_id * 13 % 1000000 END AS BIGINT) AS value_int,
+      c.dir AS direction, CAST(NULL AS VARCHAR) AS active_status,
+      CAST(NULL AS VARCHAR) AS availability_status,
+      CAST(NULL AS VARCHAR) AS enabled_status, e.kind,
+      e.ename AS entity_name, e.dest AS destination,
+      e.pool AS pool_name, e.ip AS ip_address,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN cnt c
+    UNION ALL
+    SELECT e.event_id, e.pfx || 'session.count', 'sum', FALSE,
+      CAST(2 AS INTEGER), CAST(e.event_id % 500 AS BIGINT),
+      NULL, NULL, NULL, NULL, e.kind, e.ename, e.dest, e.pool, e.ip,
+      1690000000000000000
+    FROM e WHERE e.event_id % 4 IN (2, 3)
+    UNION ALL
+    SELECT e.event_id, 'bigip.pool.member.count', 'sum', FALSE,
+      CAST(2 AS INTEGER),
+      CAST(CASE m.st WHEN 'active' THEN e.event_id % 5
+        ELSE e.event_id % 20 + 5 - e.event_id % 5 END AS BIGINT),
+      NULL, m.st, NULL, NULL, e.kind, e.ename, e.dest, e.pool, e.ip,
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES ('active'), ('inactive')) m(st)
+    WHERE e.event_id % 4 = 1
+    UNION ALL
+    SELECT e.event_id, e.pfx || 'availability', 'gauge',
+      CAST(NULL AS BOOLEAN), CAST(0 AS INTEGER),
+      CAST(CASE WHEN (e.event_id % 3 = 0 AND a.st = 'available')
+        OR (e.event_id % 3 = 1 AND a.st = 'offline')
+        OR (e.event_id % 3 = 2 AND a.st = 'unknown')
+        THEN 1 ELSE 0 END AS BIGINT),
+      NULL, NULL, a.st, NULL, e.kind, e.ename, e.dest, e.pool, e.ip,
+      1690000000000000000
+    FROM e CROSS JOIN av a
+    UNION ALL
+    SELECT e.event_id, e.pfx || 'enabled', 'gauge',
+      CAST(NULL AS BOOLEAN), CAST(0 AS INTEGER),
+      CAST(CASE WHEN (e.event_id % 2 = 0 AND n.st = 'enabled')
+        OR (e.event_id % 2 = 1 AND n.st = 'disabled')
+        THEN 1 ELSE 0 END AS BIGINT),
+      NULL, NULL, NULL, n.st, e.kind, e.ename, e.dest, e.pool, e.ip,
+      1690000000000000000
+    FROM e CROSS JOIN en n
+    ORDER BY event_id, name, direction, active_status,
+             availability_status, enabled_status
 """
