@@ -9738,6 +9738,124 @@ def q_bigip_stats(sf_dir: str):
          "ip_address", "time_unix_nano"])
 
 
+def q_kubelet_stats(sf_dir: str):
+    """kubeletstatsreceiver: /stats/summary documents → k8s.node./
+    k8s.pod./container./k8s.volume. rows — nanocore/1e9 usage doubles,
+    the node/limit/request utilization divides with their presence
+    gates, presence-gated int gauges, default-vs-all-interfaces
+    network fan-out, uptime int-seconds, per-entity start-time stamps
+    on sums (internal/kubelet).  Golden-pinned on stats-summary.json
+    vs test_scraper_expected.yaml in tests/test_kubeletstats.py."""
+    import json as _json
+
+    from ..stages.kubeletstats import parse_kubeletstats
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+    enabled = [
+        "k8s.node.uptime", "k8s.node.cpu.usage",
+        "k8s.node.cpu.utilization", "k8s.node.cpu.time",
+        "k8s.node.memory.available", "k8s.node.memory.usage",
+        "k8s.node.memory.working_set", "k8s.node.memory.page_faults",
+        "k8s.node.filesystem.available",
+        "k8s.node.filesystem.capacity", "k8s.node.filesystem.usage",
+        "k8s.node.network.io", "k8s.node.network.errors",
+        "k8s.pod.uptime", "k8s.pod.cpu.usage",
+        "k8s.pod.cpu.utilization", "k8s.pod.cpu.node.utilization",
+        "k8s.pod.cpu_limit_utilization",
+        "k8s.pod.cpu_request_utilization", "k8s.pod.cpu.time",
+        "k8s.pod.memory.usage", "k8s.pod.memory_limit_utilization",
+        "k8s.pod.memory_request_utilization",
+        "k8s.pod.memory.node.utilization",
+        "container.cpu.usage", "container.cpu.time",
+        "k8s.container.cpu.node.utilization",
+        "container.memory.usage",
+        "k8s.container.memory.node.utilization",
+        "container.filesystem.usage",
+        "k8s.volume.available", "k8s.volume.capacity",
+        "k8s.volume.inodes", "k8s.volume.inodes.free",
+        "k8s.volume.inodes.used",
+    ]
+
+    def fixture(t: pa.Table) -> pa.Table:
+        docs = []
+        for e in t.column("event_id").to_pylist():
+            uid = f"u{e % 30}"
+            summary = {
+                "node": {
+                    "nodeName": f"node{e % 4}",
+                    "startTime": "2023-01-01T00:00:00Z",
+                    "cpu": {"usageNanoCores": e * 10**6 % 10**10,
+                            "usageCoreNanoSeconds":
+                                e * 13 % 10**12},
+                    "memory": {"usageBytes": e * 11 % 10**9,
+                               "availableBytes": e % 10**9,
+                               "workingSetBytes": e * 3 % 10**9,
+                               "pageFaults": e % 10**6},
+                    "fs": {"availableBytes": e % 10**9,
+                           "capacityBytes": e % 10**9 + 10**6,
+                           "usedBytes": e * 7 % 10**8},
+                    "network": {"name": "eth0",
+                                "rxBytes": e % 10**7,
+                                "txBytes": e * 2 % 10**7,
+                                "rxErrors": e % 100,
+                                "txErrors": (e + 1) % 100},
+                },
+                "pods": [{
+                    "podRef": {"uid": uid, "name": f"pod{e % 30}",
+                               "namespace": f"ns{e % 3}"},
+                    "startTime": "2023-01-01T00:00:10Z",
+                    "cpu": {"usageNanoCores": e * 17 % 10**10,
+                            "usageCoreNanoSeconds": e * 19 % 10**12},
+                    "memory": {"usageBytes": e * 23 % 10**9},
+                    "containers": [{
+                        "name": "c0",
+                        "startTime": "2023-01-01T00:00:10Z",
+                        "cpu": {"usageNanoCores": e * 29 % 10**10,
+                                "usageCoreNanoSeconds":
+                                    e * 31 % 10**12},
+                        "memory": {"usageBytes": e * 31 % 10**9},
+                        "rootfs": {"usedBytes": e * 37 % 10**8},
+                    }],
+                    "volume": [{
+                        "name": "v0",
+                        "availableBytes": e % 10**9,
+                        "capacityBytes": e % 10**9 + 5,
+                        "inodes": e % 10**6,
+                        "inodesFree": e % 10**5,
+                        "inodesUsed": e % 10**4,
+                    }],
+                }],
+            }
+            doc = {"summary": summary,
+                   "pod_resources": {uid: {
+                       "cpu_limit": (e % 4) * 0.5,
+                       "cpu_request": 0.25,
+                       "memory_limit": e % 10**6 + 1,
+                       "memory_request": (0 if e % 5 == 0
+                                          else e % 10**5 + 1)}},
+                   "node_cpu_capacity": 8.0,
+                   "node_memory_capacity": float(2**31),
+                   "volume_types": {uid + "v0": (
+                       {"type": "persistentVolumeClaim",
+                        "pvc_name": f"claim{e % 5}"}
+                       if e % 2 == 0 else {"type": "emptyDir"})}}
+            docs.append(_json.dumps(doc))
+        return pa.table({"event_id": t.column("event_id"),
+                         "summary_json": pa.array(docs, pa.string())})
+
+    flat = ds.map_batches(fixture, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = parse_kubeletstats(flat, enabled=set(enabled),
+                             now_ns=1_690_000_000_000_000_000)
+    return out.select_columns(
+        ["event_id", "name", "mtype", "is_monotonic",
+         "aggregation_temporality", "value_int", "value_double",
+         "interface", "direction", "node_name", "pod_uid",
+         "pod_name", "namespace", "container_name", "volume_name",
+         "volume_type", "pvc_name", "start_time_unix_nano",
+         "time_unix_nano"])
+
+
 # ORDERING MATTERS: the driver's correctness gate checks the FIRST 50
 # entries only (VERDICT r2 #1 / r3 #1 / r4 #8).  Round-5 rotation: slots
 # 1-48 are exactly the 48 queries whose latest driver evidence is round 3
@@ -9993,6 +10111,7 @@ QUERIES = {
     "spark_app_stats": q_spark_app_stats,
     "ecs_task_metrics": q_ecs_task_metrics,
     "bigip_stats": q_bigip_stats,
+    "kubelet_stats": q_kubelet_stats,
 }
 
 NO_ORACLE = {"minhash_pairs", "simhash_pairs", "lang_id", "lang_id_model",
@@ -17138,4 +17257,178 @@ ORACLE_SQL["bigip_stats"] = """
     FROM e CROSS JOIN en n
     ORDER BY event_id, name, direction, active_status,
              availability_status, enabled_status
+"""
+
+ORACLE_SQL["kubelet_stats"] = """
+    WITH e AS (SELECT event_id,
+        'node' || CAST(event_id % 4 AS VARCHAR) AS nn,
+        'u' || CAST(event_id % 30 AS VARCHAR) AS uid,
+        'pod' || CAST(event_id % 30 AS VARCHAR) AS pn,
+        'ns' || CAST(event_id % 3 AS VARCHAR) AS ns
+      FROM events),
+    ni(kind, name) AS (VALUES
+      (0, 'k8s.node.memory.usage'), (1, 'k8s.node.memory.available'),
+      (2, 'k8s.node.memory.working_set'),
+      (3, 'k8s.node.memory.page_faults'),
+      (4, 'k8s.node.filesystem.available'),
+      (5, 'k8s.node.filesystem.capacity'),
+      (6, 'k8s.node.filesystem.usage')),
+    net(kind, name, iface, dir) AS (VALUES
+      (0, 'k8s.node.network.io', 'eth0', 'receive'),
+      (1, 'k8s.node.network.io', 'eth0', 'transmit'),
+      (2, 'k8s.node.network.errors', 'eth0', 'receive'),
+      (3, 'k8s.node.network.errors', 'eth0', 'transmit'))
+    -- node int gauges
+    SELECT e.event_id, i.name, 'gauge' AS mtype,
+      CAST(NULL AS BOOLEAN) AS is_monotonic,
+      CAST(0 AS INTEGER) AS aggregation_temporality,
+      CAST(CASE i.kind WHEN 0 THEN e.event_id * 11 % 1000000000
+        WHEN 1 THEN e.event_id % 1000000000
+        WHEN 2 THEN e.event_id * 3 % 1000000000
+        WHEN 3 THEN e.event_id % 1000000
+        WHEN 4 THEN e.event_id % 1000000000
+        WHEN 5 THEN e.event_id % 1000000000 + 1000000
+        ELSE e.event_id * 7 % 100000000 END AS BIGINT) AS value_int,
+      CAST(NULL AS DOUBLE) AS value_double,
+      CAST(NULL AS VARCHAR) AS interface,
+      CAST(NULL AS VARCHAR) AS direction,
+      e.nn AS node_name, CAST(NULL AS VARCHAR) AS pod_uid,
+      CAST(NULL AS VARCHAR) AS pod_name,
+      CAST(NULL AS VARCHAR) AS namespace,
+      CAST(NULL AS VARCHAR) AS container_name,
+      CAST(NULL AS VARCHAR) AS volume_name,
+      CAST(NULL AS VARCHAR) AS volume_type,
+      CAST(NULL AS VARCHAR) AS pvc_name,
+      CAST(NULL AS BIGINT) AS start_time_unix_nano,
+      1690000000000000000 AS time_unix_nano
+    FROM e CROSS JOIN ni i
+    UNION ALL
+    -- node doubles + uptime + cpu.time
+    SELECT e.event_id, x.name,
+      CASE x.k WHEN 3 THEN 'sum' WHEN 2 THEN 'sum' ELSE 'gauge' END,
+      CASE x.k WHEN 2 THEN TRUE WHEN 3 THEN FALSE END,
+      CAST(CASE WHEN x.k IN (2, 3) THEN 2 ELSE 0 END AS INTEGER),
+      CASE WHEN x.k = 3 THEN CAST(17468800 AS BIGINT) END,
+      CASE x.k WHEN 0 THEN
+          CAST(e.event_id * 1000000 % 10000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 1 THEN
+          CAST(e.event_id * 1000000 % 10000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 2 THEN CAST(e.event_id * 13 % 1000000000000 AS DOUBLE)
+          / 1000000000.0 END,
+      NULL, NULL, e.nn, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      CASE WHEN x.k IN (2, 3) THEN CAST(1672531200000000000
+        AS BIGINT) END,
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES
+      ('k8s.node.cpu.usage', 0), ('k8s.node.cpu.utilization', 1),
+      ('k8s.node.cpu.time', 2), ('k8s.node.uptime', 3)) x(name, k)
+    UNION ALL
+    -- node network sums
+    SELECT e.event_id, n.name, 'sum', TRUE, CAST(2 AS INTEGER),
+      CAST(CASE n.kind WHEN 0 THEN e.event_id % 10000000
+        WHEN 1 THEN e.event_id * 2 % 10000000
+        WHEN 2 THEN e.event_id % 100
+        ELSE (e.event_id + 1) % 100 END AS BIGINT),
+      CAST(NULL AS DOUBLE), n.iface, n.dir, e.nn,
+      NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+      CAST(1672531200000000000 AS BIGINT), 1690000000000000000
+    FROM e CROSS JOIN net n
+    UNION ALL
+    -- pod rows
+    SELECT e.event_id, p.name,
+      CASE p.k WHEN 6 THEN 'sum' WHEN 7 THEN 'sum'
+        WHEN 10 THEN 'gauge' ELSE 'gauge' END,
+      CASE p.k WHEN 6 THEN TRUE WHEN 7 THEN FALSE END,
+      CAST(CASE WHEN p.k IN (6, 7) THEN 2 ELSE 0 END AS INTEGER),
+      CASE WHEN p.k = 7 THEN CAST(17468790 AS BIGINT)
+        WHEN p.k = 10 THEN CAST(e.event_id * 23 % 1000000000
+          AS BIGINT) END,
+      CASE p.k
+        WHEN 0 THEN CAST(e.event_id * 17 % 10000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 1 THEN CAST(e.event_id * 17 % 10000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 2 THEN (CAST(e.event_id * 17 % 10000000000 AS DOUBLE)
+          / 1000000000.0) / 8.0
+        WHEN 3 THEN (CAST(e.event_id * 17 % 10000000000 AS DOUBLE)
+          / 1000000000.0) / (CAST(e.event_id % 4 AS DOUBLE) * 0.5)
+        WHEN 4 THEN (CAST(e.event_id * 17 % 10000000000 AS DOUBLE)
+          / 1000000000.0) / 0.25
+        WHEN 6 THEN CAST(e.event_id * 19 % 1000000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 11 THEN CAST(e.event_id * 23 % 1000000000 AS DOUBLE)
+          / CAST(e.event_id % 1000000 + 1 AS DOUBLE)
+        WHEN 12 THEN CAST(e.event_id * 23 % 1000000000 AS DOUBLE)
+          / CAST(e.event_id % 100000 + 1 AS DOUBLE)
+        WHEN 13 THEN CAST(e.event_id * 23 % 1000000000 AS DOUBLE)
+          / 2147483648.0 END,
+      NULL, NULL, NULL, e.uid, e.pn, e.ns, NULL, NULL, NULL, NULL,
+      CASE WHEN p.k IN (6, 7) THEN CAST(1672531210000000000
+        AS BIGINT) END,
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES
+      ('k8s.pod.cpu.usage', 0, 0),
+      ('k8s.pod.cpu.utilization', 1, 0),
+      ('k8s.pod.cpu.node.utilization', 2, 0),
+      ('k8s.pod.cpu_limit_utilization', 3, 1),
+      ('k8s.pod.cpu_request_utilization', 4, 0),
+      ('k8s.pod.cpu.time', 6, 0),
+      ('k8s.pod.uptime', 7, 0),
+      ('k8s.pod.memory.usage', 10, 0),
+      ('k8s.pod.memory_limit_utilization', 11, 0),
+      ('k8s.pod.memory_request_utilization', 12, 2),
+      ('k8s.pod.memory.node.utilization', 13, 0)) p(name, k, gate)
+    WHERE p.gate = 0 OR (p.gate = 1 AND e.event_id % 4 <> 0)
+       OR (p.gate = 2 AND e.event_id % 5 <> 0)
+    UNION ALL
+    -- container rows
+    SELECT e.event_id, c.name,
+      CASE c.k WHEN 2 THEN 'sum' ELSE 'gauge' END,
+      CASE c.k WHEN 2 THEN TRUE END,
+      CAST(CASE WHEN c.k = 2 THEN 2 ELSE 0 END AS INTEGER),
+      CASE c.k WHEN 3 THEN CAST(e.event_id * 31 % 1000000000
+          AS BIGINT)
+        WHEN 5 THEN CAST(e.event_id * 37 % 100000000 AS BIGINT) END,
+      CASE c.k
+        WHEN 0 THEN CAST(e.event_id * 29 % 10000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 1 THEN (CAST(e.event_id * 29 % 10000000000 AS DOUBLE)
+          / 1000000000.0) / 8.0
+        WHEN 2 THEN CAST(e.event_id * 31 % 1000000000000 AS DOUBLE)
+          / 1000000000.0
+        WHEN 4 THEN CAST(e.event_id * 31 % 1000000000 AS DOUBLE)
+          / 2147483648.0 END,
+      NULL, NULL, NULL, e.uid, e.pn, e.ns, 'c0', NULL, NULL, NULL,
+      CASE WHEN c.k = 2 THEN CAST(1672531210000000000 AS BIGINT) END,
+      1690000000000000000
+    FROM e CROSS JOIN (VALUES
+      ('container.cpu.usage', 0),
+      ('k8s.container.cpu.node.utilization', 1),
+      ('container.cpu.time', 2),
+      ('container.memory.usage', 3),
+      ('k8s.container.memory.node.utilization', 4),
+      ('container.filesystem.usage', 5)) c(name, k)
+    UNION ALL
+    -- volume rows
+    SELECT e.event_id, v.name, 'gauge', CAST(NULL AS BOOLEAN),
+      CAST(0 AS INTEGER),
+      CAST(CASE v.k WHEN 0 THEN e.event_id % 1000000000
+        WHEN 1 THEN e.event_id % 1000000000 + 5
+        WHEN 2 THEN e.event_id % 1000000
+        WHEN 3 THEN e.event_id % 100000
+        ELSE e.event_id % 10000 END AS BIGINT),
+      CAST(NULL AS DOUBLE), NULL, NULL, NULL, e.uid, e.pn, e.ns,
+      NULL, 'v0',
+      CASE WHEN e.event_id % 2 = 0 THEN 'persistentVolumeClaim'
+        ELSE 'emptyDir' END,
+      CASE WHEN e.event_id % 2 = 0
+        THEN 'claim' || CAST(e.event_id % 5 AS VARCHAR) END,
+      CAST(NULL AS BIGINT), 1690000000000000000
+    FROM e CROSS JOIN (VALUES
+      ('k8s.volume.available', 0), ('k8s.volume.capacity', 1),
+      ('k8s.volume.inodes', 2), ('k8s.volume.inodes.free', 3),
+      ('k8s.volume.inodes.used', 4)) v(name, k)
+    ORDER BY event_id, name, interface, direction
 """
