@@ -1359,6 +1359,134 @@ def build_pipeline(config: dict[str, Any]) -> ray.data.Dataset:
     return ds
 
 
+@register_stage("parse_docker_stats")
+def _parse_docker_stats(ds, **opts):
+    """dockerstatsreceiver container stats decode (round 5c2)."""
+    from ..stages.dockerstats import parse_docker_stats
+
+    return parse_docker_stats(ds, **opts)
+
+
+@register_stage("parse_memcached")
+def _parse_memcached(ds, **opts):
+    """memcachedreceiver stats-page decode (round 5c2)."""
+    from ..stages.memcached import parse_memcached
+
+    return parse_memcached(ds, **opts)
+
+
+@register_stage("parse_couchdb")
+def _parse_couchdb(ds, **opts):
+    """couchdbreceiver node-stats decode (round 5c2)."""
+    from ..stages.couchdb import parse_couchdb
+
+    return parse_couchdb(ds, **opts)
+
+
+@register_stage("parse_httpcheck")
+def _parse_httpcheck(ds, **opts):
+    """httpcheckreceiver check-result mapping (round 5c2)."""
+    from ..stages.httpcheck import parse_httpcheck
+
+    return parse_httpcheck(ds, **opts)
+
+
+@register_stage("parse_riak")
+def _parse_riak(ds, **opts):
+    """riakreceiver /stats decode (round 5c2)."""
+    from ..stages.riak import parse_riak
+
+    return parse_riak(ds, **opts)
+
+
+@register_stage("parse_flink")
+def _parse_flink(ds, **opts):
+    """flinkmetricsreceiver instance decode (round 5c2)."""
+    from ..stages.flinkmetrics import parse_flink
+
+    return parse_flink(ds, **opts)
+
+
+@register_stage("parse_nsxt")
+def _parse_nsxt(ds, **opts):
+    """nsxtreceiver node decode (round 5c2)."""
+    from ..stages.nsxt import parse_nsxt
+
+    return parse_nsxt(ds, **opts)
+
+
+@register_stage("parse_podman")
+def _parse_podman(ds, **opts):
+    """podmanreceiver libpod stats decode (round 5c2)."""
+    from ..stages.podman import parse_podman
+
+    return parse_podman(ds, **opts)
+
+
+@register_stage("parse_aerospike")
+def _parse_aerospike(ds, **opts):
+    """aerospikereceiver info-map decode (round 5c2)."""
+    from ..stages.aerospike import parse_aerospike
+
+    return parse_aerospike(ds, **opts)
+
+
+@register_stage("parse_chrony")
+def _parse_chrony(ds, **opts):
+    """chronyreceiver binary tracking decode (round 5c2)."""
+    from ..stages.chrony import parse_chrony
+
+    return parse_chrony(ds, **opts)
+
+
+@register_stage("parse_apachespark")
+def _parse_apachespark(ds, **opts):
+    """apachesparkreceiver application decode (round 5c2)."""
+    from ..stages.apachespark import parse_apachespark
+
+    return parse_apachespark(ds, **opts)
+
+
+@register_stage("parse_ecs_task_metrics")
+def _parse_ecs_task_metrics(ds, **opts):
+    """awsecscontainermetrics task-snapshot decode (round 5c2)."""
+    from ..stages.ecsmetrics import parse_ecs_task_metrics
+
+    return parse_ecs_task_metrics(ds, **opts)
+
+
+@register_stage("parse_bigip")
+def _parse_bigip(ds, **opts):
+    """bigipreceiver stats-entry decode (round 5c2)."""
+    from ..stages.bigip import parse_bigip
+
+    return parse_bigip(ds, **opts)
+
+
+@register_stage("parse_kubeletstats")
+def _parse_kubeletstats(ds, **opts):
+    """kubeletstatsreceiver summary decode (round 5c2)."""
+    from ..stages.kubeletstats import parse_kubeletstats
+
+    return parse_kubeletstats(ds, **opts)
+
+
+@register_stage("rows_to_metrics")
+def _rows_to_metrics(ds, **opts):
+    """internal/sqlquery row->metric engine (round 5c2)."""
+    from ..stages.sqlquery import rows_to_metrics
+
+    return rows_to_metrics(ds, **opts)
+
+
+@register_stage("rows_to_logs")
+def _rows_to_logs(ds, **opts):
+    """sqlqueryreceiver row->log mapping (round 5c2)."""
+    from ..stages.sqlquery import rows_to_logs
+
+    return rows_to_logs(ds, **opts)
+
+
 def build_and_run(config: dict[str, Any]):
     ds = build_pipeline(config)
     return _build_terminal(ds, config.get("aggregate") or config.get("sink"))
