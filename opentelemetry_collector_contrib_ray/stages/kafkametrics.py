@@ -165,25 +165,50 @@ def _with_lag(ds, hwm_ref):
 def consumer_lag_metrics(consumer_offsets, hwm: pa.Table,
                          members: dict, *, group_match: str = ".*",
                          topic_match: str = "^[^_].*$",
-                         cluster_alias: str = "", now_ns: int = 0):
-    """Consumer-offset blocks → kafka.consumer_group.* metric rows."""
+                         cluster_alias: str = "", now_ns: int = 0,
+                         merge_driver_rows: int = 5_000_000):
+    """Consumer-offset blocks → kafka.consumer_group.* metric rows.
+
+    Partial merge is size-gated (the LSH/bloom gate convention): at or
+    below ``merge_driver_rows`` partial rows the (group, topic) triples
+    merge on the driver; above it ONE lean hash groupby-sum reduces
+    them to a row per distinct pair first (bounded by group × topic
+    cardinality, never by blocks).  Both paths are golden-tested
+    identical; the count is metadata-only on the materialized
+    partials."""
     import ray
 
     hwm_ref = ray.put(hwm)
     with_lag = _with_lag(consumer_offsets, hwm_ref).materialize()
 
-    # pass A: tiny (group, topic) partials -> driver merge
+    # pass A: tiny (group, topic) partials
     partials = with_lag.map_batches(
         _Partials(group_match, topic_match), batch_format="pyarrow",
         zero_copy_batch=True).materialize()
+    if partials.count() > merge_driver_rows:
+        # distributed reduce: one hash groupby-sum over the lean
+        # partial triples, collect one row per distinct pair
+        from .blocks import nonempty_blocks
+
+        partials = nonempty_blocks(partials).groupby(
+            ["group", "topic"]).sum(
+            ["consumed", "offset_sum", "lag_sum"]).materialize()
+        cols = {c: (f"sum({c})" if f"sum({c})"
+                    in partials.schema().names else c)
+                for c in ("consumed", "offset_sum", "lag_sum")}
+    else:
+        cols = {c: c for c in ("consumed", "offset_sum", "lag_sum")}
     merged: dict = {}
     for ref in partials.to_arrow_refs():
         t = ray.get(ref)
-        for g, tp, c, os_, ls in zip(t.column("group").to_pylist(),
-                                     t.column("topic").to_pylist(),
-                                     t.column("consumed").to_pylist(),
-                                     t.column("offset_sum").to_pylist(),
-                                     t.column("lag_sum").to_pylist()):
+        if t.num_rows == 0 or "group" not in t.schema.names:
+            continue
+        for g, tp, c, os_, ls in zip(
+                t.column("group").to_pylist(),
+                t.column("topic").to_pylist(),
+                t.column(cols["consumed"]).to_pylist(),
+                t.column(cols["offset_sum"]).to_pylist(),
+                t.column(cols["lag_sum"]).to_pylist()):
             e = merged.setdefault((g, tp), [0, 0, 0])
             e[0] += c
             e[1] += os_

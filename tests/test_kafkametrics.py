@@ -70,6 +70,21 @@ def test_lag_math_and_gates():
                if r["name"] != "kafka.consumer_group.members")
 
 
+def test_merge_gate_paths_identical():
+    rows_data = [("g1", "t1", 0, 100), ("g1", "t1", 1, -1),
+                 ("g2", "t1", 0, 301), ("g1", "t2", 3, 7)]
+    hwm = [("t1", 0, 300), ("t1", 1, 400), ("t2", 3, 10)]
+
+    def norm(rows):
+        return sorted((r["name"], r["group"], r["topic"],
+                       r["partition"], r["value_int"]) for r in rows)
+
+    driver = norm(_run(rows_data, hwm, {"g1": 1}))
+    # merge_driver_rows=0 forces the distributed groupby-sum path
+    dist = norm(_run(rows_data, hwm, {"g1": 1}, merge_driver_rows=0))
+    assert driver == dist
+
+
 def test_group_filter_search_semantics():
     rows = _run([("prod-app", "t", 0, 10), ("staging", "t", 0, 10)],
                 [("t", 0, 100)], {}, group_match="prod")
