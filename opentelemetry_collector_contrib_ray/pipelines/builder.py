@@ -1487,6 +1487,14 @@ def _rows_to_logs(ds, **opts):
     return rows_to_logs(ds, **opts)
 
 
+@register_stage("c4_filter")
+def _c4_filter(ds, **opts):
+    """C4 page/line cleaning (Raffel et al. 2020) (round 5c2)."""
+    from ..stages.c4filter import c4_filter
+
+    return c4_filter(ds, **opts)
+
+
 def build_and_run(config: dict[str, Any]):
     ds = build_pipeline(config)
     return _build_terminal(ds, config.get("aggregate") or config.get("sink"))

@@ -109,7 +109,7 @@ def test_r5_window_covers_all_stale_evidence(catalog):
                    "kafka_consumer_lag", "podman_stats",
                    "aerospike_stats", "chrony_tracking",
                    "spark_app_stats", "ecs_task_metrics",
-                   "bigip_stats", "kubelet_stats"}
+                   "bigip_stats", "kubelet_stats", "c4_filter"}
     uncovered = [k for k in keys[50:]
                  if k not in r4 and k not in allowed_new]
     assert uncovered == []
