@@ -202,6 +202,9 @@ OPERATOR_QUERIES = [
     "spark_app_stats",
     "ecs_task_metrics",
     "aerospike_stats",
+    "c4_filter",
+    "kubelet_stats",
+    "bigip_stats",
 ]
 
 
